@@ -1,0 +1,19 @@
+"""Shared Spark fixture (session-scoped — one JVM for the whole suite)."""
+
+from __future__ import annotations
+
+import pytest
+
+from validate_xml_rust_spark import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="vxrs-tests", cpus=4, shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"

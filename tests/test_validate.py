@@ -1,0 +1,190 @@
+"""Per-row verdict suite — mirrors the reference's per-file test cases
+(FIXTURES.md §7; reference src/validator.rs tests at 932-1268)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark import Constraint, Spec, SpecRegistry
+from validate_xml_rust_spark.operators.summary import exit_code, summarize
+from validate_xml_rust_spark.operators.validate import validate
+
+PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _spec() -> Spec:
+    return Spec(
+        "webpage-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("url_format", "url", "regex", {"pattern": r"^https?://.*"}),
+            Constraint("html_utf8", "html", "utf8", severity="error"),
+            Constraint("text_len", "text", "length", {"lo": 1, "hi": 10_000}),
+        ),
+    )
+
+
+def _registry() -> SpecRegistry:
+    return SpecRegistry().add(_spec(), route_keys=["en", "de"])
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, PAGE_SCHEMA)
+
+
+def _verdict(spark, row, registry=None, **kw):
+    df = _rows(spark, [row])
+    res = validate(df, spark, registry or _registry(), **kw)
+    return res.verdicts.collect()[0]
+
+
+GOOD = ("https://a.example.com/1", None, b"<p>hi</p>", "hi", "en")
+
+
+def test_valid_row(spark):
+    # reference: valid local schema → Valid (src/validator.rs:1041-1081)
+    v = _verdict(spark, GOOD)
+    assert v["status"] == "valid"
+    assert v["error_count"] == 0
+    assert v["error_details"] == []
+    assert v["spec_id"] == "webpage-v1"
+
+
+def test_invalid_row_error_count(spark):
+    # two failed constraints → Invalid{error_count=2} (src/validator.rs:713-719)
+    v = _verdict(spark, (None, None, b"<p>hi</p>", "", "en"))
+    assert v["status"] == "invalid"
+    assert v["error_count"] == 2  # url_not_null + text_len (url_format null-guarded)
+    assert len(v["error_details"]) == 2
+
+
+def test_no_spec_resolvable_skipped(spark):
+    # no schema URL found → Skipped (src/validator.rs:626-643, 1024-1038)
+    v = _verdict(spark, ("https://a/1", None, b"x", "x", "zz"))
+    assert v["status"] == "skipped"
+    assert v["error_details"] == ["No spec resolved for row"]
+    # null routing key also skips
+    v2 = _verdict(spark, ("https://a/1", None, b"x", "x", None))
+    assert v2["status"] == "skipped"
+
+
+def test_missing_spec_error(spark):
+    # routed to a spec_id absent from registry → Error (src/validator.rs:1084-1099)
+    reg = _registry().add_route("fr", "missing-spec-v9")
+    v = _verdict(spark, ("https://a/1", None, b"x", "x", "fr"), registry=reg)
+    assert v["status"] == "error"
+    assert "spec not found in registry: missing-spec-v9" in v["error_details"][0]
+
+
+def test_garbage_input_error_run_continues(spark):
+    # non-UTF-8 html amid clean rows → that row Error, others unaffected
+    # (error containment, src/validator.rs:699-730)
+    rows = [GOOD, ("https://a/2", None, b"\xff\xfe<p>", "x", "en"), GOOD]
+    res = validate(_rows(spark, rows), spark, _registry())
+    statuses = [r["status"] for r in res.verdicts.collect()]
+    assert sorted(statuses) == ["error", "valid", "valid"]
+
+
+def test_error_precedence_over_invalid(spark):
+    # a row that is both unreadable and constraint-violating → error wins
+    v = _verdict(spark, (None, None, b"\xff", "", "en"))
+    assert v["status"] == "error"
+
+
+def test_spec_override(spark):
+    # --schema global override ignores routing (src/validator.rs:1210-1268)
+    strict = Spec("strict-v1", (Constraint("always", "url", "regex", {"pattern": "^ftp://"}),))
+    reg = _registry().add(strict)
+    v = _verdict(spark, GOOD, registry=reg, override_spec_id="strict-v1")
+    assert v["spec_id"] == "strict-v1"
+    assert v["status"] == "invalid"
+    # and a row that would otherwise be skipped is now validated
+    v2 = _verdict(
+        spark, ("https://a/1", None, b"x", "x", "zz"), registry=reg,
+        override_spec_id="webpage-v1",
+    )
+    assert v2["status"] == "valid"
+
+
+def test_empty_input(spark):
+    # empty input → zero counts, success_rate 0 (src/validator.rs:983-991)
+    df = _rows(spark, []).limit(0)
+    res = validate(df, spark, _registry())
+    row = summarize(res.verdicts).collect()[0]
+    assert row["total"] == 0
+    assert row["success_rate"] == 0.0
+    assert exit_code(row.asDict()) == 0
+
+
+def test_aggregation_math(spark):
+    # 5-row mix → counts (2 valid,1 invalid,1 error,1 skipped), 40% rate,
+    # 2 distinct specs (src/validator.rs:932-980)
+    other = Spec("other-v1", (Constraint("u", "url", "not_null"),))
+    reg = _registry().add(other, route_keys=["fr"])
+    rows = [
+        GOOD,
+        ("https://a/2", None, b"<p>ok</p>", "ok", "fr"),  # valid via other-v1
+        ("ftp://bad", None, b"x", "x", "en"),  # invalid (url_format)
+        ("https://a/3", None, b"\xff", "x", "en"),  # error (utf8)
+        ("https://a/4", None, b"x", "x", "zz"),  # skipped
+    ]
+    res = validate(_rows(spark, rows), spark, reg)
+    row = summarize(res.verdicts).collect()[0]
+    assert (row["total"], row["valid"], row["invalid"], row["error"], row["skipped"]) == (5, 2, 1, 1, 1)
+    assert row["success_rate"] == pytest.approx(40.0)
+    assert row["schemas_used"] == ["other-v1", "webpage-v1"]
+    d = row.asDict()
+    assert exit_code(d) == 2  # error wins over invalid (src/main.rs:115-118)
+    assert exit_code(d, fail_fast=True) == 1
+
+
+def test_partitioned_equivalence(spark):
+    # same rows at 1 vs 4 partitions → identical verdicts
+    # (concurrent-run equivalence, src/validator.rs:1102-1141)
+    rows = [
+        GOOD,
+        ("https://a/2", None, b"\xff", "x", "en"),
+        ("ftp://bad", None, b"x", "x", "de"),
+        ("https://a/4", None, b"x", "x", "zz"),
+        (None, None, b"x", "x", "en"),
+    ]
+    df1 = _rows(spark, rows).repartition(1)
+    df4 = _rows(spark, rows).repartition(4)
+    reg = _registry()
+    get = lambda df: sorted(  # noqa: E731
+        (r["url"] or "", r["status"], r["error_count"])
+        for r in validate(df, spark, reg).verdicts.collect()
+    )
+    assert get(df1) == get(df4)
+
+
+def test_violation_rows_contract(spark):
+    rows = [("ftp://bad", None, b"x", "", "en")]
+    res = validate(_rows(spark, rows), spark, _registry())
+    viols = res.violations().orderBy("constraint_id").collect()
+    assert [(v["constraint_id"], v["observed_value"]) for v in viols] == [
+        ("text_len", "0"),
+        ("url_format", "ftp://bad"),
+    ]
+    assert set(res.violations().columns) == {
+        "url", "partition_id", "constraint_id", "observed_value", "message",
+    }
+
+
+def test_exit_codes_all_valid(spark):
+    res = validate(_rows(spark, [GOOD, GOOD]), spark, _registry())
+    assert exit_code(summarize(res.verdicts).collect()[0].asDict()) == 0
+
+
+def test_invalid_only_exit_3(spark):
+    res = validate(_rows(spark, [("ftp://x", None, b"x", "x", "en")]), spark, _registry())
+    assert exit_code(summarize(res.verdicts).collect()[0].asDict()) == 3
+
+
+def test_broadcast_join_in_plan(spark):
+    # spec resolution must be a broadcast join (SURVEY.md §2.3 J1)
+    df = _rows(spark, [GOOD])
+    res = validate(df, spark, _registry())
+    plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

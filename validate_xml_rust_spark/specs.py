@@ -1,0 +1,257 @@
+"""Declarative constraint specs + rule compiler.
+
+The reference treats an XSD as an opaque compiled artifact: ``parse_xsd``
+once per distinct schema URL (single-flight, reference src/cache.rs:33-66),
+then ``validate_xsd`` per file returning ``{is_valid, errors[{line, column,
+message}]}`` (reference src/validator.rs:664, 686-694). This module is the
+engine's analog: a *spec* is a declarative list of constraints; ``compile_spec``
+is the "parse once" step producing vectorized Column-expression checks that
+are then applied to every row of a DataFrame ("validate many").
+
+Compilation happens exactly once on the driver (the moka ``try_get_with``
+single-flight of src/cache.rs:51-66 is unnecessary in Spark: the compiled
+form is a plan fragment, shipped to executors inside the serialized plan /
+broadcast — X2 in SURVEY.md §4).
+
+Row-scope constraint kinds (compiled to pure Column expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path):
+
+- ``not_null``       — column must be non-null
+- ``regex``          — string matches pattern (params: ``pattern``)
+- ``range``          — lo <= col <= hi (params: ``lo``, ``hi``; either optional)
+- ``isin``           — col ∈ allowed set (params: ``values``)
+- ``length``         — lo <= length(col) <= hi (params: ``lo``, ``hi``)
+- ``utf8``           — binary column decodes as strict UTF-8 (roundtrip check;
+                       mirrors the reference's UTF-8 read error at
+                       src/validator.rs:659-663 — severity ``error``)
+- ``expr``           — arbitrary boolean SQL expression must hold
+                       (params: ``predicate``; cross-column checks)
+
+Table-scope kinds (``unique``, ``referential``, ``drift``) need a shuffle or
+a join; they are handled by dedicated operators (operators/uniqueness.py,
+operators/referential.py, operators/drift.py) and declared here only so a
+spec can carry them end-to-end.
+
+Severity: ``invalid`` (counted into ``Invalid{error_count}``) or ``error``
+(the row is *unreadable* — maps to the reference's ``Error{message}`` state,
+e.g. a non-UTF-8 document fails parse before validation,
+src/validator.rs:679-698). Precedence is applied in operators/validate.py.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ROW_KINDS = frozenset({"not_null", "regex", "range", "isin", "length", "utf8", "expr"})
+TABLE_KINDS = frozenset({"unique", "referential", "drift"})
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One declarative constraint within a spec."""
+
+    constraint_id: str
+    column: str
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+    severity: str = "invalid"  # "invalid" | "error"
+
+    def __post_init__(self) -> None:
+        if self.kind not in ROW_KINDS | TABLE_KINDS:
+            raise ValueError(f"unknown constraint kind: {self.kind!r}")
+        if self.severity not in ("invalid", "error"):
+            raise ValueError(f"unknown severity: {self.severity!r}")
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "constraint_id": self.constraint_id,
+                "column": self.column,
+                "kind": self.kind,
+                "params": self.params,
+                "severity": self.severity,
+            },
+            sort_keys=True,
+        )
+
+
+@dataclass(frozen=True)
+class Spec:
+    """A named set of constraints — the engine's "schema" (XSD analog)."""
+
+    spec_id: str
+    constraints: tuple[Constraint, ...]
+
+    def row_constraints(self) -> tuple[Constraint, ...]:
+        return tuple(c for c in self.constraints if c.kind in ROW_KINDS)
+
+    def table_constraints(self) -> tuple[Constraint, ...]:
+        return tuple(c for c in self.constraints if c.kind in TABLE_KINDS)
+
+
+def spec_from_dict(d: dict[str, Any]) -> Spec:
+    """Parse the JSON/dict form of a spec (the on-disk registry format)."""
+    cons = tuple(
+        Constraint(
+            constraint_id=c["constraint_id"],
+            column=c["column"],
+            kind=c["kind"],
+            params=c.get("params", {}),
+            severity=c.get("severity", "invalid"),
+        )
+        for c in d["constraints"]
+    )
+    return Spec(spec_id=d["spec_id"], constraints=cons)
+
+
+@dataclass(frozen=True)
+class CompiledCheck:
+    """One compiled row-scope check: vectorized fail predicate + observables."""
+
+    constraint_id: str
+    column: str
+    severity: str
+    fail: Column  # boolean, never null (null input handled per-kind)
+    observed: Column  # string repr of the offending value
+    message: str  # static human message template
+
+
+def _obs(col: Column) -> Column:
+    return F.coalesce(col.cast("string"), F.lit("<null>"))
+
+
+def compile_constraint(c: Constraint) -> CompiledCheck:
+    """Compile one row-scope constraint into Column expressions.
+
+    Every predicate is null-guarded so a null input can never poison the
+    boolean (error containment X9 of SURVEY.md §4 — a bad value must yield a
+    verdict, never a task failure)."""
+    col = F.col(c.column)
+    p = c.params
+    if c.kind == "not_null":
+        fail = col.isNull()
+        msg = f"{c.column} must not be null"
+    elif c.kind == "regex":
+        fail = col.isNotNull() & ~col.rlike(p["pattern"])
+        msg = f"{c.column} does not match {p['pattern']!r}"
+    elif c.kind == "range":
+        conds = []
+        if "lo" in p:
+            conds.append(col < F.lit(p["lo"]))
+        if "hi" in p:
+            conds.append(col > F.lit(p["hi"]))
+        if not conds:
+            raise ValueError(f"range constraint {c.constraint_id} needs lo and/or hi")
+        bad = conds[0]
+        for extra in conds[1:]:
+            bad = bad | extra
+        fail = col.isNotNull() & bad
+        msg = f"{c.column} outside [{p.get('lo', '-inf')}, {p.get('hi', '+inf')}]"
+    elif c.kind == "isin":
+        fail = col.isNotNull() & ~col.isin(list(p["values"]))
+        msg = f"{c.column} not in allowed set"
+    elif c.kind == "length":
+        ln = F.length(col)
+        conds = []
+        if "lo" in p:
+            conds.append(ln < F.lit(int(p["lo"])))
+        if "hi" in p:
+            conds.append(ln > F.lit(int(p["hi"])))
+        bad = conds[0]
+        for extra in conds[1:]:
+            bad = bad | extra
+        fail = col.isNotNull() & bad
+        msg = f"length({c.column}) outside [{p.get('lo', 0)}, {p.get('hi', 'inf')}]"
+        return CompiledCheck(c.constraint_id, c.column, c.severity, fail, _obs(ln), msg)
+    elif c.kind == "utf8":
+        # Strict UTF-8 validity, JVM-side (Spark 4 is_valid_utf8 — no UDF,
+        # no exception; Spark 4's plain decode() throws on malformed bytes).
+        fail = col.isNotNull() & ~F.is_valid_utf8(col)
+        obs = F.concat(F.lit("0x"), F.hex(F.substring(col, 1, 8)))
+        msg = f"{c.column} is not valid UTF-8"
+        return CompiledCheck(c.constraint_id, c.column, c.severity, fail, obs, msg)
+    elif c.kind == "expr":
+        pred = F.expr(p["predicate"])
+        fail = ~F.coalesce(pred, F.lit(False))
+        msg = f"predicate failed: {p['predicate']}"
+    else:
+        raise ValueError(f"{c.kind!r} is table-scope; compile via its operator")
+    return CompiledCheck(c.constraint_id, c.column, c.severity, fail, _obs(col), msg)
+
+
+@dataclass(frozen=True)
+class CompiledSpec:
+    spec_id: str
+    checks: tuple[CompiledCheck, ...]
+    table_constraints: tuple[Constraint, ...]
+
+    def violations_array(self) -> Column:
+        """Array<struct<constraint_id,observed_value,message,severity>> of
+        failed checks for one row — the engine's analog of the reference's
+        per-file ``errors[{line, column, message}]`` list
+        (src/validator.rs:686-694, formatted at 704-712)."""
+        entries = [
+            F.when(
+                ch.fail,
+                F.struct(
+                    F.lit(ch.constraint_id).alias("constraint_id"),
+                    ch.observed.alias("observed_value"),
+                    F.lit(ch.message).alias("message"),
+                    F.lit(ch.severity).alias("severity"),
+                ),
+            )
+            for ch in self.checks
+        ]
+        if not entries:
+            return F.expr(
+                "array()"
+            ).cast(
+                "array<struct<constraint_id:string,observed_value:string,"
+                "message:string,severity:string>>"
+            )
+        arr = F.array(*entries)
+        return F.filter(arr, lambda x: x.isNotNull())
+
+
+def compile_spec(spec: Spec) -> CompiledSpec:
+    """"Parse once": compile a spec's row constraints to Column expressions."""
+    return CompiledSpec(
+        spec_id=spec.spec_id,
+        checks=tuple(compile_constraint(c) for c in spec.row_constraints()),
+        table_constraints=spec.table_constraints(),
+    )
+
+
+@dataclass
+class SpecRegistry:
+    """The spec store + routing table — the analog of the reference's schema
+    cache keyed by URL (src/cache.rs:139-316) plus the per-file schema
+    reference extraction (src/schema_loader.rs:63-102).
+
+    ``routes`` maps a routing-key value (e.g. the ``lang`` column — the
+    engine's ``xsi:schemaLocation``) to a spec_id. A route may name a spec_id
+    missing from ``specs`` — rows routed there get an ``error`` verdict,
+    mirroring a referenced-but-unloadable schema (src/validator.rs:1084-1099).
+    Routing is realized as a broadcast join (SURVEY.md §2.3 J1)."""
+
+    specs: dict[str, Spec] = field(default_factory=dict)
+    routes: dict[str, str] = field(default_factory=dict)
+
+    def add(self, spec: Spec, route_keys: list[str] | None = None) -> "SpecRegistry":
+        self.specs[spec.spec_id] = spec
+        for k in route_keys or []:
+            self.routes[k] = spec.spec_id
+        return self
+
+    def add_route(self, key: str, spec_id: str) -> "SpecRegistry":
+        """Route a key to a spec_id (which may intentionally not exist)."""
+        self.routes[key] = spec_id
+        return self
+
+    def compiled(self) -> dict[str, CompiledSpec]:
+        return {sid: compile_spec(s) for sid, s in self.specs.items()}
