@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the north-star metric: validated docs/sec for
+the full constraint suite over the synthetic Common-Crawl-style pages table
+(1M docs by default — generation is pure codegen, so the timing is
+dominated by the validation pipeline itself). Relational/auxiliary
+operator timings run over the sf parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "1000000"))
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
+    """Full engine: synth pages → verdicts → violations count + per-partition
+    summary. Returns (seconds, derived metrics)."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.summary import partition_pass_fail
+    from validate_xml_rust_spark.operators.validate import validate
+    from validate_xml_rust_spark.sources.pages import LANGS, pages, with_partition_id
+    from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+    df = with_partition_id(pages(spark, n_docs, n_partitions), 64)
+    spec = Spec(
+        "webpage-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("url_format", "url", "regex", {"pattern": r"^https?://.*"}),
+            Constraint(
+                "warc_ts_range", "warc_ts", "range",
+                {"lo": "2025-01-01 00:00:00", "hi": "2026-01-01 00:00:00"},
+            ),
+            Constraint("html_utf8", "html", "utf8", severity="error"),
+            Constraint("html_len", "html", "length", {"lo": 1, "hi": 100_000}),
+            Constraint("lang_enum", "lang", "isin", {"values": LANGS}),
+        ),
+    )
+    registry = SpecRegistry().add(spec, route_keys=LANGS)
+
+    t0 = time.perf_counter()
+    res = validate(df, spark, registry)
+    # ONE action: per-partition pass/fail + violation totals in a single
+    # aggregation pass (scan → broadcast join → project → partial agg →
+    # 64-row final agg; no second pass over the data).
+    per_part = (
+        res.verdicts.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("status") == "valid", 1).otherwise(0)).alias("valid"),
+            F.sum(F.when(F.col("status") == "invalid", 1).otherwise(0)).alias("invalid"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error"),
+            F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("skipped"),
+            F.sum(F.size("violation_entries")).alias("n_violations"),
+        )
+        .collect()
+    )
+    secs = time.perf_counter() - t0
+    total = sum(r["total"] for r in per_part)
+    _ = partition_pass_fail  # kept importable for parity runs
+    return round(secs, 3), {
+        "docs": total,
+        "violations": sum(r["n_violations"] for r in per_part),
+        "partitions": len(per_part),
+        "docs_per_sec": round(total / secs, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from validate_xml_rust_spark import get_spark
+    from validate_xml_rust_spark.queries import QUERIES
+
+    spark = get_spark(app_name="vxrs-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+
+    # Flagship: full validation engine over synthetic pages.
+    v_secs, v_extra = run_validation_bench(spark, BENCH_PAGES, cpus * 2)
+    timings["validate_pages_full"] = v_secs
+
+    # Operator queries over the sf parquet tables (count() = run the plan).
+    for name, fn in QUERIES.items():
+        timings[name] = _time(lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "validated_docs_per_sec": v_extra["docs_per_sec"],
+        "bench_pages": v_extra["docs"],
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

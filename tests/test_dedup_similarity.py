@@ -1,0 +1,141 @@
+"""Dedup + similarity operator properties (planted-duplicate recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_candidates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from validate_xml_rust_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    embedding_near_duplicates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-token change
+FAR = "completely unrelated text about spark shuffles partitions and joins"
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE), (1, BASE), (2, NEAR), (3, FAR),
+        (4, "another distinct document entirely about benchmark results"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_and_dedup(spark):
+    d = _docs(spark)
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dup"] == 2 and groups[0]["keep_id"] == 0
+    kept = exact_dedup(d)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 1).count() == 0  # dup dropped
+    # whitespace/case-insensitive: normalized variants collapse too
+    d2 = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world "), (2, "other")],
+        "doc_id long, text string",
+    )
+    assert exact_dedup(d2).count() == 2
+
+
+def test_minhash_finds_identical_and_near(spark):
+    d = _docs(spark)
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_candidates(d).collect()}
+    assert (0, 1) in cands  # identical docs always collide in every band
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(d, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup found
+    # unrelated docs never pass the verify threshold
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_recall_vs_bruteforce(spark):
+    # every brute-force pair with jaccard >= 0.8 must be recalled by LSH
+    d = _docs(spark)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(d, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(d, threshold=0.8).collect()
+    }
+    assert brute <= lsh or brute == lsh  # recall: no misses at j>=0.8
+
+
+def test_simhash_identical_zero_hamming(spark):
+    d = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(d, max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= 16  # near text → small simhash distance
+
+
+def _emb(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(i * 0.7 + d) for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # plant: 100 = exact copy of 0; 101 = slightly perturbed 0
+    rows.append((100, rows[0][1]))
+    rows.append((101, [x + 0.01 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exactness(spark):
+    e = _emb(spark)
+    q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = brute_force_topk(e, q, k=3, exclude_id=0).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 100  # exact copy first
+    assert top[0]["cos_sim"] >= 0.999999
+    assert 101 in ids[:2]  # perturbed copy right behind
+
+
+def test_ann_topk_recalls_planted_duplicate(spark):
+    e = _emb(spark)
+    q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = ann_topk(e, q, k=3, n_planes=8, probe_hamming=2, exclude_id=0).collect()
+    assert top and top[0]["vec_id"] == 100  # identical vector same bucket
+
+
+def test_embedding_near_duplicates(spark):
+    e = _emb(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(e, threshold=0.999, n_planes=8).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] >= 0.999999
+
+
+def test_dedup_partitioning_invariance(spark):
+    # LSH results must not depend on physical partitioning
+    d = _docs(spark)
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(d.repartition(1), threshold=0.5).collect()
+    }
+    p8 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(d.repartition(8), threshold=0.5).collect()
+    }
+    assert p1 == p8

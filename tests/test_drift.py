@@ -1,0 +1,83 @@
+"""Drift-check operator tests: planted distribution shifts must trip the
+KS / chi-square gates; unshifted partitions must not."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.drift import (
+    categorical_baseline,
+    chi2_drift_check,
+    drift_violations,
+    ks_drift_check,
+    ks_statistic,
+    numeric_baseline,
+)
+
+
+def _numeric_df(spark):
+    # partitions 0,1: N(0,1)-ish; partition 2: shifted by +5
+    rng = np.random.default_rng(42)
+    rows = []
+    for pid in (0, 1):
+        for v in rng.normal(0, 1, 400):
+            rows.append((pid, float(v)))
+    for v in rng.normal(5, 1, 400):
+        rows.append((2, float(v)))
+    return spark.createDataFrame(rows, "partition_id int, x double")
+
+
+def test_ks_detects_planted_shift(spark):
+    df = _numeric_df(spark)
+    base = numeric_baseline(df.filter("partition_id = 0"), "x")
+    out = {r["partition_id"]: r for r in ks_drift_check(df, "x", base).collect()}
+    assert out[0]["drifted"] is False  # baseline vs itself
+    assert out[1]["drifted"] is False  # same distribution
+    assert out[2]["drifted"] is True  # +5 shift
+    assert out[2]["statistic"] > 0.9
+    assert out[2]["p_value"] < 0.001
+
+
+def test_ks_statistic_pure():
+    a = np.arange(0, 1000, dtype="float64")
+    assert ks_statistic(a, np.sort(a)) == 0.0
+    b = a + 1000.0
+    assert ks_statistic(b, np.sort(a)) == 1.0
+
+
+def _cat_df(spark):
+    rows = []
+    for pid in (0, 1):
+        rows += [(pid, "en")] * 70 + [(pid, "de")] * 20 + [(pid, "fr")] * 10
+    rows += [(2, "en")] * 10 + [(2, "de")] * 20 + [(2, "fr")] * 70  # inverted
+    return spark.createDataFrame(rows, "partition_id int, lang string")
+
+
+def test_chi2_detects_category_shift(spark):
+    df = _cat_df(spark)
+    base = categorical_baseline(df.filter("partition_id = 0"), "lang")
+    out = {r["partition_id"]: r for r in chi2_drift_check(df, "lang", base).collect()}
+    assert out[0]["drifted"] is False
+    assert out[1]["drifted"] is False
+    assert out[2]["drifted"] is True
+    assert out[2]["p_value"] < 0.01
+
+
+def test_drift_violations_contract(spark):
+    df = _cat_df(spark)
+    base = categorical_baseline(df.filter("partition_id = 0"), "lang")
+    v = drift_violations(chi2_drift_check(df, "lang", base)).collect()
+    assert len(v) == 1
+    assert v[0]["url"] == "partition:2"
+    assert v[0]["constraint_id"] == "drift_chi2_lang"
+
+
+def test_small_partition_not_flagged(spark):
+    # below min_rows → never drifts (avoids noise from tiny partitions)
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 99.0)], "partition_id int, x double"
+    )
+    base = np.array([1.0, 2.0, 3.0] * 50)
+    out = {r["partition_id"]: r for r in ks_drift_check(df, "x", base).collect()}
+    assert out[1]["drifted"] is False and out[1]["n"] == 1

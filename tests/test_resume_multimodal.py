@@ -1,0 +1,91 @@
+"""Resume-from-manifest + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+    resize_plan,
+    synthetic_media,
+)
+from validate_xml_rust_spark.operators.resume import (
+    partition_metrics,
+    pending_rows,
+    run_with_resume,
+)
+from validate_xml_rust_spark.sources.pages import LANGS, pages, with_partition_id
+from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+
+def _registry() -> SpecRegistry:
+    spec = Spec(
+        "webpage-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("html_utf8", "html", "utf8", severity="error"),
+        ),
+    )
+    return SpecRegistry().add(spec, route_keys=LANGS)
+
+
+def test_resume_skips_completed_partitions(spark, tmp_path):
+    manifest = str(tmp_path / "manifest")
+    df = with_partition_id(pages(spark, 1000), 8)
+    # first run: everything pending
+    verdicts, n1 = run_with_resume(df, spark, _registry(), manifest, "run-1")
+    assert n1 == 8 and verdicts is not None
+    # second run over the same input: nothing pending
+    verdicts2, n2 = run_with_resume(df, spark, _registry(), manifest, "run-2")
+    assert n2 == 0 and verdicts2 is None
+    # a new partition appears → only it is pending
+    extra = with_partition_id(pages(spark, 1000), 8).withColumn(
+        "partition_id", F.lit(99)
+    )
+    todo = pending_rows(df.unionByName(extra), spark, manifest)
+    assert todo.select("partition_id").distinct().collect() == [
+        spark.createDataFrame([(99,)], "partition_id int").collect()[0]
+    ]
+    _, n3 = run_with_resume(
+        df.unionByName(extra), spark, _registry(), manifest, "run-3"
+    )
+    assert n3 == 1
+
+
+def test_partition_metrics_shape(spark):
+    df = with_partition_id(pages(spark, 500), 4)
+    from validate_xml_rust_spark.operators.validate import validate
+
+    res = validate(df, spark, _registry())
+    m = partition_metrics(res.verdicts, "r1")
+    rows = m.collect()
+    assert {r["partition_id"] for r in rows} == set(range(4)) or len(rows) <= 4
+    assert all(r["n_rows"] == r["n_valid"] + r["n_invalid"] + r["n_error"] + r["n_skipped"] for r in rows)
+    assert sum(r["n_rows"] for r in rows) == 500
+
+
+def test_media_features_deterministic(spark):
+    media = synthetic_media(spark, 60)
+    f1 = extract_features(media).orderBy("id").collect()
+    f2 = extract_features(media).orderBy("id").collect()
+    assert f1 == f2
+    assert all(len(r["features"]) == 16 for r in f1)
+    assert all(0.0 <= x < 1.0 for r in f1 for x in r["features"])
+    assert all(r["payload_bytes"] > 100 for r in f1)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_resize_and_frame_plans(spark):
+    media = synthetic_media(spark, 90)
+    rp = resize_plan(media).collect()
+    assert rp and all(r["dst_w"] <= 224 and r["dst_h"] <= 224 for r in rp)
+    fp = frame_sample_plan(media, every_n=10)
+    rows = fp.collect()
+    assert rows and all(r["frame_idx"] % 10 == 0 for r in rows)

@@ -1,0 +1,82 @@
+"""Structured-Streaming incremental validation tests (memory/parquet sinks,
+AvailableNow trigger drives batches synchronously)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.sources.pages import LANGS, pages, with_partition_id
+from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+from validate_xml_rust_spark.streaming.incremental import (
+    validate_stream_available_now,
+    windowed_verdict_counts,
+)
+
+
+def _registry() -> SpecRegistry:
+    spec = Spec(
+        "webpage-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("url_format", "url", "regex", {"pattern": r"^https?://.*"}),
+            Constraint("html_utf8", "html", "utf8", severity="error"),
+        ),
+    )
+    return SpecRegistry().add(spec, route_keys=LANGS)
+
+
+def test_incremental_stream_processes_only_new_files(spark, tmp_path):
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    df1 = with_partition_id(pages(spark, 500), 4)
+    df1.write.mode("append").parquet(inp)
+
+    n1 = validate_stream_available_now(spark, inp, _registry(), ckpt, out, "s1")
+    assert n1 >= 1
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    first_count = verdicts.count()
+    assert first_count == 500
+
+    # re-run with NO new files → zero new batches, output unchanged
+    n2 = validate_stream_available_now(spark, inp, _registry(), ckpt, out, "s2")
+    assert spark.read.parquet(f"{out}/verdicts").count() == first_count
+
+    # append new files → only they are processed
+    df2 = with_partition_id(pages(spark, 300), 2).withColumn(
+        "url", F.concat(F.lit("https://new.example.com/"), F.col("url"))
+    )
+    df2.write.mode("append").parquet(inp)
+    n3 = validate_stream_available_now(spark, inp, _registry(), ckpt, out, "s3")
+    assert n3 >= 1
+    assert spark.read.parquet(f"{out}/verdicts").count() == first_count + 300
+
+    # metrics rows were committed per epoch
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.count() > 0
+    assert metrics.filter(F.col("run_id").startswith("s3")).count() > 0
+
+
+def test_windowed_verdict_counts_memory_sink(spark, tmp_path):
+    inp = str(tmp_path / "pages2")
+    # 1000 rows so lang='xx' rows (i=419, 838) exist with non-null warc_ts
+    with_partition_id(pages(spark, 1000), 2).write.mode("append").parquet(inp)
+
+    agg = windowed_verdict_counts(spark, inp, _registry(), window="6 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("verdict_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM verdict_windows").collect()
+    assert rows
+    statuses = {r["status"] for r in rows}
+    assert "valid" in statuses and "skipped" in statuses
+    total = sum(r["n"] for r in rows)
+    # null warc_ts rows are dropped by the event-time groupBy; everything
+    # else lands in some window
+    assert 980 <= total <= 1000

@@ -1,0 +1,62 @@
+"""Text-analysis operator unit tests."""
+
+from __future__ import annotations
+
+from validate_xml_rust_spark.operators.textstats import (
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    token_stats,
+)
+
+
+def _d(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_langid_markers(spark):
+    d = _d(
+        spark,
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze und der vogel"),
+            (2, "le chat et les chiens et le"),
+            (3, "el perro y los gatos y el"),
+            (4, "zzz qqq xxx"),
+            (5, None),
+        ],
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_language(d).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "und"}
+
+
+def test_token_stats(spark):
+    d = _d(spark, [(0, "hello world  foo"), (1, ""), (2, None), (3, "a-b c3d")])
+    got = {r["doc_id"]: (r["n_tokens"], r["text_chars"]) for r in token_stats(d).collect()}
+    assert got[0] == (3, 16)
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3][0] == 2
+
+
+def test_quality_bounds_and_monotonicity(spark):
+    d = _d(
+        spark,
+        [
+            (0, "the cat and the dog walked over the hill and the fox ran"),
+            (1, "!!!,,,;;;???...!!!,,,"),
+            (2, None),
+        ],
+    )
+    got = {r["doc_id"]: r["quality"] for r in quality_score(d).collect()}
+    assert all(0.0 <= q <= 1.0 for q in got.values())
+    assert got[0] > got[1]  # natural text beats punctuation soup
+    assert got[2] == 0.0
+
+
+def test_fingerprint_normalization(spark):
+    d = _d(spark, [(0, "Hello   World"), (1, "hello world"), (2, " HELLO\tWORLD ")])
+    rows = doc_fingerprint(d).collect()
+    fps = {r["fp_md5"] for r in rows}
+    rolls = {r["fp_roll"] for r in rows}
+    assert len(fps) == 1 and len(rolls) == 1  # all normalize identically

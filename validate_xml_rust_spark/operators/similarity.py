@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring how a production vector pipeline scales:
+
+- **Brute-force cosine top-k** — the exactness baseline. The query vector
+  (or a small query set) is broadcast; the scan side computes the cosine
+  with pure array expressions (``zip_with`` dot product folded in doubles),
+  then takes top-k. One narrow pass + a TakeOrdered — no shuffle of the
+  big side. Exact and embarrassingly parallel, but O(N) per query.
+
+- **LSH-bucketed ANN** (random-hyperplane signs) — the scale path. Each
+  vector gets a ``n_planes``-bit sign signature from deterministic seeded
+  hyperplanes (hash-derived, no stored model); candidates = vectors whose
+  signature matches the query's bucket within ``probe_hamming`` bits.
+  Bucket cardinality is ~N/2^n_planes, so per-query work drops by the
+  bucket fan-in while recall stays high for close vectors (sign-LSH
+  collision probability = 1 - θ/π per plane).
+
+- **Embedding cosine near-dup** — all-pairs above a threshold via the
+  same LSH buckets (self-join on bucket), for dedup pipelines.
+
+Deterministic hyperplanes: plane p, dimension d gets weight
+hash(p, d) mapped to [-1, 1). No RNG state, no model file — any executor
+can regenerate the planes from (seed, p, d), which is exactly what the
+Column expression does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEED = 97
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in doubles (left-to-right fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = dot(a, b)
+    n = norm(a) * norm(b)
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector (broadcast as a
+    plan constant — no join at all)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    # orderBy+limit compiles to TakeOrdered — per-partition top-k then a
+    # k-row merge on the driver; no full sort, no shuffle of N rows.
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def _plane_weight(p: int, d: Column) -> Column:
+    """Deterministic hyperplane weight in [-1, 1): hash(seed, p, d)."""
+    h = F.xxhash64(F.lit(SEED), F.lit(p), d)
+    return (F.pmod(h, F.lit(2_000_000)).cast("double") / F.lit(1_000_000.0)) - 1.0
+
+
+def lsh_signature(vec: Column, n_planes: int = 12) -> Column:
+    """Random-hyperplane sign signature packed into a long (bit p = sign of
+    ⟨vec, plane_p⟩). Planes are hash-generated per (p, dimension) — pure
+    expressions, no model state."""
+    def plane_dot(p: int) -> Column:
+        idx = F.sequence(F.lit(0), F.size(vec) - 1)
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(idx, lambda d: _plane_weight(p, d)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig.bitwiseOR(
+            F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    probe_hamming: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scoring to vectors whose LSH
+    bucket is within ``probe_hamming`` bits of the query's bucket, then
+    brute-force within candidates. Recall tunes with n_planes/probe."""
+    # Compute the query signature WITH Spark (one 1-row job) so the plane
+    # weights are bit-identical to the executor-side expression.
+    spark = df.sparkSession
+    qdf = spark.range(1).select(
+        lsh_signature(F.array(*[F.lit(float(x)) for x in query_vec]), n_planes).alias("s")
+    )
+    qsig = qdf.collect()[0]["s"]
+
+    sig = lsh_signature(F.col(vec_col), n_planes)
+    cand = df.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= probe_hamming
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, via LSH-bucket self-join
+    (exact-bucket match; high-cosine pairs collide with probability
+    (1 - θ/π)^n_planes ≈ high for θ ≈ 0). Output: id_a < id_b, cos_sim."""
+    sigd = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_signature(F.col(vec_col), n_planes).alias("__sig"),
+    )
+    a, b = sigd.alias("a"), sigd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions over the ``documents``/pages text column —
+JVM-side, whole-stage codegen, zero Python in the hot path. Each operator
+is deliberately simple enough to restate in ANSI SQL (DuckDB oracle) so
+the driver's correctness gate covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small + high-precision so the heuristic is SQL-restatable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring: (len(s) - len(replace(s, n)))/len(n).
+    Pure string arithmetic — identical semantics in Spark SQL and DuckDB."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-occurrence scores over ' '-padded text."""
+    padded = F.concat(F.lit(" "), F.lower(F.coalesce(text, F.lit(""))), F.lit(" "))
+    return {
+        lang: sum(
+            (_count_occurrences(padded, m) for m in markers), start=F.lit(0.0)
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """argmax of marker scores; 'und' (undetermined) when all scores are 0.
+
+    Ties break by language code order (deterministic, SQL-restatable)."""
+    scores = lang_scores(F.col(text_col))
+    out = df
+    for lang, col in scores.items():
+        out = out.withColumn(f"score_{lang}", col)
+    # Fold right-to-left so on equal scores the alphabetically-first
+    # language wins (deterministic, easy to restate in SQL).
+    expr_best = F.lit("und")
+    expr_score = F.lit(0.0)
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = F.col(f"score_{lang}")
+        expr_best = F.when((s > 0) & (s >= expr_score), F.lit(lang)).otherwise(expr_best)
+        expr_score = F.greatest(s, expr_score)
+    return out.withColumn("detected_lang", expr_best)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate.
+
+    ``n_tokens``  — whitespace-delimited words,
+    ``n_subwords``— regex split on word/number/punct boundaries (a cheap
+                    BPE-count proxy: every run of letters, digits, or a
+                    single punctuation char counts once),
+    ``n_chars``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    sub = F.filter(
+        F.split(F.lower(t), r"(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    return (
+        df.withColumn("n_tokens", F.size(words))
+        .withColumn("n_subwords", F.size(sub))
+        .withColumn("text_chars", F.length(t))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1]:
+
+    - ``alpha_ratio``: alphabetic chars / total chars
+    - ``punct_ratio``: sentence punctuation / total chars
+    - ``stopword_ratio``: English-marker words / whitespace tokens
+    - ``mean_word_len``: chars per token
+    - ``quality``: clamped blend (length-normalized, penalizing
+      punctuation soup and unnaturally long words)
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(t), F.lit(1))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop = sum(
+        (_count_occurrences(padded, m) for m in LANG_MARKERS["en"]), start=F.lit(0.0)
+    )
+    alpha_ratio = alpha / n
+    punct_ratio = punct / n
+    stopword_ratio = stop / n_words
+    mean_word_len = F.length(t) / n_words
+    quality = F.round(
+        F.least(
+            F.greatest(
+                alpha_ratio * 0.5
+                + F.least(stopword_ratio * 2.0, F.lit(0.3))
+                + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.2).otherwise(0.0)
+                - F.when(punct_ratio > 0.1, 0.2).otherwise(0.0),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return (
+        df.withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality", quality)
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable document fingerprints:
+
+    - ``fp_md5``   — md5 of whitespace-normalized lowercase text (exact id)
+    - ``fp_roll``  — 64-bit rolling-style hash (xxhash64 of the normalized
+      text — the Spark-native stand-in for a Karp-Rabin rolling hash; at
+      scale the win is identical: one long per doc, shuffle-friendly)
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_roll", F.xxhash64(norm)
+    )

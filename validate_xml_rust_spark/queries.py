@@ -307,6 +307,203 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup / fingerprint / text-analysis / similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from validate_xml_rust_spark.operators.textstats import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fp_md5")
+
+
+ORACLE_DOC_FINGERPRINTS = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from validate_xml_rust_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_EXACT_DUP_GROUPS = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_dup, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from validate_xml_rust_spark.operators.textstats import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs).select("doc_id", "n_tokens", "text_chars")
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
+                x -> length(x) > 0)) AS INT) AS n_tokens,
+       CAST(length(coalesce(text,'')) AS INT) AS text_chars
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from validate_xml_rust_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality",
+    )
+
+
+ORACLE_QUALITY_SCORES = r"""
+WITH f AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         greatest(length(coalesce(text,'')), 1) AS n,
+         length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(coalesce(text,''), '[^.,!?;:]', '', 'g')) AS punct,
+         greatest(len(list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
+                  x -> length(x) > 0)), 1) AS n_words,
+         ' ' || lower(coalesce(text,'')) || ' ' AS padded
+  FROM documents),
+g AS (
+  SELECT doc_id, t, n, alpha, punct, n_words,
+         ((length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+        + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+        + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0) AS stop
+  FROM f)
+SELECT doc_id,
+       round(CAST(alpha AS DOUBLE)/n, 6) AS alpha_ratio,
+       round(CAST(punct AS DOUBLE)/n, 6) AS punct_ratio,
+       round(stop/n_words, 6) AS stopword_ratio,
+       round(CAST(length(t) AS DOUBLE)/n_words, 6) AS mean_word_len,
+       round(least(greatest(
+           CAST(alpha AS DOUBLE)/n * 0.5
+         + least(stop/n_words * 2.0, 0.3)
+         + (CASE WHEN CAST(length(t) AS DOUBLE)/n_words BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+         - (CASE WHEN CAST(punct AS DOUBLE)/n > 0.1 THEN 0.2 ELSE 0.0 END),
+         0.0), 1.0), 6) AS quality
+FROM g
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from validate_xml_rust_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs).select("doc_id", "detected_lang")
+
+
+ORACLE_LANGID = """
+WITH s AS (
+  SELECT doc_id, ' ' || lower(coalesce(text,'')) || ' ' AS p FROM documents),
+sc AS (
+  SELECT doc_id,
+    (length(p)-length(replace(p,' the ','')))/5.0 + (length(p)-length(replace(p,' and ','')))/5.0 + (length(p)-length(replace(p,' of ','')))/4.0 AS s_en,
+    (length(p)-length(replace(p,' der ','')))/5.0 + (length(p)-length(replace(p,' und ','')))/5.0 + (length(p)-length(replace(p,' die ','')))/5.0 AS s_de,
+    (length(p)-length(replace(p,' le ','')))/4.0 + (length(p)-length(replace(p,' et ','')))/4.0 + (length(p)-length(replace(p,' les ','')))/5.0 AS s_fr,
+    (length(p)-length(replace(p,' el ','')))/4.0 + (length(p)-length(replace(p,' y ','')))/3.0 + (length(p)-length(replace(p,' los ','')))/5.0 AS s_es
+  FROM s)
+SELECT doc_id,
+  CASE WHEN greatest(s_en,s_de,s_fr,s_es) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+       WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+       WHEN s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'
+       ELSE 'fr' END AS detected_lang
+FROM sc
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from validate_xml_rust_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return brute_force_topk(emb, qv, k=10, exclude_id=0)
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(d/(na*nb), 6) AS cos_sim FROM s
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine pairs over a bounded id block (the exactness
+    oracle for the LSH near-dup path)."""
+    from validate_xml_rust_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP_EXACT = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
+         sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(d/(na*nb), 6) AS cos_sim
+FROM p WHERE round(d/(na*nb), 6) >= 0.3
+"""
+
+
+def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups (rows-only check: LSH banding is not ANSI-SQL
+    restatable; determinism is guaranteed by seeded xxhash64)."""
+    from validate_xml_rust_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (rows-only: bit-banding not SQL-restatable)."""
+    from validate_xml_rust_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs blocked by lang (rows-only: shingle-set
+    construction is not practical in ANSI SQL)."""
+    from validate_xml_rust_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, group_col="lang"
+    )
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -318,6 +515,16 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
+    "doc_fingerprints": q_doc_fingerprints,
+    "exact_dup_groups": q_exact_dup_groups,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "langid": q_langid,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "minhash_neardups": q_minhash_neardups,
+    "simhash_neardups": q_simhash_neardups,
+    "ngram_jaccard": q_ngram_jaccard,
 }
 
 ORACLES = {
@@ -331,4 +538,13 @@ ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "exact_dup_groups": ORACLE_EXACT_DUP_GROUPS,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_scores": ORACLE_QUALITY_SCORES,
+    "langid": ORACLE_LANGID,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "embedding_neardup_exact": ORACLE_EMBEDDING_NEARDUP_EXACT,
+    # minhash_neardups / simhash_neardups / ngram_jaccard: rows-only
+    # (LSH banding & shingle-set construction aren't ANSI-SQL restatable)
 }
