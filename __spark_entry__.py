@@ -45,7 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
         ),
     )
     registry = SpecRegistry().add(spec, route_keys=LANGS)
-    res = validate(df, spark, registry)
+    # content routing: the spec reference is extracted from the document
+    # prologue itself (<meta name="spec" ...>) — the exact analog of the
+    # reference's per-file xsi:schemaLocation extraction, including
+    # skipped-when-absent and error-when-unreadable semantics.
+    res = validate(df, spark, registry, route_mode="content")
     return partition_pass_fail(res.verdicts)
 
 

@@ -40,10 +40,42 @@ VIOLATION_STRUCT = (
 )
 
 SKIP_MSG = "No spec resolved for row"  # analog of "No schema URL found in XML file"
+EXTRACT_ERR_MSG = "failed to extract spec reference from document"
+
+SPEC_META_PATTERN = r'<meta\s+name="spec"\s+content="([^"]+)"'
+PROLOGUE_BYTES = 2048
 
 
 def _empty_violations() -> Column:
     return F.expr("array()").cast(VIOLATION_STRUCT)
+
+
+def extract_spec_ref(
+    html_col: Column, prologue_bytes: int = PROLOGUE_BYTES
+) -> tuple[Column, Column]:
+    """Extract the in-document spec reference — the engine's
+    ``xsi:schemaLocation`` (reference src/schema_loader.rs:63-102, regexes
+    at :20/:28), with the reference's early-stop optimization: only the
+    document prologue is scanned (src/schema_loader.rs:89-93 stops at the
+    first closing tag; here ``substring(html, 1, K)`` bounds the regex to
+    the first K bytes — X1 in SURVEY.md §4).
+
+    Returns ``(spec_id, extract_failed)``:
+    - unreadable document (null / not valid UTF-8) → (null, true) — the
+      reference turns extractor errors into ``Error`` verdicts,
+    - readable but no reference found → (null, false) → ``Skipped``
+      (src/validator.rs:626-643),
+    - first match wins (P3 first-schema-only, src/validator.rs:625).
+
+    The prologue is cleaned with ``make_valid_utf8`` before the regex so a
+    multi-byte character truncated at the K-byte boundary can't poison an
+    otherwise-valid document; readability is judged on the FULL column.
+    """
+    readable = html_col.isNotNull() & F.is_valid_utf8(html_col) & (F.length(html_col) > 0)
+    head = F.make_valid_utf8(F.substring(html_col, 1, prologue_bytes))
+    m = F.regexp_extract(head, SPEC_META_PATTERN, 1)
+    spec_id = F.when(readable & (m != ""), m)
+    return spec_id, ~readable
 
 
 def resolve_spec(
@@ -100,18 +132,34 @@ def validate(
     override_spec_id: str | None = None,
     id_col: str = "url",
     partition_col: str | None = "partition_id",
+    route_mode: str = "column",
+    html_col: str = "html",
 ) -> ValidationResult:
     """Run every compiled row-scope check; emit the verdict DataFrame:
 
     ``url, partition_id, spec_id, status, error_count, error_details,
     violation_entries``.
+
+    ``route_mode``:
+    - ``"column"``  — spec resolved by joining ``route_col`` against the
+      registry's routes (broadcast join, J1),
+    - ``"content"`` — spec reference extracted from the document itself
+      (the reference's actual behavior: per-file ``xsi:schemaLocation``,
+      P1/X1); an unreadable document is an ``error``, a document without
+      a reference is ``skipped``. ``override_spec_id`` wins over both
+      (the ``--schema`` flag semantics, src/validator.rs:613-618).
     """
     compiled = registry.compiled()
     if partition_col is None or partition_col not in df.columns:
         df = df.withColumn("partition_id", F.lit(0))
         partition_col = "partition_id"
 
-    resolved = resolve_spec(df, spark, registry, route_col, override_spec_id)
+    if route_mode == "content" and override_spec_id is None:
+        sid, failed = extract_spec_ref(F.col(html_col))
+        resolved = df.withColumn("spec_id", sid).withColumn("__extract_failed", failed)
+    else:
+        resolved = resolve_spec(df, spark, registry, route_col, override_spec_id)
+        resolved = resolved.withColumn("__extract_failed", F.lit(False))
 
     # Per-spec violation arrays dispatched by spec_id (CASE WHEN chain).
     known_ids = sorted(compiled)
@@ -134,7 +182,8 @@ def validate(
     inv_entries = F.filter(F.col("all_entries"), lambda x: x["severity"] == "invalid")
 
     status = (
-        F.when(F.col("spec_id").isNull(), F.lit("skipped"))
+        F.when(F.col("__extract_failed"), F.lit("error"))
+        .when(F.col("spec_id").isNull(), F.lit("skipped"))
         .when(~spec_known, F.lit("error"))
         .when(F.size(err_entries) > 0, F.lit("error"))
         .when(F.size(inv_entries) > 0, F.lit("invalid"))
@@ -144,7 +193,8 @@ def validate(
     error_count = F.when(status == "invalid", F.size(inv_entries)).otherwise(F.lit(0))
     detail_fmt = lambda x: F.concat_ws(": ", x["constraint_id"], x["message"])  # noqa: E731
     error_details = (
-        F.when(status == "skipped", F.array(F.lit(SKIP_MSG)))
+        F.when(F.col("__extract_failed"), F.array(F.lit(EXTRACT_ERR_MSG)))
+        .when(status == "skipped", F.array(F.lit(SKIP_MSG)))
         .when(
             ~spec_known & F.col("spec_id").isNotNull(),
             F.array(F.concat(F.lit("spec not found in registry: "), F.col("spec_id"))),

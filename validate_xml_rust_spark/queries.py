@@ -495,13 +495,15 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs blocked by lang (rows-only: shingle-set
-    construction is not practical in ANSI SQL)."""
+    """Exact n-gram Jaccard pairs blocked by lang over a bounded id block
+    (rows-only: shingle-set construction is not practical in ANSI SQL).
+    This is the brute-force verification oracle for the LSH path — it is
+    deliberately O(block²), so the block is capped (the LSH operators are
+    the scale path)."""
     from validate_xml_rust_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, group_col="lang"
-    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ngram_jaccard_pairs(docs, threshold=0.5, group_col="lang")
 
 
 QUERIES = {

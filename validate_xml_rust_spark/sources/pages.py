@@ -92,11 +92,21 @@ def pages(
         .otherwise(F.element_at(F.array(*[F.lit(x) for x in LANGS]), (_h(i, 4) % 5 + 1).cast("int")))
     )
 
-    # html: deterministic body varying by eff
+    # html: deterministic body varying by eff. Most rows carry an in-document
+    # spec reference (the xsi:schemaLocation analog, reference
+    # src/schema_loader.rs:63-102): <meta name="spec" content="...">.
+    # i % 359 == 0 rows omit it (→ skipped under content routing);
+    # i % 523 == 0 rows reference a spec that doesn't exist (→ error).
+    spec_meta = (
+        F.when(i % 359 == 0, F.lit(""))
+        .when(i % 523 == 0, F.lit('<meta name="spec" content="ghost-spec-v9"/>'))
+        .otherwise(F.lit('<meta name="spec" content="webpage-v1"/>'))
+    )
     filler = F.repeat(F.lit("lorem ipsum dolor sit amet "), (_h(eff, 5) % 5 + 1).cast("int"))
     html_str = F.concat(
         F.lit("<html><head><title>Page "), eff.cast("string"),
-        F.lit("</title><script>var x=1;</script></head><body><h1>Doc "),
+        F.lit("</title>"), spec_meta,
+        F.lit("<script>var x=1;</script></head><body><h1>Doc "),
         eff.cast("string"), F.lit("</h1><p>"), filler,
         F.lit("</p></body></html>"),
     )
