@@ -1,0 +1,74 @@
+"""CLI integration tests — mirrors the reference's spawned-binary tests
+(tests/integration_tests.rs: exit codes + stdout assertions), run
+in-process for speed (the CLI main() is a plain function)."""
+
+from __future__ import annotations
+
+import json
+
+from validate_xml_rust_spark.cli import main
+
+
+def test_cli_synth_exit_code_errors(capsys):
+    # planted bad-utf8 rows → error verdicts → exit 2 (src/main.rs:115-116)
+    code = main(["synth:3000", "-q"])
+    assert code == 2
+
+
+def test_cli_verbose_report(capsys):
+    code = main(["synth:1500", "-v"])
+    out = capsys.readouterr().out
+    assert "Validation Results" in out
+    assert "Total:   1500" in out
+    assert "Failures" in out
+    assert code in (2, 3)
+
+
+def test_cli_bad_path_exit_1(capsys):
+    code = main(["/definitely/not/a/path"])
+    assert code == 1
+    assert "Path does not exist" in capsys.readouterr().err
+
+
+def test_cli_bad_threads_exit_1(capsys):
+    code = main(["synth:10", "--threads", "0"])
+    assert code == 1
+
+
+def test_cli_fail_fast_exit_1():
+    assert main(["synth:3000", "-q", "--fail-fast"]) == 1
+
+
+def test_cli_spec_override_and_output(tmp_path, capsys):
+    # a permissive spec via --spec → overrides routing; everything valid
+    spec = {
+        "spec_id": "permissive-v1",
+        "constraints": [
+            {"constraint_id": "any", "column": "url", "kind": "expr",
+             "params": {"predicate": "1 = 1"}},
+        ],
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    out_dir = str(tmp_path / "out")
+    code = main(["synth:500", "-q", "--spec", str(p), "--output", out_dir])
+    assert code == 0  # all rows valid under the permissive override
+    import pyarrow.parquet as pq
+
+    verdicts = pq.read_table(f"{out_dir}/verdicts")
+    assert verdicts.num_rows == 500
+
+
+def test_cli_bad_spec_exit_1(tmp_path, capsys):
+    p = tmp_path / "bad.json"
+    p.write_bytes(b"{broken")
+    assert main(["synth:10", "--spec", str(p)]) == 1
+    assert "Failed to load spec" in capsys.readouterr().err
+
+
+def test_cli_filters_to_empty_input(capsys):
+    # an include glob nothing matches (null urls fail includes too) →
+    # empty-input short-circuit (src/validator.rs:432-438)
+    code = main(["synth:100", "--include", "zzz://**"])
+    assert code == 0
+    assert "No documents found" in capsys.readouterr().out

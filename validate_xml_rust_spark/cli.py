@@ -1,0 +1,139 @@
+"""CLI entry point — the engine's ``validate-xml <path>`` analog
+(reference src/main.rs + src/cli.rs; lifecycle traced in SURVEY.md §3.1).
+
+    python -m validate_xml_rust_spark PATH [options]
+
+Lifecycle mirrors the reference: parse+validate args (exit 1 on config
+error) → build services (session, spec registry/cache) → discovery
+(scan + filters) → validation (spec routing → compiled checks) →
+aggregation → report → exit code (0 all-valid/skipped, 1 fail-fast,
+2 errors, 3 invalid — src/main.rs:113-119).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="validate_xml_rust_spark",
+        description="PySpark-native schema + constraint validation engine",
+    )
+    p.add_argument("path", help="input directory of pages parquet (or synth:N for N synthetic docs)")
+    p.add_argument("--spec", help="global spec override: path/URL of a spec JSON (--schema analog)")
+    p.add_argument("--route-mode", choices=["content", "column"], default="content")
+    p.add_argument("--route-col", default="lang")
+    p.add_argument("--threads", type=int, default=None, help="executor threads (default: all cores)")
+    p.add_argument("--include", action="append", default=[], help="include glob (repeatable)")
+    p.add_argument("--exclude", action="append", default=[], help="exclude glob (repeatable)")
+    p.add_argument("--fail-fast", action="store_true")
+    p.add_argument("--verbosity", "-v", action="count", default=0)
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--output", help="write verdicts+violations parquet under this dir")
+    p.add_argument("--cache-dir", help="spec cache dir (TTL disk cache)")
+    p.add_argument("--partitions", type=int, default=32)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # --- semantic arg validation (exit 1 = config error, src/cli.rs:170-184)
+    from pathlib import Path
+
+    synth_n = None
+    if args.path.startswith("synth:"):
+        synth_n = int(args.path.split(":", 1)[1])
+    elif not Path(args.path).exists():
+        print(f"Path does not exist: {args.path}", file=sys.stderr)
+        return 1
+    if args.threads is not None and args.threads <= 0:
+        print("--threads must be > 0", file=sys.stderr)
+        return 1
+
+    from validate_xml_rust_spark import get_spark
+    from validate_xml_rust_spark.operators.report import report
+    from validate_xml_rust_spark.operators.summary import exit_code, summarize
+    from validate_xml_rust_spark.operators.validate import validate
+    from validate_xml_rust_spark.sources.pages import LANGS, pages, with_partition_id
+    from validate_xml_rust_spark.sources.scan import glob_filters, read_pages_dir
+    from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+    spark = get_spark(app_name="vxrs-cli", cpus=args.threads)
+
+    # --- registry: default webpage spec; --spec loads+overrides (J1 + S6/S7)
+    registry = SpecRegistry().add(
+        Spec(
+            "webpage-v1",
+            (
+                Constraint("url_not_null", "url", "not_null"),
+                Constraint("url_format", "url", "regex", {"pattern": r"^https?://.*"}),
+                Constraint("html_utf8", "html", "utf8", severity="error"),
+                Constraint("html_len", "html", "length", {"lo": 1, "hi": 10_000_000}),
+                Constraint("lang_enum", "lang", "isin", {"values": LANGS}),
+            ),
+        ),
+        route_keys=LANGS,
+    )
+    override_id = None
+    if args.spec:
+        from validate_xml_rust_spark.sources.spec_loader import (
+            SpecCache,
+            SpecLoadError,
+            load_spec,
+        )
+
+        cache = SpecCache(args.cache_dir) if args.cache_dir else None
+        try:
+            spec = load_spec(args.spec, cache=cache)
+        except SpecLoadError as e:
+            print(f"Failed to load spec: {e}", file=sys.stderr)
+            return 1
+        registry.add(spec)
+        override_id = spec.spec_id
+
+    # --- discovery phase (S1-S3)
+    t0 = time.perf_counter()
+    if synth_n is not None:
+        df = pages(spark, synth_n)
+    else:
+        df = read_pages_dir(spark, args.path)
+    df = glob_filters(df, include=args.include or None, exclude=args.exclude or None)
+    df = with_partition_id(df, args.partitions)
+
+    # empty-input short-circuit (src/validator.rs:432-438)
+    if df.limit(1).count() == 0:
+        if not args.quiet:
+            print("No documents found to validate")
+        return 0
+
+    # --- validation + aggregation phases
+    res = validate(
+        df, spark, registry,
+        route_col=args.route_col,
+        route_mode=args.route_mode,
+        override_spec_id=override_id,
+    )
+    verdicts = res.verdicts
+    if args.output:
+        verdicts.drop("violation_entries").write.mode("overwrite").parquet(
+            f"{args.output}/verdicts"
+        )
+        res.violations().write.mode("overwrite").parquet(f"{args.output}/violations")
+        verdicts = spark.read.parquet(f"{args.output}/verdicts")
+        srow = summarize(verdicts).collect()[0].asDict()
+    else:
+        srow = summarize(verdicts).collect()[0].asDict()
+    wall_ms = (time.perf_counter() - t0) * 1000
+
+    # --- report + exit code (S8/S10)
+    if not args.quiet:
+        print(report(res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms))
+    return exit_code(srow, fail_fast=args.fail_fast)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

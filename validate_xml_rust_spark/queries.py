@@ -506,6 +506,164 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, group_col="lang")
 
 
+# ---------------------------------------------------------------------------
+# Relational-coverage queries beyond the reference (windows, sessionization,
+# rollup, set ops) — engine capabilities a training-pipeline user expects.
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per nation — window ranking (W1 optional in
+    SURVEY.md §2.5, realized as row_number over a partitioned window)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = W.partitionBy("n_name").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name", "rk", "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+
+
+ORACLE_TOP_ORDERS_PER_NATION = """
+WITH j AS (
+  SELECT n_name, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, CAST(rk AS INT) AS rk, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+FROM j WHERE rk <= 3
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-minute inactivity gap: lag +
+    gap-flag cumsum (the batch sessionization pattern) → per-session
+    aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet — epoch seconds via ltz cast
+    # (session TZ pinned to UTC, so this is deterministic)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+ORACLE_SESSIONIZATION = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM l)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP drill-down: counts by (orderstatus, orderpriority) with
+    subtotals and grand total (grouping-set coverage)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+ORACLE_ROLLUP_ORDER_PRIORITY = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_active_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: customers with orders (semi) vs without (anti),
+    unioned with a tag — E1 in SURVEY.md §2.5."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return active.withColumn("segment", F.lit("active")).unionByName(
+        inactive.withColumn("segment", F.lit("inactive"))
+    )
+
+
+ORACLE_ACTIVE_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, 'active' AS segment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'inactive' FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detected-vs-labeled language confusion counts (langid quality view)."""
+    from validate_xml_rust_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        detect_language(docs)
+        .groupBy(F.col("lang").alias("labeled"), F.col("detected_lang").alias("detected"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_LANG_CONFUSION = (
+    "WITH d AS (" + ORACLE_LANGID + ") "
+    "SELECT documents.lang AS labeled, d.detected_lang AS detected, count(*) AS n "
+    "FROM documents JOIN d USING (doc_id) GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -527,6 +685,11 @@ QUERIES = {
     "minhash_neardups": q_minhash_neardups,
     "simhash_neardups": q_simhash_neardups,
     "ngram_jaccard": q_ngram_jaccard,
+    "top_orders_per_nation": q_top_orders_per_nation,
+    "sessionization": q_sessionization,
+    "rollup_order_priority": q_rollup_order_priority,
+    "active_inactive_customers": q_active_inactive_customers,
+    "lang_confusion": q_lang_confusion,
 }
 
 ORACLES = {
@@ -549,4 +712,9 @@ ORACLES = {
     "embedding_neardup_exact": ORACLE_EMBEDDING_NEARDUP_EXACT,
     # minhash_neardups / simhash_neardups / ngram_jaccard: rows-only
     # (LSH banding & shingle-set construction aren't ANSI-SQL restatable)
+    "top_orders_per_nation": ORACLE_TOP_ORDERS_PER_NATION,
+    "sessionization": ORACLE_SESSIONIZATION,
+    "rollup_order_priority": ORACLE_ROLLUP_ORDER_PRIORITY,
+    "active_inactive_customers": ORACLE_ACTIVE_INACTIVE_CUSTOMERS,
+    "lang_confusion": ORACLE_LANG_CONFUSION,
 }
