@@ -109,6 +109,37 @@ def main() -> None:
     v_secs, v_extra = run_validation_bench(spark, BENCH_PAGES, cpus * 2)
     timings["validate_pages_full"] = v_secs
 
+    # Pages-scale north-star operators (uniqueness under real host skew,
+    # one-pass profile, per-partition drift) over the same 1M-page table.
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        chi2_drift_check,
+    )
+    from validate_xml_rust_spark.operators.profile import length_histogram, profile
+    from validate_xml_rust_spark.operators.uniqueness import duplicate_keys
+    from validate_xml_rust_spark.sources.pages import pages as _pages
+    from validate_xml_rust_spark.sources.pages import with_partition_id as _wpid
+
+    pg = _wpid(_pages(spark, BENCH_PAGES, cpus * 2), 64)
+    timings["uniqueness_pages_salted"] = _time(
+        lambda: duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], n_salts=16).count()
+    )
+    timings["uniqueness_pages_unsalted"] = _time(
+        lambda: duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], salted=False).count()
+    )
+    timings["profile_pages"] = _time(
+        lambda: profile(pg, ["url", "lang", "warc_ts"]).collect()
+    )
+    timings["length_histogram_pages"] = _time(
+        lambda: length_histogram(pg, "text", lo=0, hi=400, n_buckets=20).collect()
+    )
+    base = categorical_baseline(pg.filter(F.col("partition_id") < 8), "lang")
+    timings["drift_chi2_pages"] = _time(
+        lambda: chi2_drift_check(pg, "lang", base).collect()
+    )
+
     # Operator queries over the sf parquet tables (count() = run the plan).
     for name, fn in QUERIES.items():
         timings[name] = _time(lambda fn=fn: fn(spark, sf_dir).count())

@@ -17,3 +17,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias for hypothesis tests (session-scoped fixture is fine with
+    hypothesis as long as the fixture itself is not function-scoped)."""
+    return spark

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): the compiled Column-expression checks
+must agree with an independent pure-Python evaluation on arbitrary inputs —
+an upgrade over the reference's example-based suite (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+from validate_xml_rust_spark.operators.validate import validate
+
+TEXT = st.one_of(st.none(), st.text(min_size=0, max_size=40))
+NUM = st.one_of(st.none(), st.integers(min_value=-10_000, max_value=10_000))
+
+
+def py_check(row: dict) -> tuple[int, bool]:
+    """Independent Python oracle of the spec below: returns
+    (n_invalid_failures, any_error_failure)."""
+    fails = 0
+    url, n, tag = row["url"], row["n"], row["tag"]
+    if url is None:
+        fails += 1
+    if url is not None and not re.search(r"^https?://", url):
+        fails += 1
+    if n is not None and (n < 0 or n > 1000):
+        fails += 1
+    if tag is not None and tag not in ("a", "b", "c"):
+        fails += 1
+    if url is not None and not (1 <= len(url) <= 30):
+        fails += 1
+    return fails, False
+
+
+def make_registry() -> SpecRegistry:
+    spec = Spec(
+        "prop-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("url_format", "url", "regex", {"pattern": r"^https?://"}),
+            Constraint("n_range", "n", "range", {"lo": 0, "hi": 1000}),
+            Constraint("tag_enum", "tag", "isin", {"values": ["a", "b", "c"]}),
+            Constraint("url_len", "url", "length", {"lo": 1, "hi": 30}),
+        ),
+    )
+    return SpecRegistry().add(spec, route_keys=["r"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries({"url": TEXT, "n": NUM, "tag": TEXT}),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_compiled_checks_match_python_oracle(spark_prop, rows):
+    spark = spark_prop
+    data = [(i, r["url"], r["n"], r["tag"], "r") for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid long, url string, n long, tag string, lang string"
+    )
+    res = validate(
+        df, spark, make_registry(), route_col="lang", id_col="rid",
+        partition_col=None,
+    )
+    got = {r["url"]: r for r in res.verdicts.collect()}  # url here = rid
+    for i, r in enumerate(rows):
+        fails, _ = py_check(r)
+        v = got[i]
+        if fails == 0:
+            assert v["status"] == "valid", (r, v)
+            assert v["error_count"] == 0
+        else:
+            assert v["status"] == "invalid", (r, v)
+            assert v["error_count"] == fails, (r, v)
+
+
+@settings(max_examples=20, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=60))
+def test_utf8_check_matches_python(spark_prop, raw):
+    spark = spark_prop
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(bytearray(raw),)], "b binary")
+    got = df.select((~F.is_valid_utf8("b")).alias("bad")).collect()[0]["bad"]
+    try:
+        raw.decode("utf-8")
+        expected_bad = False
+    except UnicodeDecodeError:
+        expected_bad = True
+    assert got == expected_bad

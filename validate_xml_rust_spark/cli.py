@@ -96,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
         override_id = spec.spec_id
 
     # --- discovery phase (S1-S3)
+    from validate_xml_rust_spark.operators.metrics import PhaseTracker, run_metrics_row
+
+    phases = PhaseTracker().start("discovery")
     t0 = time.perf_counter()
     if synth_n is not None:
         df = pages(spark, synth_n)
@@ -111,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # --- validation + aggregation phases
+    phases.start("validation")
     res = validate(
         df, spark, registry,
         route_col=args.route_col,
@@ -124,14 +128,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         res.violations().write.mode("overwrite").parquet(f"{args.output}/violations")
         verdicts = spark.read.parquet(f"{args.output}/verdicts")
+        phases.start("aggregation")
         srow = summarize(verdicts).collect()[0].asDict()
     else:
+        phases.start("aggregation")
         srow = summarize(verdicts).collect()[0].asDict()
+    phases.finish()
     wall_ms = (time.perf_counter() - t0) * 1000
 
     # --- report + exit code (S8/S10)
     if not args.quiet:
-        print(report(res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms))
+        perf = run_metrics_row(srow["total"], phases, concurrency=args.threads)
+        print(report(res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf))
     return exit_code(srow, fail_fast=args.fail_fast)
 
 

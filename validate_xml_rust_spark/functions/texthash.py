@@ -32,9 +32,87 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct shingles → stable 64-bit hashes (array<long>)."""
+def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
+    """Distinct string shingles → xxhash64 (pure-expression reference
+    implementation; the concat_ws(slice(...)) per shingle is interpreted
+    and measured ~1.8ms/doc — use ``shingle_hashes`` for volume)."""
     return F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+
+
+def token_hashes(text: Column) -> Column:
+    """Per-token xxhash64 (single interpreted pass — cheap)."""
+    return F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+
+_WINDOW_MIX = None  # lazily-built odd multipliers for window combining
+
+
+def _window_multipliers(k: int) -> "np.ndarray":
+    rng = np.random.default_rng(MINHASH_SEED + 7)
+    return rng.integers(1, 2**63 - 1, size=k, dtype=np.uint64) * 2 + 1
+
+
+def _combine_shingles(x: "np.ndarray", k: int, mult: "np.ndarray") -> "np.ndarray":
+    """Vectorized k-token window combine: Σ_j h[i+j]·mult[j] (uint64 wrap),
+    deduplicated — a hash-domain shingle set with the same Jaccard
+    statistics as string shingles, no per-shingle string building."""
+    n = len(x)
+    if n == 0:
+        return x
+    if n < k:
+        acc = np.uint64(0)
+        for j in range(n):
+            acc = acc + x[j] * mult[j]
+        return np.array([acc], dtype=np.uint64)
+    w = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        w = w + x[j : n - k + 1 + j] * mult[j]
+    return np.unique(w)
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct shingle hashes (array<long>) — token hashes JVM-side, the
+    k-window combine vectorized in an Arrow-batched numpy UDF."""
+    mult = _window_multipliers(k)
+
+    @F.pandas_udf("array<long>")
+    def sh(batch: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in batch:
+                if h is None or len(h) == 0:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                out.append(_combine_shingles(x, k, mult).astype(np.int64))
+        return pd.Series(out)
+
+    return sh(token_hashes(text))
+
+
+def minhash_signature_from_text(text: Column, k: int = 3, num_perm: int = 32) -> Column:
+    """Fused shingle+MinHash in ONE Arrow round trip: token hashes JVM-side,
+    then window-combine + permutation-min in numpy. The hot path for
+    minhash_candidates (one Python worker hop instead of two)."""
+    mult = _window_multipliers(k)
+    a, b = _perm_params(num_perm)
+
+    @F.pandas_udf("array<long>")
+    def mh(batch: pd.Series) -> pd.Series:
+        out = []
+        maxsig = np.full(num_perm, np.iinfo(np.int64).max)
+        with np.errstate(over="ignore"):
+            for h in batch:
+                if h is None or len(h) == 0:
+                    out.append(maxsig)
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                sh = _combine_shingles(x, k, mult)
+                sig = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+                out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return mh(token_hashes(text))
 
 
 def minhash_signature_expr(hashes: Column, num_perm: int = 32) -> Column:

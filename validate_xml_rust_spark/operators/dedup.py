@@ -86,10 +86,14 @@ def minhash_candidates(
     self-join per bucket (shuffle on uniform band-key hash) → distinct."""
     from pyspark.storagelevel import StorageLevel
 
+    from validate_xml_rust_spark.functions.texthash import (
+        minhash_signature_from_text,
+    )
+
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(shingle_hashes(F.col(text_col), shingle_k), num_perm).alias(
+        minhash_signature_from_text(F.col(text_col), shingle_k, num_perm).alias(
             "__sig"
         ),
     )

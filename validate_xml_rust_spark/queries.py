@@ -154,7 +154,7 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from validate_xml_rust_spark.operators.profile import profile
 
     docs = _t(spark, sf_dir, "documents")
-    p = profile(docs, ["lang", "source", "n_chars"])
+    p = profile(docs, ["lang", "source", "n_chars"], exact=True)
     return p.select(
         "column_name",
         F.round("null_rate", 6).alias("null_rate"),
