@@ -1,0 +1,110 @@
+"""validate_full: spec-declared table-scope constraints (unique /
+referential / drift) orchestrated with the row verdicts."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.drift import categorical_baseline
+from validate_xml_rust_spark.operators.orchestrate import (
+    TableContext,
+    validate_full,
+)
+from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+SCHEMA = "url string, host string, lang string, partition_id int"
+
+
+def _df(spark):
+    rows = [
+        ("https://a.com/1", "a.com", "en", 0),
+        ("https://a.com/1", "a.com", "en", 0),  # dup url
+        ("https://a.com/2", "a.com", "en", 0),
+        ("https://evil.io/3", "evil.io", "en", 1),  # host not in registry
+        ("https://b.com/4", "b.com", "de", 1),  # routed to other spec
+        (None, "a.com", "en", 1),  # null url (row-scope violation)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _registry():
+    spec = Spec(
+        "web-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("url_unique", "url", "unique"),
+            Constraint(
+                "host_in_registry", "host", "referential",
+                {"ref_table": "host_registry", "parent_key": "host"},
+            ),
+        ),
+    )
+    other = Spec("other-v1", (Constraint("u2", "url", "not_null"),))
+    return SpecRegistry().add(spec, route_keys=["en"]).add(other, route_keys=["de"])
+
+
+def test_validate_full_table_constraints(spark):
+    hosts = spark.createDataFrame([("a.com",), ("b.com",)], "host string")
+    ctx = TableContext(ref_tables={"host_registry": hosts})
+    res = validate_full(_df(spark), spark, _registry(), ctx)
+
+    v = res.all_violations().collect()
+    by_cid = {}
+    for r in v:
+        by_cid.setdefault(r["constraint_id"], []).append(r)
+
+    # row-scope: null url
+    assert len(by_cid["url_not_null"]) == 1
+    # table-scope unique: both dup rows reported
+    assert len(by_cid["url_unique"]) == 2
+    assert all(r["url"] == "https://a.com/1" for r in by_cid["url_unique"])
+    # table-scope referential: evil.io flagged; b.com NOT (different spec)
+    assert [r["url"] for r in by_cid["host_in_registry"]] == ["https://evil.io/3"]
+
+
+def test_validate_full_scopes_checks_to_routed_rows(spark):
+    # the de-routed spec has no table constraints → b.com/evil hosts under
+    # 'de' are never checked against web-v1's registry
+    df = _df(spark).withColumn("lang", F.lit("de"))
+    hosts = spark.createDataFrame([("a.com",)], "host string")
+    ctx = TableContext(ref_tables={"host_registry": hosts})
+    res = validate_full(df, spark, _registry(), ctx)
+    assert res.table_violations is None or res.table_violations.count() == 0
+
+
+def test_validate_full_drift(spark):
+    rows = []
+    for pid in (0, 1):
+        rows += [(f"https://h/{pid}-{i}", "h", "en", pid) for i in range(80)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # lang column uniform; plant a shifted partition via a new column
+    df = df.withColumn(
+        "cat",
+        F.when((F.col("partition_id") == 1), F.lit("B")).otherwise(F.lit("A")),
+    )
+    spec = Spec(
+        "web-v1",
+        (Constraint("cat_drift", "cat", "drift", {"test": "chi2"}),),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    base = categorical_baseline(df.filter("partition_id = 0"), "cat")
+    ctx = TableContext(baselines={"cat": base})
+    res = validate_full(df, spark, reg, ctx)
+    v = res.table_violations.collect()
+    assert len(v) == 1 and v[0]["url"] == "partition:1"
+    assert v[0]["constraint_id"] == "drift_chi2_cat"
+
+
+def test_validate_full_content_mode_scoping(spark):
+    rows = [
+        ("https://a/1", b'<meta name="spec" content="web-v1"/>', "en", 0),
+        ("https://a/1", b'<meta name="spec" content="web-v1"/>', "en", 0),  # dup
+        ("https://a/2", b'<meta name="spec" content="zzz-v1"/>', "en", 0),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, lang string, partition_id int")
+    spec = Spec("web-v1", (Constraint("url_unique", "url", "unique"),))
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    res = validate_full(df, spark, reg, route_mode="content")
+    dups = res.table_violations.collect()
+    assert len(dups) == 2 and all(r["url"] == "https://a/1" for r in dups)

@@ -172,7 +172,11 @@ def chi2_drift_check(
         pid = int(pdf["__pid"].iloc[0])
         got = dict(zip(pdf["__cat"], pdf["__n"]))
         observed = np.array([float(got.get(c, 0)) for c in cats])
-        n = observed.sum()
+        # categories NOT in the baseline are themselves drift evidence —
+        # fold them into an OTHER bucket with a floored expectation, else
+        # a partition full of novel values would look empty to the test
+        other = float(sum(v for k, v in got.items() if k not in baseline_counts))
+        n = observed.sum() + other
         if n < min_rows:
             return pd.DataFrame(
                 [[pid, column, "chi2", 0.0, 0.0, 1.0, int(n), False]],
@@ -180,6 +184,9 @@ def chi2_drift_check(
                          "threshold", "p_value", "n", "drifted"],
             )
         expected = props * n
+        if other > 0:
+            observed = np.append(observed, other)
+            expected = np.append(expected, 0.5)  # floor: unseen category
         stat, p = chi2_stat_pvalue(observed, expected)
         return pd.DataFrame(
             [[pid, column, "chi2", round(stat, 6), float(alpha), round(p, 6),

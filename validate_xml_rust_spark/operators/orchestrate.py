@@ -1,0 +1,152 @@
+"""Full-run orchestration: row-scope verdicts + spec-declared table-scope
+constraints in one call.
+
+A spec may declare ``unique`` / ``referential`` / ``drift`` constraints
+(FIXTURES.md §2: ``url_unique``, ``host_in_registry``, ``lang_dist_drift``).
+Row-scope checks compile to Column expressions (operators/validate.py);
+table-scope checks need a shuffle or a join and are dispatched here to
+their operators, with violations unioned into one violations DataFrame
+(`unionByName` — the engine's deliberate Spark-first combination step,
+SURVEY.md §2.5 E1).
+
+Context objects supply what table checks need:
+- ``ref_tables``: name → parent DataFrame (referential parents, e.g. a
+  host registry),
+- ``baselines``: column → baseline (dict of category counts for chi²,
+  sorted numpy sample for KS).
+
+Constraint params:
+- unique:      {"keys": [col, ...]}                  (default [column])
+- referential: {"ref_table": name, "parent_key": col, "key_expr": sql?}
+- drift:       {"test": "chi2"|"ks", "alpha": 0.05}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.validate import ValidationResult, validate
+from validate_xml_rust_spark.specs import Constraint, SpecRegistry
+
+VIOLATION_COLS = ["url", "constraint_id", "observed_value", "message"]
+
+
+@dataclass
+class TableContext:
+    ref_tables: dict[str, DataFrame] = field(default_factory=dict)
+    baselines: dict[str, object] = field(default_factory=dict)
+
+
+def _table_violations_for(
+    df: DataFrame,
+    c: Constraint,
+    ctx: TableContext,
+    id_col: str,
+    partition_col: str,
+) -> DataFrame:
+    if c.kind == "unique":
+        from validate_xml_rust_spark.operators.uniqueness import (
+            uniqueness_violations,
+        )
+
+        keys = c.params.get("keys", [c.column])
+        v = uniqueness_violations(df, keys, constraint_id=c.constraint_id)
+        return v.select(*VIOLATION_COLS)
+    if c.kind == "referential":
+        from validate_xml_rust_spark.operators.referential import (
+            referential_violations,
+        )
+
+        parent = ctx.ref_tables[c.params["ref_table"]]
+        child = df
+        child_key = c.column
+        if "key_expr" in c.params:
+            child = df.withColumn("__refkey", F.expr(c.params["key_expr"]))
+            child_key = "__refkey"
+        v = referential_violations(
+            child, parent, child_key, c.params["parent_key"],
+            constraint_id=c.constraint_id, id_col=id_col,
+            broadcast=c.params.get("broadcast", True),
+        )
+        return v.select(*VIOLATION_COLS)
+    if c.kind == "drift":
+        from validate_xml_rust_spark.operators.drift import (
+            chi2_drift_check,
+            drift_violations,
+            ks_drift_check,
+        )
+
+        test = c.params.get("test", "chi2")
+        alpha = c.params.get("alpha", 0.05)
+        baseline = ctx.baselines[c.column]
+        if test == "ks":
+            d = ks_drift_check(df, c.column, baseline, partition_col, alpha)
+        else:
+            d = chi2_drift_check(df, c.column, baseline, partition_col, alpha)
+        return drift_violations(d).select(*VIOLATION_COLS)
+    raise ValueError(f"not a table-scope kind: {c.kind}")
+
+
+@dataclass
+class FullValidationResult:
+    row_result: ValidationResult
+    table_violations: DataFrame | None
+
+    def all_violations(self) -> DataFrame:
+        row_v = self.row_result.violations().select(*VIOLATION_COLS)
+        if self.table_violations is None:
+            return row_v
+        return row_v.unionByName(self.table_violations)
+
+
+def validate_full(
+    df: DataFrame,
+    spark: SparkSession,
+    registry: SpecRegistry,
+    context: TableContext | None = None,
+    route_col: str = "lang",
+    route_mode: str = "column",
+    override_spec_id: str | None = None,
+    id_col: str = "url",
+    partition_col: str = "partition_id",
+) -> FullValidationResult:
+    """Row verdicts + every table-scope constraint of every registered spec.
+
+    Table checks run over the rows the spec actually governs (rows routed
+    to that spec), so a registry with per-route specs applies each spec's
+    uniqueness/referential/drift to its own slice — mirroring the
+    reference's per-schema scoping."""
+    ctx = context or TableContext()
+    row_result = validate(
+        df, spark, registry, route_col=route_col, route_mode=route_mode,
+        override_spec_id=override_spec_id, id_col=id_col,
+        partition_col=partition_col,
+    )
+
+    # rows per spec: reuse the verdict spec_id by joining back? Cheaper:
+    # recompute the routing predicate per spec on the input (narrow).
+    table_v: DataFrame | None = None
+    for sid, spec in sorted(registry.specs.items()):
+        tcs = spec.table_constraints()
+        if not tcs:
+            continue
+        if override_spec_id is not None:
+            scoped = df if sid == override_spec_id else None
+        elif route_mode == "content":
+            from validate_xml_rust_spark.operators.validate import extract_spec_ref
+
+            ref, _failed = extract_spec_ref(F.col("html"))
+            scoped = df.filter(ref == sid)
+        else:
+            keys = [k for k, v in registry.routes.items() if v == sid]
+            scoped = df.filter(F.col(route_col).isin(keys)) if keys else None
+        if scoped is None:
+            continue
+        for c in tcs:
+            v = _table_violations_for(scoped, c, ctx, id_col, partition_col)
+            table_v = v if table_v is None else table_v.unionByName(v)
+
+    return FullValidationResult(row_result=row_result, table_violations=table_v)
