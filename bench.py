@@ -60,9 +60,10 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
 
     # JIT warmup: C2 compilation of the generated validation code dominates
     # a cold first run (measured 27s cold vs 5s steady at 32 threads); a
-    # small full-pipeline pass warms the code cache so the measurement
-    # reflects steady-state throughput (what a long cluster job sees).
-    warm = with_partition_id(pages(spark, 100_000, 16), 16)
+    # full-size pass (fresh plan, so no shuffle reuse) warms the code cache
+    # so the measurement reflects steady-state throughput (what a long
+    # cluster job sees).
+    warm = with_partition_id(pages(spark, n_docs, n_partitions), 64)
     validate(warm, spark, registry).verdicts.groupBy("status").count().collect()
 
     t0 = time.perf_counter()

@@ -89,3 +89,31 @@ def test_resize_and_frame_plans(spark):
     fp = frame_sample_plan(media, every_n=10)
     rows = fp.collect()
     assert rows and all(r["frame_idx"] % 10 == 0 for r in rows)
+
+
+def test_media_corrupt_payload_contained(spark):
+    # X9: null/corrupt payloads yield null features, never task failures
+    rows = [(0, "image", None, None), (1, "image", bytearray(b"ok-bytes"), None)]
+    df = spark.createDataFrame(
+        rows,
+        "id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    got = {r["id"]: r for r in extract_features(df).collect()}
+    assert got[0]["features"] is None and got[0]["payload_bytes"] == 0
+    assert got[1]["features"] is not None and got[1]["payload_bytes"] == 8
+
+
+def test_hll_baselines(spark):
+    from validate_xml_rust_spark.operators.profile import hll_baselines
+    from validate_xml_rust_spark.sources.pages import pages as _pages
+
+    df = with_partition_id(_pages(spark, 1000), 4)
+    b = hll_baselines(df, ["lang", "url"]).collect()
+    assert len(b) == 4
+    for r in b:
+        assert r["lang__approx"] <= 7  # 5 langs + xx + fuzz
+        assert r["lang__n"] > 0
+        # mergeable binary sketch present when Spark supports it
+        if "lang__hll" in r.asDict():
+            assert r["lang__hll"] is None or len(bytes(r["lang__hll"])) > 0

@@ -87,18 +87,29 @@ def extract_features(
     round-trips through the JVM. The per-batch loop is numpy/hashlib."""
     out_schema = f"id long, kind string, features array<double>, payload_bytes long"
 
+    def one(p, decoder):
+        # error containment (X9): a corrupt payload yields a null feature
+        # row, never a task failure — mirroring the reference's per-item
+        # error verdicts (src/validator.rs:699-730)
+        try:
+            return decoder(bytes(p), dim) if decoder is _fake_features else decoder(bytes(p))
+        except NotImplementedError:
+            raise  # stubbed real decoder: surface loudly, by design
+        except Exception:
+            return None
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _fake_features if fake_decoder else decode_image
         for pdf in batches:
-            if fake_decoder:
-                feats = [ _fake_features(bytes(p), dim) for p in pdf["payload"] ]
-            else:
-                feats = [decode_image(bytes(p)) for p in pdf["payload"]]
+            feats = [None if p is None else one(p, decoder) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "kind": pdf["kind"],
                     "features": feats,
-                    "payload_bytes": pdf["payload"].map(len),
+                    "payload_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
                 }
             )
 
