@@ -664,6 +664,64 @@ ORACLE_LANG_CONFUSION = (
 )
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark-lacking operator, realized as union + ordered
+    window with last-ignorenulls — no UDF, one shuffle): for each click,
+    the user's most recent purchase at or before the click."""
+    from validate_xml_rust_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # deterministic tie-break
+    )
+    j = asof_join(
+        clicks, buys, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["value"],
+    )
+    return j.select(
+        "event_id", "user_id",
+        F.col("asof_ts").cast("timestamp").alias("asof_ts"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+ORACLE_ASOF_CLICK_PURCHASE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     buys AS (SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, CAST(b.ts AS TIMESTAMP) AS asof_ts,
+       round(b.value, 4) AS asof_value
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (profiler extension A9): median and p90
+    of lineitem quantity by returnflag. Spark ``percentile`` (exact) vs
+    DuckDB ``quantile_cont`` — both exact interpolating quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -690,6 +748,8 @@ QUERIES = {
     "rollup_order_priority": q_rollup_order_priority,
     "active_inactive_customers": q_active_inactive_customers,
     "lang_confusion": q_lang_confusion,
+    "asof_click_purchase": q_asof_click_purchase,
+    "value_percentiles": q_value_percentiles,
 }
 
 ORACLES = {
@@ -717,4 +777,6 @@ ORACLES = {
     "rollup_order_priority": ORACLE_ROLLUP_ORDER_PRIORITY,
     "active_inactive_customers": ORACLE_ACTIVE_INACTIVE_CUSTOMERS,
     "lang_confusion": ORACLE_LANG_CONFUSION,
+    "asof_click_purchase": ORACLE_ASOF_CLICK_PURCHASE,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
 }

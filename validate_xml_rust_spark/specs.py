@@ -47,7 +47,9 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-ROW_KINDS = frozenset({"not_null", "regex", "range", "isin", "length", "utf8", "expr"})
+ROW_KINDS = frozenset(
+    {"not_null", "regex", "range", "isin", "length", "utf8", "expr", "pandas_check"}
+)
 TABLE_KINDS = frozenset({"unique", "referential", "drift"})
 
 
@@ -179,6 +181,18 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
         pred = F.expr(p["predicate"])
         fail = ~F.coalesce(pred, F.lit(False))
         msg = f"predicate failed: {p['predicate']}"
+    elif c.kind == "pandas_check":
+        # Arrow-batched named validator (functions/pandas_checks.py) — the
+        # "pandas/Arrow UDF batch validator" slot of the north star. Null
+        # passes (not_null owns null-ness); checker errors are contained
+        # as FAIL inside the UDF (X9).
+        from validate_xml_rust_spark.functions.pandas_checks import (
+            pandas_check_column,
+        )
+
+        ok = pandas_check_column(p["checker"], col)
+        fail = col.isNotNull() & ~F.coalesce(ok, F.lit(False))
+        msg = f"{c.column} failed pandas check {p['checker']!r}"
     else:
         raise ValueError(f"{c.kind!r} is table-scope; compile via its operator")
     return CompiledCheck(c.constraint_id, c.column, c.severity, fail, _obs(col), msg)
