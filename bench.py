@@ -25,10 +25,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "1000000"))
 
 
+_SPARK = None  # set in main(); used to isolate query timings
+
+
 def _time(fn) -> float:
     t0 = time.perf_counter()
     fn()
-    return round(time.perf_counter() - t0, 3)
+    secs = round(time.perf_counter() - t0, 3)
+    # drop anything an operator persisted (LSH signatures etc.) so one
+    # query's cache never degrades the next query's measurement
+    if _SPARK is not None:
+        _SPARK.catalog.clearCache()
+    return secs
 
 
 def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
@@ -103,6 +111,8 @@ def main() -> None:
     from validate_xml_rust_spark.queries import QUERIES
 
     spark = get_spark(app_name="vxrs-bench", cpus=cpus, shuffle_partitions=cpus)
+    global _SPARK
+    _SPARK = spark
 
     timings: dict[str, float] = {}
 
@@ -139,6 +149,20 @@ def main() -> None:
     base = categorical_baseline(pg.filter(F.col("partition_id") < 8), "lang")
     timings["drift_chi2_pages"] = _time(
         lambda: chi2_drift_check(pg, "lang", base).collect()
+    )
+    from validate_xml_rust_spark.operators.skew import host_stats_salted
+
+    timings["host_stats_salted_pages"] = _time(
+        lambda: host_stats_salted(pg).count()
+    )
+
+    # LSH dedup at volume: 100k synthetic docs with planted near-dups
+    from validate_xml_rust_spark.operators.dedup import minhash_near_duplicates
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    corpus = synthetic_documents(spark, 100_000, cpus * 2)
+    timings["minhash_dedup_100k"] = _time(
+        lambda: minhash_near_duplicates(corpus, threshold=0.6).count()
     )
 
     # Operator queries over the sf parquet tables (count() = run the plan).

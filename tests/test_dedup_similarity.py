@@ -139,3 +139,22 @@ def test_dedup_partitioning_invariance(spark):
         for r in minhash_near_duplicates(d.repartition(8), threshold=0.5).collect()
     }
     assert p1 == p8
+
+
+def test_minhash_recall_on_planted_corpus(spark):
+    # controlled corpus: recall of planted exact/near dups, no false positives
+    from validate_xml_rust_spark.sources.corpus import (
+        expected_pairs,
+        synthetic_documents,
+    )
+
+    n = 4000
+    docs = synthetic_documents(spark, n, 8)
+    exact, near = expected_pairs(n)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    assert len(found & exact) == len(exact)  # identical docs: recall 1.0
+    assert len(found & near) / len(near) >= 0.95
+    assert len(found - exact - near) == 0  # verify step kills false positives

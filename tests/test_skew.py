@@ -1,0 +1,47 @@
+"""Salted two-phase aggregation: equivalence with the naive plan + host
+stats over the skewed pages table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.skew import host_stats_salted, salted_agg
+from validate_xml_rust_spark.sources.pages import HOT_HOST, pages
+
+
+def test_salted_agg_matches_naive(spark):
+    df = spark.createDataFrame(
+        [(k, float(v)) for k in ("a", "b") for v in range(100)]
+        + [("hot", float(v)) for v in range(500)],
+        "k string, v double",
+    )
+    salted = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df, ["k"],
+            [("count", None, "n"), ("sum", "v", "s"), ("min", "v", "lo"), ("max", "v", "hi")],
+            n_salts=8,
+        ).collect()
+    }
+    naive = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert salted == naive
+
+
+def test_host_stats_on_skewed_pages(spark):
+    df = pages(spark, 5000)
+    stats = {r["host"]: r for r in host_stats_salted(df).collect()}
+    hot = stats[HOT_HOST]
+    # ~40% of urls on the hot host (generator plants the skew)
+    assert 0.3 * 5000 < hot["n_pages"] < 0.5 * 5000
+    # approx distinct within 10% of exact
+    exact = (
+        df.filter(F.col("url").contains(HOT_HOST)).select("url").distinct().count()
+    )
+    assert abs(hot["approx_distinct_urls"] - exact) / exact < 0.1
+    assert hot["first_ts"] is not None and hot["last_ts"] >= hot["first_ts"]

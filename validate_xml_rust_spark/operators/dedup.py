@@ -79,11 +79,15 @@ def minhash_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b (distinct).
 
     Pipeline: signature (narrow) → explode band keys (×bands rows) →
-    self-join per bucket (shuffle on uniform band-key hash) → distinct."""
+    self-join per bucket (shuffle on uniform band-key hash) → distinct.
+    ``_sig`` lets a caller supply precomputed ``(__id, __sig)`` (the
+    near-duplicates pipeline derives it from cached shingle sets so text
+    is tokenized exactly once)."""
     from pyspark.storagelevel import StorageLevel
 
     from validate_xml_rust_spark.functions.texthash import (
@@ -91,17 +95,19 @@ def minhash_candidates(
     )
 
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature_from_text(F.col(text_col), shingle_k, num_perm).alias(
-            "__sig"
-        ),
-    )
-    # Materialize signatures: Catalyst's project-collapse would otherwise
-    # inline the full num_perm-permutation MinHash expression into every
-    # band key AND both self-join sides (~10× recompute measured). The
-    # cached form is tiny: id + num_perm longs per doc.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _sig
+    if sig is None:
+        sig = df.select(
+            F.col(id_col).alias("__id"),
+            minhash_signature_from_text(F.col(text_col), shingle_k, num_perm).alias(
+                "__sig"
+            ),
+        )
+        # Materialize signatures: Catalyst's project-collapse would otherwise
+        # inline the full num_perm-permutation MinHash expression into every
+        # band key AND both self-join sides (~10× recompute measured). The
+        # cached form is tiny: id + num_perm longs per doc.
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "__id", F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("b")
     ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
@@ -141,11 +147,22 @@ def minhash_near_duplicates(
     friendly joins back to the shingle sets)."""
     from pyspark.storagelevel import StorageLevel
 
-    cands = minhash_candidates(df, id_col, text_col, num_perm, bands, shingle_k)
+    from validate_xml_rust_spark.functions.texthash import minhash_signature
+
+    # Tokenize+shingle the corpus exactly ONCE: the cached shingle sets
+    # feed the signature derivation (candidate generation) AND both sides
+    # of the exact-Jaccard verify join.
     sh = df.select(
         F.col(id_col).alias("__sid"),
         shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by both pair sides
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.select(
+        F.col("__sid").alias("__id"),
+        minhash_signature(F.col("__sh"), num_perm).alias("__sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_candidates(
+        df, id_col, text_col, num_perm, bands, shingle_k, _sig=sig
+    )
     j = (
         cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")

@@ -1,0 +1,78 @@
+"""Synthetic document corpus with CONTROLLED planted near-duplicates —
+the recall/throughput harness for the dedup operators.
+
+Unlike the pages table (whose repeated filler makes *everything* weakly
+similar), each doc here is a pseudo-random word sequence drawn from a
+vocabulary by seeded hashes, so two independent docs share almost no
+3-gram shingles (expected Jaccard ≈ 0). Planted structure:
+
+- ``id % 17 == 0`` (id>0): EXACT duplicate of doc id-1,
+- ``id % 13 == 0`` (id>0, not exact-dup): NEAR duplicate of id-1 — same
+  words with the last ``PERTURB`` words replaced (Jaccard ≈ 1 - k·PERTURB/n
+  over shingles — high but < 1).
+
+``expected_pairs(n)`` reproduces the schedule in Python for recall
+assertions. Pure Column expressions — scales like the pages generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 271
+VOCAB = 5000
+DOC_WORDS = 60
+PERTURB = 4
+
+
+def synthetic_documents(
+    spark: SparkSession, n_rows: int, n_partitions: int | None = None
+) -> DataFrame:
+    df = spark.range(0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    is_exact = (i % 17 == 0) & (i > 0)
+    is_near = (i % 13 == 0) & (i > 0) & ~is_exact
+    base = F.when(is_exact | is_near, i - 1).otherwise(i)
+
+    def word(doc: F.Column, j: F.Column) -> F.Column:
+        h = F.abs(F.xxhash64(doc, j, F.lit(SEED))) % VOCAB
+        return F.concat(F.lit("w"), h.cast("string"))
+
+    idx = F.sequence(F.lit(0), F.lit(DOC_WORDS - 1))
+    words = F.transform(idx, lambda j: word(base, j))
+    # near-dup: replace the tail words with id-derived (not base-derived) ones
+    perturbed = F.transform(
+        idx,
+        lambda j: F.when(
+            is_near & (j >= DOC_WORDS - PERTURB), word(i + F.lit(10_000_000), j)
+        ).otherwise(word(base, j)),
+    )
+    text = F.concat_ws(" ", F.when(is_near, perturbed).otherwise(words))
+    return df.select(i.alias("doc_id"), text.alias("text"))
+
+
+def _repr_of(i: int) -> tuple[int, int | None]:
+    """Symbolic text identity: (base_doc, perturb_tag)."""
+    if i > 0 and i % 17 == 0:
+        return (i - 1, None)  # copies base words of i-1 (unperturbed)
+    if i > 0 and i % 13 == 0:
+        return (i - 1, i)  # base words of i-1 with an i-derived tail
+    return (i, None)
+
+
+def expected_pairs(n_rows: int) -> tuple[set, set]:
+    """(exact_pairs, near_pairs), (a, b) with a < b.
+
+    Computed from symbolic text identity so schedule chain collisions
+    (an "exact dup" of a row that was itself perturbed) land in the right
+    bucket: equal reprs → exact; same base, different perturb → near."""
+    exact, near = set(), set()
+    reprs = [_repr_of(i) for i in range(n_rows)]
+    for i in range(1, n_rows):
+        a, b = reprs[i - 1], reprs[i]
+        if a == b:
+            exact.add((i - 1, i))
+        elif a[0] == b[0]:
+            near.add((i - 1, i))
+    return exact, near
