@@ -76,7 +76,7 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_docs: int, reps: int = 3) -> dict:
+def run_level(cpus: int, n_docs: int, reps: int = 4) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(reps), here],
