@@ -701,6 +701,58 @@ FROM clicks c ASOF LEFT JOIN buys b
 """
 
 
+def q_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (the other join family Spark lacks): for each
+    error event, clicks by the same user in the preceding hour. Two
+    equi-join probes on (user, time-bucket) instead of a nested-loop
+    inequality join."""
+    from validate_xml_rust_spark.operators.rangejoin import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        window_seconds=3600, count_alias="clicks_prev_hour",
+    )
+
+
+ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR = """
+WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT count(*) FROM clicks c
+        WHERE c.user_id = e.user_id
+          AND epoch(c.ts) >= epoch(e.ts) - 3600
+          AND epoch(c.ts) < epoch(e.ts)) AS clicks_prev_hour
+FROM errors e
+"""
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function coverage: extract props.k, aggregate per type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_EVENT_PROPS_JSON = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (profiler extension A9): median and p90
     of lineitem quantity by returnflag. Spark ``percentile`` (exact) vs
@@ -750,6 +802,8 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "asof_click_purchase": q_asof_click_purchase,
     "value_percentiles": q_value_percentiles,
+    "range_join_clicks_before_error": q_range_join_clicks_before_error,
+    "event_props_json": q_event_props_json,
 }
 
 ORACLES = {
@@ -779,4 +833,6 @@ ORACLES = {
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "asof_click_purchase": ORACLE_ASOF_CLICK_PURCHASE,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
+    "range_join_clicks_before_error": ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR,
+    "event_props_json": ORACLE_EVENT_PROPS_JSON,
 }
