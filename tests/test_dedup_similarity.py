@@ -158,3 +158,39 @@ def test_minhash_recall_on_planted_corpus(spark):
     assert len(found & exact) == len(exact)  # identical docs: recall 1.0
     assert len(found & near) / len(near) >= 0.95
     assert len(found - exact - near) == 0  # verify step kills false positives
+
+
+def test_ivf_topk_recall(spark):
+    # clustered synthetic vectors: IVF with nprobe=2 must recall the
+    # brute-force top-3 when the query sits inside one cluster
+    import math
+
+    from validate_xml_rust_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rows = []
+    vid = 0
+    for c in range(4):  # 4 well-separated clusters
+        center = [10.0 * (c + 1) * math.sin(c + d) for d in range(8)]
+        for j in range(50):
+            rows.append((vid, [x + 0.01 * ((vid * 7 + d) % 5) for d, x in enumerate(center)]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_train(e, n_centroids=4, n_iters=4)
+    assert cents.shape == (4, 8)
+    # assignments are balanced-ish across the 4 planted clusters
+    sizes = sorted(
+        r["n"] for r in ivf_assign(e, cents).groupBy("cluster_id").count()
+        .withColumnRenamed("count", "n").collect()
+    )
+    assert len(sizes) == 4 and min(sizes) >= 25
+
+    q = [float(x) for x in e.filter("vec_id = 10").collect()[0]["embedding"]]
+    from validate_xml_rust_spark.operators.similarity import brute_force_topk
+
+    brute = [r["vec_id"] for r in brute_force_topk(e, q, k=3, exclude_id=10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(e, cents, q, k=3, nprobe=2, exclude_id=10).collect()]
+    assert ivf == brute  # query's own cluster probed → exact agreement

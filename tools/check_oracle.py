@@ -24,7 +24,7 @@ def norm(v):
     if isinstance(v, Decimal):
         return f"{v:f}"
     if isinstance(v, float):
-        return f"{v:.10g}"
+        return repr(v)  # BIT-EXACT: engines must agree to the last ulp
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

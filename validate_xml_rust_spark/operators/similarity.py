@@ -27,6 +27,8 @@ Column expression does.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -138,6 +140,88 @@ def ann_topk(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= probe_hamming
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def ivf_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_cap: int = 20_000,
+    id_col: str = "vec_id",
+):
+    """Train an IVF coarse quantizer: deterministic hash-sample of vectors
+    → numpy Lloyd iterations on the driver. Returns a (n_centroids, dim)
+    numpy array. Driver-side by design: centroids are a tiny model that
+    then broadcasts in the assignment UDF's closure — the same
+    "compile once on the driver, apply everywhere" shape as spec
+    compilation (X2)."""
+    nn = df.filter(F.col(vec_col).isNotNull())
+    n = nn.count()
+    if n > sample_cap:
+        mod = max(2, n // sample_cap)
+        nn = nn.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(31)), F.lit(mod)) == 0)
+    sample = np.array(
+        [r[0] for r in nn.select(vec_col).collect()], dtype="float64"
+    )
+    # deterministic farthest-point init (k-means++-style, no RNG): start at
+    # sample[0], then repeatedly take the point farthest from any centroid —
+    # naive first-k init can seed every centroid inside one cluster
+    chosen = [0]
+    d2min = ((sample - sample[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(n_centroids, len(sample)):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    cents = sample[chosen].copy()
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Attach ``cluster_id`` = nearest centroid (Arrow-batched numpy)."""
+    cents = centroids.astype("float64")
+
+    @F.pandas_udf("int")
+    def assign(batch: pd.Series) -> pd.Series:
+        out = []
+        for v in batch:
+            if v is None:
+                out.append(-1)
+                continue
+            x = np.asarray(v, dtype="float64")
+            out.append(int(((cents - x) ** 2).sum(axis=1).argmin()))
+        return pd.Series(out, dtype="int32")
+
+    return df.withColumn("cluster_id", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` clusters nearest the query, then
+    exact cosine within — per-query work drops to ~nprobe/n_centroids of
+    the corpus. The assignment column would be precomputed/persisted in a
+    real index; recomputed here for self-containment."""
+    q = np.asarray(query_vec, dtype="float64")
+    order = (((centroids - q) ** 2).sum(axis=1)).argsort()[:nprobe]
+    probed = ivf_assign(df, centroids, vec_col).filter(
+        F.col("cluster_id").isin([int(c) for c in order])
+    )
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col, exclude_id)
 
 
 def embedding_near_duplicates(

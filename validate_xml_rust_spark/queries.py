@@ -477,6 +477,18 @@ FROM p WHERE round(d/(na*nb), 6) >= 0.3
 """
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: the probe set depends on trained
+    centroids, not ANSI-SQL restatable). Deterministic: hash-sampled
+    training + farthest-point init."""
+    from validate_xml_rust_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_centroids=8, n_iters=3)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(emb, cents, qv, k=10, nprobe=3, exclude_id=0)
+
+
 def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dups (rows-only check: LSH banding is not ANSI-SQL
     restatable; determinism is guaranteed by seeded xxhash64)."""
@@ -791,6 +803,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "langid": q_langid,
     "ann_topk": q_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "minhash_neardups": q_minhash_neardups,
     "simhash_neardups": q_simhash_neardups,
