@@ -44,3 +44,27 @@ def test_partitioned_outputs_and_pruning(spark, tmp_path):
     assert v.filter(F.col("constraint_id") != "url_format").count() == 0
     vplan = inspect.formatted_plan(v)
     assert "PartitionFilters" in vplan
+
+
+def test_run_with_progress(spark):
+    # progress callback observes task completion during a real action (A8)
+    from validate_xml_rust_spark.operators.progress import run_with_progress
+
+    df = with_partition_id(pages(spark, 50_000, 16), 8)
+    seen = []
+    n = run_with_progress(spark, lambda: df.count(), lambda d, t: seen.append((d, t)))
+    assert n == 50_000
+    assert seen, "callback never fired"
+    d_last, t_last = seen[-1]
+    assert d_last == t_last > 0  # reached 100%
+    assert all(d2 >= d1 for (d1, _), (d2, _) in zip(seen, seen[1:]))  # monotone
+
+    # errors inside the action propagate to the caller
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_with_progress(
+            spark,
+            lambda: spark.sql("SELECT assert_true(false)").collect(),
+            lambda d, t: None,
+        )
