@@ -194,3 +194,36 @@ def test_ivf_topk_recall(spark):
     brute = [r["vec_id"] for r in brute_force_topk(e, q, k=3, exclude_id=10).collect()]
     ivf = [r["vec_id"] for r in ivf_topk(e, cents, q, k=3, nprobe=2, exclude_id=10).collect()]
     assert ivf == brute  # query's own cluster probed → exact agreement
+
+
+def test_connected_components_transitivity(spark):
+    from validate_xml_rust_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_near_dedup_end_to_end(spark):
+    from validate_xml_rust_spark.operators.dedup import near_dedup
+    from validate_xml_rust_spark.sources.corpus import (
+        expected_pairs,
+        synthetic_documents,
+    )
+
+    n = 2000
+    docs = synthetic_documents(spark, n, 8)
+    exact, near = expected_pairs(n)
+    kept = near_dedup(docs, threshold=0.6)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every EXACT pair loses its higher id (identical sigs: recall 1.0)
+    for a, b in exact:
+        assert b not in kept_ids, (a, b)
+    # near pairs: LSH recall >= 95% (measured 99.6%)
+    removed_near = sum(1 for a, b in near if b not in kept_ids)
+    assert removed_near / len(near) >= 0.95
+    # untouched docs all survive
+    paired = {x for p in exact | near for x in p}
+    assert all(i in kept_ids for i in range(n) if i not in paired)

@@ -221,6 +221,86 @@ def simhash_near_duplicates(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, component)`` with
+    component = min id in the component (the canonical survivor).
+
+    Join-based label propagation: every node adopts the smallest label in
+    its neighborhood (including its own) each round; converges in
+    O(diameter) rounds — near-dup clusters are small and dense, so a
+    handful of iterations suffices (``max_iterations`` bounds adversarial
+    chains). Each round is one shuffle on id; the frontier shrinks as
+    labels settle. At 10^12-doc scale this runs over the PAIRS table
+    (tiny relative to the corpus), not the corpus."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # smallest neighbor label per node
+        neighbor = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr"))
+        )
+        updated = (
+            labels.join(neighbor, labels["id"] == neighbor["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    broadcast_drop: bool = True,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash pairs → connected
+    components → keep the min-id row of each component. Rows not in any
+    pair survive untouched (the common case — components cover only the
+    near-dup subgraph). ``broadcast_drop=False`` for corpora where the
+    duplicate set itself is too large to broadcast (falls back to a
+    sort-merge anti-join)."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, threshold=threshold, **minhash_kwargs
+    )
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__drop")
+    )
+    if broadcast_drop:
+        drop = F.broadcast(drop)
+    return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
