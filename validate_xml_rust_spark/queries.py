@@ -786,6 +786,58 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all grouping-set combos."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_CUBE_ORDER_STATS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, one column per order status."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+ORACLE_PIVOT_STATUS_BY_PRIORITY = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -817,6 +869,8 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     "range_join_clicks_before_error": q_range_join_clicks_before_error,
     "event_props_json": q_event_props_json,
+    "cube_order_stats": q_cube_order_stats,
+    "pivot_status_by_priority": q_pivot_status_by_priority,
 }
 
 ORACLES = {
@@ -848,4 +902,6 @@ ORACLES = {
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "range_join_clicks_before_error": ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR,
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
+    "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
+    "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
 }
