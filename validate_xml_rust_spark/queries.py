@@ -224,26 +224,37 @@ SELECT CAST(o_orderkey AS VARCHAR) AS url,
        'o_custkey not found in parent c_custkey' AS message
 FROM orders
 WHERE o_custkey IS NOT NULL
-  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal > 0 AND c_custkey IS NOT NULL)
 """
+# ^ the IS NOT NULL inside the subquery pins SQL NOT-IN's null semantics to
+# the anti-join's (one NULL parent key would otherwise empty the result).
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped flagship aggregate (SURVEY.md A1/A2 analog at scale).
 
-    DECIMAL sums for engine-exact equality with the oracle."""
+    Sums accumulate in DECIMAL (exact, order-independent across partitions)
+    and only the FINAL projection casts to DOUBLE: both engines convert the
+    same exact decimal digits to the same nearest double, and doubles hash
+    identically through the driver's canonicalization (Decimal objects do
+    not — Spark widens sum(decimal(18,2)) to decimal(28,2), DuckDB to
+    decimal(38,2), and the two render differently)."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     disc = F.col("l_discount").cast("decimal(18,4)")
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            sum_qty.cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - disc))
-            .cast("decimal(28,6)").alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            .cast("double").alias("sum_disc_price"),
+            # avg from the exact decimal sum (NOT fp-accumulated avg, whose
+            # partition order would make the last ulps nondeterministic)
+            F.round(sum_qty.cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -251,10 +262,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -272,14 +283,17 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            # exact decimal accumulation, double at the output boundary
+            # (see q_pricing_summary for why)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
 
 ORACLE_REVENUE_BY_NATION = """
-SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -543,8 +557,11 @@ def q_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
+            # o_totalprice is a parquet double — pass it through untouched
+            # on both sides (a decimal cast here only re-introduced the
+            # Decimal-object canonicalization mismatch)
             "n_name", "rk", "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_totalprice").alias("price"),
         )
     )
 
@@ -557,7 +574,7 @@ WITH j AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey)
 SELECT n_name, CAST(rk AS INT) AS rk, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+       o_totalprice AS price
 FROM j WHERE rk <= 3
 """
 
@@ -607,10 +624,12 @@ s AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM l)
-SELECT user_id, session_no, count(*) AS n_events,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_no
 """
+# ^ DuckDB's windowed sum(int) yields HUGEINT (int128), which the driver's
+# hash canonicalizes differently from Spark's LONG — pin it to BIGINT.
 
 
 def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,8 +672,9 @@ SELECT c_custkey, 'active' AS segment FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
 UNION ALL
 SELECT c_custkey, 'inactive' FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
 """
+# ^ NOT-IN null guard: matches the left_anti join's treatment of NULL keys.
 
 
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,7 +778,7 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENT_PROPS_JSON = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -793,7 +813,9 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            # exact decimal accumulation, double at the output boundary
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -808,7 +830,7 @@ ORACLE_CUBE_ORDER_STATS = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
