@@ -492,9 +492,11 @@ FROM p WHERE round(d/(na*nb), 6) >= 0.3
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: the probe set depends on trained
-    centroids, not ANSI-SQL restatable). Deterministic: hash-sampled
-    training + farthest-point init."""
+    """IVF approximate top-k, checked against the EXACT brute-force top-k
+    oracle (same SQL as ann_topk): equality asserts the nprobe=3/8 probe
+    achieves exact recall@10 on this corpus — the meaningful quality bar
+    for an IVF index, and deterministic here (hash-sampled training +
+    farthest-point init, no RNG)."""
     from validate_xml_rust_spark.operators.similarity import ivf_topk, ivf_train
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -503,9 +505,48 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, qv, k=10, nprobe=3, exclude_id=0)
 
 
+# Shared DuckDB CTE: the string-shingle analog of functions/texthash.py's
+# hash-domain shingles (tokenize → distinct word 3-grams; docs shorter than
+# k words contribute their whole token string; empty docs → empty set,
+# matching the Arrow shingle_hashes path). Jaccard over distinct string
+# shingles equals Jaccard over their hashes (hash collisions at these set
+# sizes are ~1e-10).
+_ORACLE_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) >= 3 THEN
+                list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks)
+"""
+
+
+def _oracle_jaccard_pairs(where: str, threshold: float) -> str:
+    return f"""
+WITH {_ORACLE_SHINGLES},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id {where})
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {threshold}
+"""
+
+
 def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dups (rows-only check: LSH banding is not ANSI-SQL
-    restatable; determinism is guaranteed by seeded xxhash64)."""
+    """MinHash-LSH near-dups, verified with exact Jaccard (the operator's
+    verification step). The oracle is the full O(n²) brute-force Jaccard in
+    DuckDB: equality asserts LSH recall is exactly 1.0 on this corpus —
+    achievable because its true near-dup pairs sit at J ≥ 0.9, far above
+    the 0.5 threshold, where the 8-band/4-row collision probability is
+    ~1-2e-4 per pair and the seeded hashes make the outcome deterministic."""
     from validate_xml_rust_spark.operators.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
@@ -513,23 +554,52 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (rows-only: bit-banding not SQL-restatable)."""
-    from validate_xml_rust_spark.operators.dedup import simhash_near_duplicates
+ORACLE_MINHASH_NEARDUPS = _oracle_jaccard_pairs("", 0.5)
 
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups over the planted synthetic corpus (sf-independent;
+    SimHash itself is not restatable in ANSI SQL, so the oracle reads a
+    committed fixture of per-doc SimHash values computed by the INDEPENDENT
+    pure-expression path — ``simhash64_expr`` — and does the brute-force
+    O(n²) Hamming join in DuckDB SQL; see tools/make_fixtures.py).
+
+    ``max_hamming=3 < 64/chunk_bits = 4`` makes the chunk-banded candidate
+    join EXACT by pigeonhole (any two hashes within Hamming 3 share at
+    least one 16-bit chunk), so Spark's banded output must equal the
+    brute-force fixture join bit-for-bit."""
+    from validate_xml_rust_spark.operators.dedup import simhash_near_duplicates
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+ORACLE_SIMHASH_NEARDUPS = """
+WITH h AS (SELECT * FROM '/root/repo/fixtures/simhash_docs_600.parquet')
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs blocked by lang over a bounded id block
-    (rows-only: shingle-set construction is not practical in ANSI SQL).
-    This is the brute-force verification oracle for the LSH path — it is
-    deliberately O(block²), so the block is capped (the LSH operators are
-    the scale path)."""
+    """Exact n-gram Jaccard pairs blocked by lang over a bounded id block.
+    The oracle restates shingle-set Jaccard in DuckDB over string 3-grams
+    (list_transform over regexp_split_to_array) — Jaccard over string
+    shingles equals Jaccard over the engine's hash-domain shingles. This
+    query is deliberately O(block²), so the block is capped (the LSH
+    operators are the scale path)."""
     from validate_xml_rust_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return ngram_jaccard_pairs(docs, threshold=0.5, group_col="lang")
+
+
+ORACLE_NGRAM_JACCARD = _oracle_jaccard_pairs(
+    "AND a.lang = b.lang AND a.doc_id < 500 AND b.doc_id < 500", 0.5
+)
 
 
 # ---------------------------------------------------------------------------
@@ -912,9 +982,11 @@ ORACLES = {
     "quality_scores": ORACLE_QUALITY_SCORES,
     "langid": ORACLE_LANGID,
     "ann_topk": ORACLE_ANN_TOPK,
+    "ivf_ann_topk": ORACLE_ANN_TOPK,  # exact-recall assertion (see q_ivf_ann_topk)
     "embedding_neardup_exact": ORACLE_EMBEDDING_NEARDUP_EXACT,
-    # minhash_neardups / simhash_neardups / ngram_jaccard: rows-only
-    # (LSH banding & shingle-set construction aren't ANSI-SQL restatable)
+    "minhash_neardups": ORACLE_MINHASH_NEARDUPS,
+    "simhash_neardups": ORACLE_SIMHASH_NEARDUPS,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "top_orders_per_nation": ORACLE_TOP_ORDERS_PER_NATION,
     "sessionization": ORACLE_SESSIONIZATION,
     "rollup_order_priority": ORACLE_ROLLUP_ORDER_PRIORITY,
