@@ -85,3 +85,44 @@ def test_asof_partitioning_invariance(spark):
         for r in asof_join(left.repartition(7), right.repartition(5), "user", "ts", "ts", ["value"]).collect()
     )
     assert a == b
+
+
+def test_asof_chunked_equals_unchunked(spark):
+    """Time-chunk salting with boundary carry-over: identical output to
+    the single-window path, including matches that reach across many empty
+    chunks, for both directions and with tolerance."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    base = datetime(2025, 3, 1)
+    # hot key "h": 400 clicks, sparse purchases; cold key "c": a handful.
+    # Unique ts per (key, side) → tie-free, so outputs compare exactly.
+    left_rows, right_rows = [], []
+    for i in range(400):
+        left_rows.append((i, "h", base + timedelta(seconds=37 * i + 1)))
+    for i in range(12):
+        right_rows.append(("h", base + timedelta(seconds=1200 * i), float(i)))
+    for i in range(5):
+        left_rows.append((1000 + i, "c", base + timedelta(seconds=500 * i + 3)))
+    right_rows.append(("c", base + timedelta(seconds=2), 99.0))
+    left = spark.createDataFrame(left_rows, "eid long, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+
+    def run(**kw):
+        out = asof_join(left, right, "k", "ts", "ts", ["v"], **kw)
+        return sorted(
+            (r["eid"], r["asof_ts"], r["asof_v"]) for r in out.collect()
+        )
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 1800):
+            a = run(direction=direction, tolerance_seconds=tol)
+            b = run(direction=direction, tolerance_seconds=tol, chunk_seconds=600)
+            assert a == b, (direction, tol)
+
+    # the chunked plan really partitions the window on (key, chunk)
+    plan = asof_join(
+        left, right, "k", "ts", "ts", ["v"], chunk_seconds=600
+    )._jdf.queryExecution().sparkPlan().toString()
+    assert "__chunk" in plan.split("Window")[1][:400]

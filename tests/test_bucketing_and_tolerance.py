@@ -87,3 +87,26 @@ def test_range_join_exact_semantics(spark):
     left2 = left.unionByName(left)
     out2 = range_join_count(left2, right, "k", "ts", "ts", 3600).collect()
     assert [r["n_in_window"] for r in out2] == [2, 2]
+
+
+def test_range_join_pre1970_timestamps(spark):
+    """Negative epochs: floor-bucketing (not trunc-toward-zero) keeps
+    boundary rows in the matching bucket for historical corpora."""
+    from datetime import datetime
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", ts("1969-12-31 23:30:00"))], "eid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", ts("1969-12-31 22:30:00")),  # exactly -1h → INCLUDED
+            ("u", ts("1969-12-31 23:00:00")),  # inside (epoch -3600)
+            ("u", ts("1969-12-31 23:29:59")),  # inside, crosses epoch-0 bucket
+            ("u", ts("1969-12-31 23:30:00")),  # equal → EXCLUDED
+            ("u", ts("1969-12-31 22:29:59")),  # just outside
+        ],
+        "k string, ts timestamp",
+    )
+    out = range_join_count(left, right, "k", "ts", "ts", 3600).collect()
+    assert out[0]["n_in_window"] == 3

@@ -227,3 +227,54 @@ def test_near_dedup_end_to_end(spark):
     # untouched docs all survive
     paired = {x for p in exact | near for x in p}
     assert all(i in kept_ids for i in range(n) if i not in paired)
+
+
+def test_connected_components_iteration_hygiene(spark):
+    """Chain graph forces many label-propagation rounds: the plan stays
+    bounded (localCheckpoint truncates lineage) and superseded per-round
+    caches are released (no O(iterations) executor-cache leak)."""
+    from validate_xml_rust_spark.operators.dedup import connected_components
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    labels = connected_components(chain, max_iterations=40)
+    comp = {r["id"]: r["component"] for r in labels.collect()}
+    assert comp == {i: 0 for i in range(31)}
+    # lineage truncated: the returned plan bottoms out at a checkpointed
+    # RDD scan and stays constant-size (≤ CHECKPOINT_EVERY rounds deep),
+    # not a ~30-round join tower (which would print thousands of lines)
+    plan = labels._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan
+    assert len(plan.splitlines()) < 400, len(plan.splitlines())
+    # at most the final labels frame (+ its checkpoint block) outlives the
+    # call — superseded rounds were unpersisted
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 2, (before, after)
+
+
+def test_lsh_signature_arrow_matches_expression(spark):
+    """Arrow matmul form vs literal-expression fold form: bit equality.
+    (fp summation order differs between numpy matmul and the fold, but a
+    sign flip needs |dot| at ulp scale — never with this seeded data)"""
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_expr,
+        lsh_signature_np,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    data = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(200)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    both = df.select(
+        lsh_signature(F.col("embedding"), 12).alias("a"),
+        lsh_signature_expr(F.col("embedding"), dim, 12).alias("b"),
+        "embedding",
+    ).collect()
+    assert all(r["a"] == r["b"] for r in both)
+    # driver-side query signature matches the executor path bit-for-bit
+    assert both[0]["a"] == lsh_signature_np(both[0]["embedding"], 12)

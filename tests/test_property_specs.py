@@ -92,3 +92,12 @@ def test_utf8_check_matches_python(spark_prop, raw):
     except UnicodeDecodeError:
         expected_bad = True
     assert got == expected_bad
+
+
+def test_length_constraint_requires_bound():
+    import pytest
+
+    from validate_xml_rust_spark.specs import Constraint, compile_constraint
+
+    with pytest.raises(ValueError, match="needs lo and/or hi"):
+        compile_constraint(Constraint("c", "url", "length", {}))

@@ -45,3 +45,22 @@ def test_host_stats_on_skewed_pages(spark):
     )
     assert abs(hot["approx_distinct_urls"] - exact) / exact < 0.1
     assert hot["first_ts"] is not None and hot["last_ts"] >= hot["first_ts"]
+
+
+def test_uniqueness_violations_broadcast_escape_hatch(spark):
+    from validate_xml_rust_spark.operators.uniqueness import uniqueness_violations
+
+    df = spark.createDataFrame(
+        [("u1", "k1"), ("u2", "k1"), ("u3", "k2")], "url string, k string"
+    )
+    bc = uniqueness_violations(df, ["k"])
+    nobc = uniqueness_violations(df, ["k"], broadcast=False)
+    assert sorted(r["url"] for r in nobc.collect()) == ["u1", "u2"]
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    # escape hatch: no FORCED broadcast hint — the static plan is a shuffle
+    # join on the uniform key (AQE may still pick broadcast at runtime when
+    # the dup set measures tiny, which is exactly the desired adaptivity;
+    # the hatch exists for corpora where it does not)
+    static_plan = nobc._jdf.queryExecution().sparkPlan().toString()
+    joins = [ln for ln in static_plan.splitlines() if "Join" in ln and "k#" in ln]
+    assert all("BroadcastHashJoin" not in ln for ln in joins), static_plan

@@ -241,13 +241,41 @@ def connected_components(
         )
         .distinct()
     )
-    labels = (
+    sc = pairs.sparkSession.sparkContext
+
+    def _pids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        # localCheckpoint blocks are persisted at the RDD level, outside
+        # the SQL CacheManager, so DataFrame.unpersist() cannot free them —
+        # release via the context's persistent-RDD registry instead
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist()
+
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+        pre = _pids()
+        out = df.localCheckpoint(eager=True)
+        return out, _pids() - pre
+
+    edges = edges.persist()
+    labels, ckpt_ids = _checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iterations):
-        # smallest neighbor label per node
+    # Iteration hygiene for web-scale pair tables: each round REPLACES the
+    # labels frame, so (a) the superseded cache is unpersisted immediately
+    # (no O(iterations) executor-cache leak past the call), and (b) lineage
+    # is truncated with localCheckpoint every CHECKPOINT_EVERY rounds —
+    # without it the plan tree deepens linearly and Catalyst analysis cost
+    # goes O(iterations²) while cached partitions pile up.
+    CHECKPOINT_EVERY = 3
+    labels_is_checkpoint = True
+    for it in range(max_iterations):
         neighbor = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -262,16 +290,35 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        new_is_checkpoint = (it + 1) % CHECKPOINT_EVERY == 0
+        if new_is_checkpoint:
+            new_labels, new_ckpt_ids = _checkpoint(updated)
+        else:
+            new_labels = updated.persist()
+        # one small action per round doubles as materialization of
+        # new_labels AND the convergence test (labels frames are
+        # #near-dup-nodes rows — tiny next to the corpus)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "id")
             .filter(F.col("u.component") != F.col("l.component"))
             .limit(1)
             .count()
         )
-        labels = updated.persist()
+        # Release superseded frames. A persist()ed round is safe to drop
+        # immediately; a checkpoint's blocks ARE its data (lineage-free),
+        # so the PREVIOUS checkpoint is released only once a NEWER eager
+        # checkpoint has materialized, the intermediate persisted rounds
+        # are gone, and nothing in any live plan can reach it anymore.
+        if not labels_is_checkpoint:
+            labels.unpersist()
+        if new_is_checkpoint:
+            _release(ckpt_ids)
+            ckpt_ids = new_ckpt_ids
+        labels, labels_is_checkpoint = new_labels, new_is_checkpoint
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -41,15 +41,18 @@ def range_join_count(
         # regroup on it even when left rows are duplicates of each other
         .withColumn("__rowid", F.monotonically_increasing_id())
         .withColumn(
-            "__b", F.explode(F.array((lsec / window_seconds).cast("long"),
-                                     (lsec / window_seconds).cast("long") - 1))
+            # floor, NOT cast-truncate: trunc rounds toward zero, so
+            # pre-1970 (negative-epoch) timestamps would bucket off-by-one
+            # and silently drop in-window matches near bucket boundaries
+            "__b", F.explode(F.array(F.floor(lsec / window_seconds).cast("long"),
+                                     F.floor(lsec / window_seconds).cast("long") - 1))
         )
     )
     r = (
         right.select(
             F.col(on).alias("__rk"),
             rsec.alias("__rsec"),
-            (rsec / window_seconds).cast("long").alias("__rb"),
+            F.floor(rsec / window_seconds).cast("long").alias("__rb"),
         )
     )
     j = l.join(

@@ -19,10 +19,11 @@ Two paths, mirroring how a production vector pipeline scales:
 - **Embedding cosine near-dup** — all-pairs above a threshold via the
   same LSH buckets (self-join on bucket), for dedup pipelines.
 
-Deterministic hyperplanes: plane p, dimension d gets weight
-hash(p, d) mapped to [-1, 1). No RNG state, no model file — any executor
-can regenerate the planes from (seed, p, d), which is exactly what the
-Column expression does.
+Deterministic hyperplanes: the (n_planes × dim) plane matrix regenerates
+from the module seed (PCG64) anywhere — driver or executor — so no model
+file or plan constant ships. Signatures are one numpy matmul per Arrow
+batch (``lsh_signature``); an interpreted expression form with the same
+planes as literals (``lsh_signature_expr``) is the bit-equality oracle.
 """
 
 from __future__ import annotations
@@ -82,32 +83,73 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
-def _plane_weight(p: int, d: Column) -> Column:
-    """Deterministic hyperplane weight in [-1, 1): hash(seed, p, d)."""
-    h = F.xxhash64(F.lit(SEED), F.lit(p), d)
-    return (F.pmod(h, F.lit(2_000_000)).cast("double") / F.lit(1_000_000.0)) - 1.0
+def _plane_matrix(dim: int, n_planes: int) -> "np.ndarray":
+    """Deterministic (n_planes × dim) hyperplane matrix from the module
+    seed (PCG64). Regenerable anywhere — driver or any executor — so no
+    model state ships with the plan."""
+    rng = np.random.default_rng(SEED)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _pack_signs(dots: "np.ndarray") -> "np.ndarray":
+    """(n × n_planes) dot products → packed sign longs (bit p = dot_p > 0)."""
+    bits = (dots > 0).astype(np.int64)
+    weights = (1 << np.arange(dots.shape[1], dtype=np.int64))
+    return bits @ weights
+
+
+def lsh_signature_np(vec: "np.ndarray", n_planes: int = 12) -> int:
+    """Driver-side signature of one query vector (same planes, same numpy
+    matmul as the executor UDF — bit-identical by construction)."""
+    v = np.asarray(vec, dtype="float64")
+    planes = _plane_matrix(len(v), n_planes)
+    return int(_pack_signs((v[None, :] @ planes.T))[0])
 
 
 def lsh_signature(vec: Column, n_planes: int = 12) -> Column:
     """Random-hyperplane sign signature packed into a long (bit p = sign of
-    ⟨vec, plane_p⟩). Planes are hash-generated per (p, dimension) — pure
-    expressions, no model state."""
-    def plane_dot(p: int) -> Column:
-        idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(idx, lambda d: _plane_weight(p, d)),
-                lambda x, w: x.cast("double") * w,
-            ),
+    ⟨vec, plane_p⟩), via an Arrow-batched numpy UDF: one (batch × dim) @
+    (dim × n_planes) matmul per Arrow batch. Planes regenerate from the
+    seed inside the worker (~10 KB, no model file, no plan constant).
+
+    This replaces n_planes× interpreted zip_with/aggregate folds per row —
+    the repo rule ("per-element array math beyond ~10 ops/row belongs in an
+    Arrow numpy UDF"): at corpus scale signature computation dominates the
+    LSH job. ``lsh_signature_expr`` remains as the cross-check oracle."""
+
+    @F.pandas_udf("long")
+    def sig(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        mask = batch.notna().to_numpy()
+        out = np.zeros(len(batch), dtype=np.int64)
+        if mask.any():
+            V = np.stack(
+                [np.asarray(v, dtype="float64") for v in batch[mask]]
+            )
+            planes = _plane_matrix(V.shape[1], n_planes)
+            out[mask] = _pack_signs(V @ planes.T)
+        return pd.Series(out)
+
+    return sig(vec)
+
+
+def lsh_signature_expr(vec: Column, dim: int, n_planes: int = 12) -> Column:
+    """Pure-expression reference form of ``lsh_signature``: the SAME plane
+    matrix embedded as array literals, dot product as an interpreted
+    zip_with/aggregate fold. Cross-check oracle only (tests assert bit
+    equality with the Arrow form); use ``lsh_signature`` for volume."""
+    planes = _plane_matrix(dim, n_planes)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(w)) for w in planes[p]])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
         sig = sig.bitwiseOR(
-            F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
@@ -127,13 +169,9 @@ def ann_topk(
     """Approximate top-k: restrict the exact scoring to vectors whose LSH
     bucket is within ``probe_hamming`` bits of the query's bucket, then
     brute-force within candidates. Recall tunes with n_planes/probe."""
-    # Compute the query signature WITH Spark (one 1-row job) so the plane
-    # weights are bit-identical to the executor-side expression.
-    spark = df.sparkSession
-    qdf = spark.range(1).select(
-        lsh_signature(F.array(*[F.lit(float(x)) for x in query_vec]), n_planes).alias("s")
-    )
-    qsig = qdf.collect()[0]["s"]
+    # Query signature computed driver-side with the SAME numpy matmul the
+    # executor UDF runs — bit-identical, no extra Spark job.
+    qsig = lsh_signature_np(query_vec, n_planes)
 
     sig = lsh_signature(F.col(vec_col), n_planes)
     cand = df.withColumn("__sig", sig).filter(

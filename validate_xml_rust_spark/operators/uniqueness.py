@@ -46,17 +46,22 @@ def uniqueness_violations(
     keys: list[str],
     constraint_id: str = "unique",
     n_salts: int = 16,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Violation rows in the engine contract ``(url, constraint_id,
     observed_value)`` for duplicated keys. Null keys are not duplicates
-    (SQL UNIQUE semantics — handled by ``not_null`` separately)."""
+    (SQL UNIQUE semantics — handled by ``not_null`` separately).
+
+    ``broadcast=False`` for corpora where the duplicate-key set itself can
+    exceed the broadcast ceiling (e.g. a crawl where most urls repeat):
+    falls back to a shuffle join on the uniform key hash."""
     nn = df
     for k in keys:
         nn = nn.filter(F.col(k).isNotNull())
     dups = duplicate_keys(nn, keys, n_salts=n_salts)
     # Join back to recover the url of each offending row. The dup set is
-    # usually tiny vs the table → broadcast it.
-    joined = nn.join(F.broadcast(dups), on=keys, how="inner")
+    # usually tiny vs the table → broadcast it (escape hatch above).
+    joined = nn.join(F.broadcast(dups) if broadcast else dups, on=keys, how="inner")
     return joined.select(
         F.col("url").alias("url"),
         F.lit(constraint_id).alias("constraint_id"),

@@ -164,6 +164,8 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
             conds.append(ln < F.lit(int(p["lo"])))
         if "hi" in p:
             conds.append(ln > F.lit(int(p["hi"])))
+        if not conds:
+            raise ValueError(f"length constraint {c.constraint_id} needs lo and/or hi")
         bad = conds[0]
         for extra in conds[1:]:
             bad = bad | extra
