@@ -65,20 +65,28 @@ def completed_partitions(spark: SparkSession, manifest_dir: str) -> DataFrame | 
     return m.select("partition_id").distinct()
 
 
+def pending_against(
+    df: DataFrame, done: DataFrame, partition_col: str = "partition_id"
+) -> DataFrame:
+    """The resume join itself: rows whose partition is NOT in ``done``
+    (broadcast left-anti — the completed-partition set is O(partitions),
+    tiny by construction)."""
+    return df.join(
+        F.broadcast(done.select("partition_id")),
+        df[partition_col] == done["partition_id"],
+        "left_anti",
+    )
+
+
 def pending_rows(
     df: DataFrame, spark: SparkSession, manifest_dir: str,
     partition_col: str = "partition_id",
 ) -> DataFrame:
-    """Rows whose partition is NOT in the manifest — the resume join
-    (broadcast left-anti: the manifest is tiny by construction)."""
+    """Rows whose partition is NOT in the manifest — the resume join."""
     done = completed_partitions(spark, manifest_dir)
     if done is None:
         return df
-    return df.join(
-        F.broadcast(done),
-        df[partition_col] == done["partition_id"],
-        "left_anti",
-    )
+    return pending_against(df, done, partition_col)
 
 
 def run_with_resume(

@@ -930,6 +930,183 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Driver-gate coverage for previously pytest-only operators (VERDICT.md r1
+# item 3): drift chi², salted aggregation, resume anti-join, scan filters,
+# byte-identical extraction — each restated independently in DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_drift_chi2_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition chi² drift of the lang distribution vs the global
+    baseline (operators/drift.py): partition-level category counts are one
+    JVM aggregation; only count rows reach the grouped-map Python. The
+    oracle recomputes the statistic from scratch in SQL ((o-e)²/e over the
+    partition×category grid). The Wilson–Hilferty p-value needs erfc
+    (not in ANSI SQL), so the gate projects the statistic — the part worth
+    cross-engine verification."""
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        chi2_drift_check,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    baseline = categorical_baseline(docs, "lang")
+    out = chi2_drift_check(docs, "lang", baseline)
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_DRIFT_CHI2_LANG = """
+WITH obs AS (
+  SELECT CAST(doc_id % 8 AS INT) AS partition_id, lang, count(*) AS o
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+base AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS b FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(b) AS bt FROM base),
+pn AS (SELECT partition_id, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT pn.partition_id, pn.n, base.b / tot.bt * pn.n AS e,
+         CAST(coalesce(obs.o, 0) AS DOUBLE) AS o
+  FROM pn CROSS JOIN base CROSS JOIN tot
+  LEFT JOIN obs ON obs.partition_id = pn.partition_id AND obs.lang = base.lang)
+SELECT CAST(partition_id AS INT) AS partition_id,
+       'lang' AS column_name, 'chi2' AS test,
+       round(CASE WHEN max(n) < 20 THEN 0.0
+                  ELSE sum((o - e) * (o - e) / e) END, 6) AS statistic,
+       CAST(max(n) AS BIGINT) AS n
+FROM grid GROUP BY partition_id
+"""
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic two-phase salted aggregation (operators/skew.py) over the
+    few-hot-keys event_type column — the exact shape AQE does NOT cover
+    (skew-split applies to joins, not aggregations). Sums accumulate in
+    DECIMAL through BOTH phases (exact, order-free), double at the end."""
+    from validate_xml_rust_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("count", None, "n"),
+            ("sum", "v", "sum_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        n_salts=8,
+    )
+    return out.select(
+        "event_type", "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+ORACLE_SALTED_EVENT_STATS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume contract (operators/resume.py J2): rows of not-yet-completed
+    partitions via broadcast left-anti against the completed-partition
+    manifest (here a literal manifest: partitions 0, 3, 5 done)."""
+    from validate_xml_rust_spark.operators.resume import pending_against
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    done = spark.createDataFrame([(0,), (3,), (5,)], "partition_id int")
+    return pending_against(docs, done).select("doc_id", "partition_id")
+
+
+ORACLE_RESUME_PENDING = """
+SELECT doc_id, CAST(doc_id % 8 AS INT) AS partition_id
+FROM documents WHERE doc_id % 8 NOT IN (0, 3, 5)
+"""
+
+
+def q_scan_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-discovery predicates (sources/scan.py S2-S4) as one
+    pipeline over synthesized urls: extension filter → include/exclude
+    globs (exclude wins) → max path depth. The oracle restates each with
+    independent SQL (LIKE / the translated regexes / path-segment count)."""
+    from validate_xml_rust_spark.sources.scan import (
+        extension_filter,
+        glob_filters,
+        max_depth_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/archive")).otherwise(F.lit("")),
+        F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".html")).otherwise(F.lit(".txt")),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    d = extension_filter(d, ["html"])
+    d = glob_filters(d, include=["**/en/**"], exclude=["**/doc-1*"])
+    d = max_depth_filter(d, 2)
+    return d.select("doc_id", "url")
+
+
+ORACLE_SCAN_URL_FILTERS = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang ||
+         (CASE WHEN doc_id % 3 = 0 THEN '/archive' ELSE '' END) ||
+         '/doc-' || CAST(doc_id AS VARCHAR) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '.html' ELSE '.txt' END) AS url
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL)
+SELECT doc_id, url FROM u
+WHERE url LIKE '%.html'
+  AND regexp_matches(url, '^.*/en/.*$')
+  AND NOT regexp_matches(url, '^.*/doc-1[^/]*$')
+  AND len(list_filter(
+        regexp_split_to_array(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '/'),
+        x -> length(x) > 0)) <= 2
+"""
+
+
+def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extraction (functions/text_extract.py, north-rule
+    invariant): wrap each document's text in an HTML page with script and
+    style elements, run the binary-decode + extractor pipeline, and return
+    the extracted text. The oracle states the EXPECTED bytes independently
+    (whitespace-collapsed trimmed text) — equality proves script/style
+    dropping, tag stripping, ws collapse, and the UTF-8 decode gate leave
+    the payload byte-identical."""
+    from validate_xml_rust_spark.functions.text_extract import extract_text_col
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = 1 < 2;'
+              "</script><style>p { color: red; }</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", extract_text_col(F.encode(html, "UTF-8")).alias("extracted")
+    )
+
+
+ORACLE_EXTRACT_TEXT_ROUNDTRIP = r"""
+SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted
+FROM documents
+"""
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -963,6 +1140,11 @@ QUERIES = {
     "event_props_json": q_event_props_json,
     "cube_order_stats": q_cube_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
+    "drift_chi2_lang": q_drift_chi2_lang,
+    "salted_event_stats": q_salted_event_stats,
+    "resume_pending": q_resume_pending,
+    "scan_url_filters": q_scan_url_filters,
+    "extract_text_roundtrip": q_extract_text_roundtrip,
 }
 
 ORACLES = {
@@ -998,4 +1180,9 @@ ORACLES = {
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
+    "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
+    "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
+    "resume_pending": ORACLE_RESUME_PENDING,
+    "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
+    "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
 }
