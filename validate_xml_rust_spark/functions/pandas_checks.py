@@ -84,8 +84,18 @@ CHECKERS: dict[str, Callable[[pd.Series], pd.Series]] = {
 }
 
 
-def pandas_check_column(checker_name: str, col: Column) -> Column:
-    """Boolean PASS column for a named checker (Arrow-batched)."""
+def pandas_check_column(
+    checker_name: str, col: Column, batch_timeout_ms: float | None = None
+) -> Column:
+    """Boolean PASS column for a named checker (Arrow-batched).
+
+    ``batch_timeout_ms`` is the X7 analog (reference per-file timeout,
+    src/validator.rs:549-569): Spark has no per-row preemption, so the
+    closest safe contract is a wall-clock budget per Arrow batch —
+    evaluation proceeds in slices, and once the budget is spent the
+    REMAINING values return NULL (= "not evaluated"), which the spec
+    compiler surfaces as ``error``-severity timeout violations rather
+    than a hung task."""
     try:
         checker = CHECKERS[checker_name]
     except KeyError:
@@ -95,6 +105,22 @@ def pandas_check_column(checker_name: str, col: Column) -> Column:
 
     @F.pandas_udf("boolean")
     def run(s: pd.Series) -> pd.Series:
-        return checker(s)
+        if batch_timeout_ms is None:
+            return checker(s)
+        import time
+
+        deadline = time.perf_counter() + batch_timeout_ms / 1000.0
+        slices: list[pd.Series] = []
+        step = 64
+        for i in range(0, len(s), step):
+            if time.perf_counter() > deadline:
+                slices.append(
+                    pd.Series([None] * (len(s) - i), index=s.index[i:], dtype=object)
+                )
+                break
+            slices.append(checker(s.iloc[i : i + step]).astype(object))
+        if not slices:
+            return pd.Series([], dtype=object)
+        return pd.concat(slices)
 
     return run(col.cast("string"))

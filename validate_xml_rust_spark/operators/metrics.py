@@ -69,7 +69,8 @@ def run_metrics_row(
     concurrency: int | None = None,
 ) -> dict:
     """The PerformanceMetrics analog (throughput guarded ÷0 like
-    src/validator.rs:295-299)."""
+    src/validator.rs:295-299; cache hit rate aggregated into the record
+    like PerformanceMetrics.cache_hit_rate, src/validator.rs:219-229)."""
     total_s = phases.total_ms() / 1000
     return {
         "total_docs": n_docs,
@@ -78,5 +79,6 @@ def run_metrics_row(
         "throughput_docs_per_second": round(n_docs / total_s, 1) if total_s > 0 else 0.0,
         "peak_memory_mb": peak_memory_mb(),
         "cache_stats": cache_stats or {},
+        "cache_hit_rate": round((cache_stats or {}).get("hit_rate", 0.0), 4),
         "concurrent_validations": concurrency,
     }

@@ -187,13 +187,17 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
         # Arrow-batched named validator (functions/pandas_checks.py) — the
         # "pandas/Arrow UDF batch validator" slot of the north star. Null
         # passes (not_null owns null-ness); checker errors are contained
-        # as FAIL inside the UDF (X9).
+        # as FAIL inside the UDF (X9). With ``timeout_ms`` the checker may
+        # also return NULL for not-evaluated values (budget exhausted, X7);
+        # a strict ``ok == False`` keeps those out of the FAIL bucket —
+        # the timeout companion check (see ``expand_constraint``) turns
+        # them into error-severity violations instead.
         from validate_xml_rust_spark.functions.pandas_checks import (
             pandas_check_column,
         )
 
-        ok = pandas_check_column(p["checker"], col)
-        fail = col.isNotNull() & ~F.coalesce(ok, F.lit(False))
+        ok = pandas_check_column(p["checker"], col, p.get("timeout_ms"))
+        fail = col.isNotNull() & (ok == F.lit(False))
         msg = f"{c.column} failed pandas check {p['checker']!r}"
     else:
         raise ValueError(f"{c.kind!r} is table-scope; compile via its operator")
@@ -234,11 +238,53 @@ class CompiledSpec:
         return F.filter(arr, lambda x: x.isNotNull())
 
 
+def expand_constraint(c: Constraint) -> list[CompiledCheck]:
+    """Compile one constraint to its CompiledChecks. A ``pandas_check``
+    with ``timeout_ms`` expands into TWO checks sharing one UDF column
+    (Catalyst dedupes identical Python UDF expressions into a single
+    ArrowEvalPython pass):
+
+    - the check itself (constraint severity, fires on ``ok == False``),
+    - ``<id>_timeout`` (severity ``error``, fires on NULL = not evaluated
+      within the batch budget) — the reference's timeout→Error verdict
+      (src/validator.rs:549-569) as far as Spark's execution model allows."""
+    if c.kind != "pandas_check" or c.params.get("timeout_ms") is None:
+        return [compile_constraint(c)]
+    from validate_xml_rust_spark.functions.pandas_checks import pandas_check_column
+
+    col = F.col(c.column)
+    # ONE shared Column: both checks reference the same PythonUDF
+    # expression instance, so Catalyst evaluates the checker once per row
+    # and the fail/timeout verdicts can never disagree about which values
+    # were evaluated.
+    ok = pandas_check_column(c.params["checker"], col, c.params["timeout_ms"])
+    main = CompiledCheck(
+        c.constraint_id,
+        c.column,
+        c.severity,
+        col.isNotNull() & (ok == F.lit(False)),
+        _obs(col),
+        f"{c.column} failed pandas check {c.params['checker']!r}",
+    )
+    timeout = CompiledCheck(
+        f"{c.constraint_id}_timeout",
+        c.column,
+        "error",
+        col.isNotNull() & ok.isNull(),
+        _obs(col),
+        f"{c.column} pandas check {c.params['checker']!r} timed out "
+        f"(batch budget {c.params['timeout_ms']}ms)",
+    )
+    return [main, timeout]
+
+
 def compile_spec(spec: Spec) -> CompiledSpec:
     """"Parse once": compile a spec's row constraints to Column expressions."""
     return CompiledSpec(
         spec_id=spec.spec_id,
-        checks=tuple(compile_constraint(c) for c in spec.row_constraints()),
+        checks=tuple(
+            ch for c in spec.row_constraints() for ch in expand_constraint(c)
+        ),
         table_constraints=spec.table_constraints(),
     )
 
