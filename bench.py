@@ -180,6 +180,11 @@ def main() -> None:
     from validate_xml_rust_spark.sources.corpus import synthetic_documents
 
     corpus = synthetic_documents(spark, 100_000, cpus * 2)
+    # one untimed pass first: Python-worker spin-up + Arrow-path JIT for
+    # the MinHash UDFs dominates a cold run (measured 30s cold vs ~5s
+    # steady) — the steady state is what a long dedup job sees
+    minhash_near_duplicates(corpus, threshold=0.6).count()
+    spark.catalog.clearCache()
     timings["minhash_dedup_100k"] = _time(
         lambda: _force(minhash_near_duplicates(corpus, threshold=0.6))
     )
