@@ -189,6 +189,28 @@ def main() -> None:
         lambda: _force(minhash_near_duplicates(corpus, threshold=0.6))
     )
 
+    # IVF with a BUILT index (cluster_id-partitioned parquet): the probe
+    # becomes a partition-pruned scan — contrast with q:ivf_ann_topk,
+    # which retrains + reassigns per query.
+    import tempfile
+
+    from validate_xml_rust_spark.operators.similarity import (
+        ivf_build,
+        ivf_topk_indexed,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = ivf_train(emb, n_centroids=8, n_iters=3)
+    idx_dir = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
+    ivf_build(emb, cents, idx_dir)
+    timings["ivf_indexed_topk"] = _time(
+        lambda: _force(
+            ivf_topk_indexed(spark, idx_dir, cents, qv, k=10, nprobe=3, exclude_id=0)
+        )
+    )
+
     # Operator queries over the sf parquet tables — every output column
     # fully evaluated (hash-aggregated), never count()-pruned.
     for name, fn in QUERIES.items():

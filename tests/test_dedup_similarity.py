@@ -278,3 +278,39 @@ def test_lsh_signature_arrow_matches_expression(spark):
     assert all(r["a"] == r["b"] for r in both)
     # driver-side query signature matches the executor path bit-for-bit
     assert both[0]["a"] == lsh_signature_np(both[0]["embedding"], 12)
+
+
+def test_ivf_built_index_partition_pruned(spark, tmp_path):
+    """ivf_build persists cluster_id-partitioned parquet; probing reads
+    only the nprobe cluster directories (PartitionFilters) and returns the
+    same results as the recompute-per-query path."""
+    import math
+
+    from validate_xml_rust_spark.operators.similarity import (
+        ivf_build,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_train,
+    )
+
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [10.0 * (c + 1) * math.sin(c + d) for d in range(8)]
+        for j in range(40):
+            rows.append((vid, [x + 0.01 * ((vid * 3 + d) % 7) for d, x in enumerate(center)]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_train(e, n_centroids=4, n_iters=4)
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build(e, cents, idx_dir)
+
+    q = [float(x) for x in e.filter("vec_id = 10").collect()[0]["embedding"]]
+    direct = [(r["vec_id"], r["cos_sim"]) for r in
+              ivf_topk(e, cents, q, k=5, nprobe=2, exclude_id=10).collect()]
+    indexed_df = ivf_topk_indexed(spark, idx_dir, cents, q, k=5, nprobe=2, exclude_id=10)
+    indexed = [(r["vec_id"], r["cos_sim"]) for r in indexed_df.collect()]
+    assert indexed == direct
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:200]

@@ -262,6 +262,46 @@ def ivf_topk(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_build(
+    df: DataFrame,
+    centroids,
+    index_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: vectors + ``cluster_id``, written as parquet
+    PARTITIONED BY cluster_id. This is the "real index" form — ``ivf_topk``
+    recomputes assignment per query (fine for a demo, wasteful in
+    production); the built index makes a probe a *partition-pruned scan*:
+    only the nprobe cluster directories are listed and read, so per-query
+    IO drops to ~nprobe/n_centroids of the corpus with zero compute."""
+    ivf_assign(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(index_dir)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF search over a built index (``ivf_build``): the cluster_id
+    filter prunes parquet partitions at planning time — check
+    PartitionFilters in .explain — then exact cosine within the probed
+    clusters."""
+    q = np.asarray(query_vec, dtype="float64")
+    order = (((centroids - q) ** 2).sum(axis=1)).argsort()[:nprobe]
+    probed = spark.read.parquet(index_dir).filter(
+        F.col("cluster_id").isin([int(c) for c in order])
+    )
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -353,16 +353,28 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + the BPE-ish subword estimate. Spark counts
+    subwords by splitting on alnum/non-alnum boundary transitions
+    (lookarounds); DuckDB's RE2 has no lookarounds, so the oracle counts
+    the SAME quantity as (maximal alnum runs) + (non-alnum runs containing
+    a non-space char) — an independent restatement of the tokenizer."""
     from validate_xml_rust_spark.operators.textstats import token_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return token_stats(docs).select("doc_id", "n_tokens", "text_chars")
+    return token_stats(docs).select(
+        "doc_id", "n_tokens", "n_subwords", "text_chars"
+    )
 
 
 ORACLE_TOKEN_STATS = r"""
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
                 x -> length(x) > 0)) AS INT) AS n_tokens,
+       CAST(
+         len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                         x -> length(x) > 0))
+       + len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[a-z0-9]+'),
+                         x -> length(trim(x)) > 0)) AS INT) AS n_subwords,
        CAST(length(coalesce(text,'')) AS INT) AS text_chars
 FROM documents
 """
@@ -1107,6 +1119,48 @@ FROM documents
 """
 
 
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay equals batch SQL: the events table read
+    as an AvailableNow file-source stream, tumbling 1-hour event-time
+    windows aggregated into a memory sink — the SAME oracle as the batch
+    events_hourly query. Proves the streaming engine extension (§2.7)
+    computes identical verdict-style aggregates to the batch path."""
+    import hashlib
+    import os
+    import uuid
+
+    batch = _t(spark, sf_dir, "events")
+    # the file-stream source lists a DIRECTORY; expose the single parquet
+    # file through a symlink dir (no data copied, testdata untouched)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = "/tmp/vxrs_stream_" + hashlib.md5(src.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    name = "q_stream_hourly_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(d)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
+    )
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -1145,6 +1199,7 @@ QUERIES = {
     "resume_pending": q_resume_pending,
     "scan_url_filters": q_scan_url_filters,
     "extract_text_roundtrip": q_extract_text_roundtrip,
+    "streaming_events_hourly": q_streaming_events_hourly,
 }
 
 ORACLES = {
@@ -1185,4 +1240,5 @@ ORACLES = {
     "resume_pending": ORACLE_RESUME_PENDING,
     "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
     "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
+    "streaming_events_hourly": ORACLE_EVENTS_HOURLY,  # stream == batch
 }
