@@ -242,12 +242,11 @@ def test_connected_components_iteration_hygiene(spark):
     labels = connected_components(chain, max_iterations=40)
     comp = {r["id"]: r["component"] for r in labels.collect()}
     assert comp == {i: 0 for i in range(31)}
-    # lineage truncated: the returned plan bottoms out at a checkpointed
-    # RDD scan and stays constant-size (≤ CHECKPOINT_EVERY rounds deep),
-    # not a ~30-round join tower (which would print thousands of lines)
+    # lineage truncated: the returned frame IS a checkpointed RDD scan —
+    # constant-size plan, not an iteration-deep join tower
     plan = labels._jdf.queryExecution().toString()
     assert "ExistingRDD" in plan
-    assert len(plan.splitlines()) < 400, len(plan.splitlines())
+    assert len(plan.splitlines()) < 60, len(plan.splitlines())
     # at most the final labels frame (+ its checkpoint block) outlives the
     # call — superseded rounds were unpersisted
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
@@ -314,3 +313,19 @@ def test_ivf_built_index_partition_pruned(spark, tmp_path):
 
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_connected_components_log_rounds_on_chain(spark):
+    """Pointer jumping: a 200-node chain converges in O(log n) rounds
+    (~2·log2(200) ≈ 16 with the +1 convergence round), far under the 200
+    that pure min-label propagation would need."""
+    from validate_xml_rust_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = connected_components(chain, max_iterations=30, stats=stats)
+    comp = {r["id"]: r["component"] for r in labels.collect()}
+    assert comp == {i: 0 for i in range(201)}
+    assert stats["iterations"] <= 18, stats

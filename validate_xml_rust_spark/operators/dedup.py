@@ -222,18 +222,19 @@ def simhash_near_duplicates(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 20, stats: dict | None = None
 ) -> DataFrame:
     """Connected components over near-dup pairs → ``(id, component)`` with
     component = min id in the component (the canonical survivor).
 
-    Join-based label propagation: every node adopts the smallest label in
-    its neighborhood (including its own) each round; converges in
-    O(diameter) rounds — near-dup clusters are small and dense, so a
-    handful of iterations suffices (``max_iterations`` bounds adversarial
-    chains). Each round is one shuffle on id; the frontier shrinks as
-    labels settle. At 10^12-doc scale this runs over the PAIRS table
-    (tiny relative to the corpus), not the corpus."""
+    Each round does min-label propagation (every node adopts the smallest
+    label in its neighborhood) PLUS a pointer-jumping shortcut (every node
+    re-reads the label OF its label — classic path halving), so chains
+    converge in O(log diameter) rounds, not O(diameter): a 10^4-long
+    boilerplate chain needs ~14 rounds, not 10^4. Each round is two
+    shuffles over the labels table (#near-dup nodes — tiny next to the
+    corpus). ``stats['iterations']`` reports the round count when a dict
+    is passed."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -267,21 +268,20 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    # Iteration hygiene for web-scale pair tables: each round REPLACES the
-    # labels frame, so (a) the superseded cache is unpersisted immediately
-    # (no O(iterations) executor-cache leak past the call), and (b) lineage
-    # is truncated with localCheckpoint every CHECKPOINT_EVERY rounds —
-    # without it the plan tree deepens linearly and Catalyst analysis cost
-    # goes O(iterations²) while cached partitions pile up.
-    CHECKPOINT_EVERY = 3
-    labels_is_checkpoint = True
+    # Iteration hygiene for web-scale pair tables: every round REPLACES the
+    # labels frame with an eager localCheckpoint — the round is materialized
+    # anyway (the convergence count), and with pointer jumping the logical
+    # tree would otherwise TRIPLE per round (each round references the
+    # previous one three times); checkpointing keeps plan depth constant.
+    # Superseded checkpoints are released at the RDD level once the newer
+    # one is materialized, so executor cache never grows across rounds.
     for it in range(max_iterations):
         neighbor = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr"))
         )
-        updated = (
+        propagated = (
             labels.join(neighbor, labels["id"] == neighbor["src"], "left")
             .select(
                 "id",
@@ -290,14 +290,25 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_is_checkpoint = (it + 1) % CHECKPOINT_EVERY == 0
-        if new_is_checkpoint:
-            new_labels, new_ckpt_ids = _checkpoint(updated)
-        else:
-            new_labels = updated.persist()
-        # one small action per round doubles as materialization of
-        # new_labels AND the convergence test (labels frames are
-        # #near-dup-nodes rows — tiny next to the corpus)
+        # pointer jumping: component ← component's component (labels only
+        # ever hold existing node ids, so the self-join always resolves);
+        # this is what turns O(diameter) chains into O(log diameter)
+        hop = propagated.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__ccomp")
+        )
+        updated = (
+            propagated.join(hop, propagated["component"] == hop["__cid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__ccomp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels, new_ckpt_ids = _checkpoint(updated)
+        # convergence test over two materialized, lineage-free frames
+        # (labels frames are #near-dup-nodes rows — tiny next to the corpus)
         changed = (
             new_labels.alias("u")
             .join(labels.alias("l"), "id")
@@ -305,17 +316,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # Release superseded frames. A persist()ed round is safe to drop
-        # immediately; a checkpoint's blocks ARE its data (lineage-free),
-        # so the PREVIOUS checkpoint is released only once a NEWER eager
-        # checkpoint has materialized, the intermediate persisted rounds
-        # are gone, and nothing in any live plan can reach it anymore.
-        if not labels_is_checkpoint:
-            labels.unpersist()
-        if new_is_checkpoint:
-            _release(ckpt_ids)
-            ckpt_ids = new_ckpt_ids
-        labels, labels_is_checkpoint = new_labels, new_is_checkpoint
+        # A checkpoint's blocks ARE its data (lineage-free): release the
+        # superseded one only now that the newer checkpoint has
+        # materialized and nothing in any live plan can reach it.
+        _release(ckpt_ids)
+        ckpt_ids = new_ckpt_ids
+        labels = new_labels
+        if stats is not None:
+            stats["iterations"] = it + 1
         if changed == 0:
             break
     edges.unpersist()
