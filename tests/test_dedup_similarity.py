@@ -329,3 +329,38 @@ def test_connected_components_log_rounds_on_chain(spark):
     comp = {r["id"]: r["component"] for r in labels.collect()}
     assert comp == {i: 0 for i in range(201)}
     assert stats["iterations"] <= 18, stats
+
+
+def test_winnowing_guarantee_and_candidates(spark):
+    """Winnowing properties: (1) identical docs → identical fingerprint
+    sets; (2) the detection GUARANTEE — any shared token run of length
+    ≥ window+k-1 yields ≥1 shared fingerprint, even when the run is a
+    tiny fraction of the containing doc; (3) unrelated docs share nothing;
+    (4) the candidate join surfaces exactly the overlapping pairs."""
+    from validate_xml_rust_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    a = "one two three " + shared_run + " four five six"
+    b = ("completely different prefix words here " + shared_run
+         + " and an unrelated long suffix tail of many extra words "
+           "stretching onward for quite a while longer")
+    c = "nothing in common with either document at all whatsoever today"
+    docs = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    fps = {r["id"]: set(r["fingerprints"]) for r in
+           winnow_fingerprints(docs, shingle_k=k, window=w).collect()}
+    assert fps[0] == fps[1] and len(fps[0]) > 0          # identical docs
+    assert fps[0] & fps[2], "guarantee: shared 6-token run must collide"
+    assert not (fps[0] & fps[3]) and not (fps[2] & fps[3])
+    # density sanity: ~2/(w+1) of k-grams survive (loose bounds)
+    n_grams = len(a.split()) - k + 1
+    assert 1 <= len(fps[0]) <= n_grams
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_candidate_pairs(docs, shingle_k=k, window=w).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}

@@ -90,6 +90,63 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     return sh(token_hashes(text))
 
 
+def _combine_shingles_seq(x: "np.ndarray", k: int, mult: "np.ndarray") -> "np.ndarray":
+    """Positional (non-deduplicated) variant of ``_combine_shingles`` —
+    winnowing needs k-gram hashes in document order."""
+    n = len(x)
+    if n == 0:
+        return x
+    if n < k:
+        acc = np.uint64(0)
+        for j in range(n):
+            acc = acc + x[j] * mult[j]
+        return np.array([acc], dtype=np.uint64)
+    w = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        w = w + x[j : n - k + 1 + j] * mult[j]
+    return w
+
+
+def winnow_fingerprints_udf(text: Column, k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): k-gram rolling hashes in document order, then the
+    minimum hash of every ``window``-length run of k-grams, deduplicated.
+
+    Guarantee: any shared token run of length ≥ window+k-1 contains a
+    complete shared window in both documents, whose minimum VALUE is
+    selected in both — so the docs share at least one fingerprint.
+    Density: ~2/(window+1) of the k-grams survive, giving a compact,
+    shuffle-friendly representation for containment/partial-overlap
+    detection (where MinHash's global Jaccard washes out a short match).
+
+    Arrow-batched numpy: one vectorized window-combine + one
+    sliding-window min per row."""
+    mult = _window_multipliers(k)
+
+    @F.pandas_udf("array<long>")
+    def wf(batch: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        with np.errstate(over="ignore"):
+            for h in batch:
+                if h is None or len(h) == 0:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                grams = _combine_shingles_seq(x, k, mult)
+                if len(grams) <= window:
+                    sel = np.array([grams.min()], dtype=np.uint64)
+                else:
+                    sel = np.unique(
+                        sliding_window_view(grams, window).min(axis=1)
+                    )
+                out.append(sel.astype(np.int64))
+        return pd.Series(out)
+
+    return wf(token_hashes(text))
+
+
 def minhash_signature_from_text(text: Column, k: int = 3, num_perm: int = 32) -> Column:
     """Fused shingle+MinHash in ONE Arrow round trip: token hashes JVM-side,
     then window-combine + permutation-min in numpy. The hot path for

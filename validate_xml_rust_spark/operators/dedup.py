@@ -356,6 +356,59 @@ def near_dedup(
     return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint sets ``(id, fingerprints)`` —
+    rolling-hash k-grams, min per window, deduplicated (see
+    functions/texthash.py:winnow_fingerprints_udf). The containment-
+    oriented fingerprint family: two docs sharing any token run of
+    ≥ window+shingle_k-1 words share a fingerprint, regardless of how
+    small that run is relative to either document."""
+    from validate_xml_rust_spark.functions.texthash import winnow_fingerprints_udf
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints_udf(F.col(text_col), shingle_k, window).alias(
+            "fingerprints"
+        ),
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+    max_bucket: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Candidate pairs sharing ≥ ``min_shared`` winnowing fingerprints:
+    explode fingerprints → self-join per fingerprint bucket (one shuffle
+    on the uniform hash key) → count shared per pair. Same degenerate-
+    bucket cap as the MinHash path (a boilerplate fingerprint shared by k
+    docs would otherwise fan out k²)."""
+    fp = winnow_fingerprints(df, id_col, text_col, shingle_k, window)
+    flat = fp.select("id", F.explode("fingerprints").alias("f"))
+    sizes = flat.groupBy("f").agg(F.count(F.lit(1)).alias("__bw"))
+    flat = flat.join(sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), "f")
+    a, b = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

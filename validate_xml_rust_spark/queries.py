@@ -993,6 +993,48 @@ FROM grid GROUP BY partition_id
 """
 
 
+def q_drift_ks_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition two-sample KS drift of n_chars vs the full-table
+    baseline (operators/drift.py). The oracle recomputes the KS statistic
+    from first principles in SQL: for every candidate value, both
+    empirical CDFs by counting, then the max absolute gap. (The asymptotic
+    p-value needs exp-series math; the statistic is the cross-engine
+    check.)"""
+    from validate_xml_rust_spark.operators.drift import (
+        ks_drift_check,
+        numeric_baseline,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    base = numeric_baseline(docs, "n_chars")  # < sample cap → all values
+    out = ks_drift_check(docs, "n_chars", base)
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_DRIFT_KS_NCHARS = """
+WITH vals AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL),
+base AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM base),
+np AS (SELECT pid, CAST(count(*) AS DOUBLE) AS n FROM vals GROUP BY pid),
+cand AS (
+  SELECT p.pid, b.v FROM (SELECT DISTINCT pid FROM vals) p CROSS JOIN (SELECT DISTINCT v FROM base) b
+  UNION SELECT DISTINCT pid, v FROM vals),
+gaps AS (
+  SELECT c.pid,
+         abs( (SELECT count(*) FROM vals s WHERE s.pid = c.pid AND s.v <= c.v) / np.n
+            - (SELECT count(*) FROM base b WHERE b.v <= c.v) / (SELECT m FROM nb) ) AS gap
+  FROM cand c JOIN np ON np.pid = c.pid)
+SELECT CAST(pid AS INT) AS partition_id, 'n_chars' AS column_name, 'ks' AS test,
+       round(max(gap), 6) AS statistic,
+       (SELECT CAST(n AS BIGINT) FROM np WHERE np.pid = gaps.pid) AS n
+FROM gaps GROUP BY pid
+"""
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic two-phase salted aggregation (operators/skew.py) over the
     few-hot-keys event_type column — the exact shape AQE does NOT cover
@@ -1195,6 +1237,7 @@ QUERIES = {
     "cube_order_stats": q_cube_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "drift_chi2_lang": q_drift_chi2_lang,
+    "drift_ks_nchars": q_drift_ks_nchars,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
     "scan_url_filters": q_scan_url_filters,
@@ -1236,6 +1279,7 @@ ORACLES = {
     "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
     "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
+    "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
     "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
