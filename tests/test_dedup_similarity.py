@@ -122,9 +122,46 @@ def test_embedding_near_duplicates(spark):
     e = _emb(spark)
     pairs = {
         (r["id_a"], r["id_b"]): r["cos_sim"]
-        for r in embedding_near_duplicates(e, threshold=0.999, n_planes=8).collect()
+        for r in embedding_near_duplicates(
+            e, threshold=0.999, bits_per_band=8, bands=4
+        ).collect()
     }
     assert (0, 100) in pairs and pairs[(0, 100)] >= 0.999999
+
+
+def test_embedding_near_duplicates_banded_recall(spark):
+    """Band-OR recall at a REAL threshold: planted pairs at cosine ~0.95
+    (theta ~18deg, where a single 10-bit bucket would recall only ~35%)
+    must be found at >=90% by 8 bands x 8 bits. Deterministic seeded
+    vectors -> the measured recall is stable across runs."""
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.similarity import (
+        embedding_near_duplicates as end,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    rows, planted = [], []
+    for i in range(150):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        # plant a ~0.95-cosine partner for every 3rd vector
+        if i % 3 == 0:
+            noise = rng.standard_normal(dim)
+            noise -= noise @ v * v
+            noise /= np.linalg.norm(noise)
+            w = 0.95 * v + np.sqrt(1 - 0.95**2) * noise
+            rows.append((1000 + i, [float(x) for x in w]))
+            planted.append((i, 1000 + i))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in end(e, threshold=0.93, bits_per_band=8, bands=8).collect()
+    }
+    recall = sum(1 for p in planted if p in found) / len(planted)
+    assert recall >= 0.9, recall
 
 
 def test_dedup_partitioning_invariance(spark):

@@ -307,27 +307,63 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 10,
+    bits_per_band: int = 8,
+    bands: int = 8,
+    max_bucket: int = 2000,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold, via LSH-bucket self-join
-    (exact-bucket match; high-cosine pairs collide with probability
-    (1 - θ/π)^n_planes ≈ high for θ ≈ 0). Output: id_a < id_b, cos_sim."""
+    """All pairs with cosine ≥ threshold, via BANDED sign-LSH (the
+    MinHash-banding structure applied to hyperplane signs): one
+    ``bands × bits_per_band``-bit signature per vector (single Arrow
+    matmul), each ``bits_per_band``-bit slice is a band key, candidates =
+    pairs colliding in ANY band, then exact-cosine verification.
+
+    Band-OR is what makes the recall usable at real thresholds: a single
+    exact-bucket match on 10 bits recalls only (1-θ/π)^10 ≈ 35% of
+    0.95-cosine pairs, while 8 bands of 8 bits recall
+    1-(1-p^8)^8 ≈ 99% at the same verification cost profile. Degenerate
+    buckets (zero vectors, boilerplate embeddings) are capped like the
+    MinHash path. Output: id_a < id_b, cos_sim."""
+    n_bits = bits_per_band * bands
+    mask = (1 << bits_per_band) - 1
     sigd = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        lsh_signature(F.col(vec_col), n_planes).alias("__sig"),
+        lsh_signature(F.col(vec_col), n_bits).alias("__sig"),
     )
-    a, b = sigd.alias("a"), sigd.alias("b")
-    return (
+    banded = sigd.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, shiftrightunsigned(__sig, b * {bits_per_band}) "
+                f"& {mask} AS key))"
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bw"))
+    banded = banded.join(
+        sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), ["band", "key"]
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
         a.join(
             b,
-            (F.col("a.__sig") == F.col("b.__sig"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    va = sigd.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = sigd.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

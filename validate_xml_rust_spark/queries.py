@@ -1161,6 +1161,58 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the gate: documents wrapped as binary
+    media payloads, featurized via the mapInPandas batch path
+    (operators/multimodal.py — Arrow batches in/out, deterministic
+    sha256-derived fake features standing in for the stubbed decoder).
+    The oracle recomputes byte length and two feature coordinates from
+    sha256 hex entirely in SQL (nibble lookup), so the batch-UDF schema,
+    iteration, and featurizer math are all cross-engine checked."""
+    from validate_xml_rust_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("MEDIA:"), F.col("doc_id").cast("string"), F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ),
+        "UTF-8",
+    )
+    media = docs.select(
+        F.col("doc_id").alias("id"), kind.alias("kind"), payload.alias("payload")
+    )
+    feats = extract_features(media, fake_decoder=True)
+    return feats.select(
+        "id",
+        "kind",
+        "payload_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 16), 6).alias("f15"),
+    )
+
+
+_NIBBLE = "strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1"
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         'MEDIA:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '') AS s
+  FROM documents),
+h AS (SELECT id, kind, CAST(octet_length(encode(s)) AS BIGINT) AS payload_bytes,
+             sha256(s) AS hx FROM m)
+SELECT id, kind, payload_bytes,
+       round((({_NIBBLE.format(pos=1)}) * 16 + ({_NIBBLE.format(pos=2)})) / 256.0, 6) AS f0,
+       round((({_NIBBLE.format(pos=31)}) * 16 + ({_NIBBLE.format(pos=32)})) / 256.0, 6) AS f15
+FROM h
+"""
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming replay equals batch SQL: the events table read
     as an AvailableNow file-source stream, tumbling 1-hour event-time
@@ -1243,6 +1295,7 @@ QUERIES = {
     "scan_url_filters": q_scan_url_filters,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "streaming_events_hourly": q_streaming_events_hourly,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -1285,4 +1338,5 @@ ORACLES = {
     "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
     "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
     "streaming_events_hourly": ORACLE_EVENTS_HOURLY,  # stream == batch
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }
