@@ -1,0 +1,88 @@
+"""Curation operators: deterministic sampling, decontamination, PII
+redaction (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.operators.curation import (
+    contamination_flags,
+    hash_sample,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df.repartition(1), 0.3, "k").collect()}
+    s8 = {r["k"] for r in hash_sample(df.repartition(8), 0.3, "k").collect()}
+    assert s1 == s8  # membership is content-keyed, not partition-keyed
+    # rate lands near the target (md5 tickets are uniform)
+    assert 0.25 < len(s1) / 4000 < 0.35
+    # monotone: a 10% sample is a subset of the 30% sample (same seed)
+    s_small = {r["k"] for r in hash_sample(df, 0.1, "k").collect()}
+    assert s_small <= s1
+    # different seed → different sample
+    s_seed = {r["k"] for r in hash_sample(df, 0.3, "k", seed="other").collect()}
+    assert s_seed != s1
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr"))
+            for i in range(8000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.1}, key_col="k", default_rate=0.0
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.44 < got["en"] / 4000 < 0.56
+    assert 0.05 < got["de"] / 2000 < 0.16
+    assert "fr" not in got  # default_rate 0 drops absent strata entirely
+
+
+def test_contamination_flags_planted(spark):
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark passage about unusual zebras dancing on tables")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words then the secret benchmark passage about unusual "
+                "zebras dancing on tables and a suffix"),       # contains it
+            (2, "entirely unrelated content with no overlap whatsoever in any "
+                "eight gram window of this text at all here"),  # clean
+            (3, "short doc"),                                   # < n words, no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
+           for r in contamination_flags(docs, bench, n=8).collect()}
+    assert out[1][0] is True and out[1][1] >= 1
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 0)
+    # every doc in the input appears exactly once in the output
+    assert set(out) == {1, 2, 3}
+
+
+def test_redact_pii_counts_and_output(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test-site.org or x@y.io, server 192.168.1.10, "
+                "call 555-123-4567 twice: 555-123-4567"),
+            (2, "no pii here; version 1.2 is not an ip and 12-34 not a phone"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ip"], r1["n_phone"]) == (2, 1, 2)
+    assert "<EMAIL>" in r1["redacted"] and "<IP>" in r1["redacted"]
+    assert "555-123-4567" not in r1["redacted"]
+    assert "@" not in r1["redacted"]
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["redacted"] == "no pii here; version 1.2 is not an ip and 12-34 not a phone"
+    assert out[3]["redacted"] == ""  # null text → empty, never a failure

@@ -1,0 +1,140 @@
+"""Training-data curation operators: deterministic sampling, benchmark
+decontamination, PII redaction.
+
+These are the pipeline steps between validation/dedup and training that
+the engine's users run at corpus scale:
+
+- ``hash_sample`` / ``stratified_sample`` — DETERMINISTIC sampling keyed
+  on content identity (md5-derived 32-bit ticket), not ``rand()``: the
+  same row is always in or out regardless of partitioning, retries, or
+  cluster size — reproducible datasets, and restatable in ANSI SQL for
+  the oracle gate (unlike xxhash64).
+- ``contamination_flags`` — test-set decontamination: flag documents
+  sharing any word n-gram with a benchmark corpus. The benchmark's n-gram
+  hash set is tiny (broadcast); the corpus side is one explode + one
+  broadcast join — no shuffle of the corpus.
+- ``redact_pii`` — email/phone/IPv4 scrubbing with match counts, pure
+  JVM regex (patterns restricted to the Java∩RE2 common subset so the
+  DuckDB oracle can restate them verbatim).
+
+Scale notes: sampling is a stateless per-row predicate (no shuffle);
+decontamination shuffles NOTHING on the corpus side when the benchmark
+set broadcasts (the common case — benchmarks are ≤10^6 n-grams); at
+10^12 docs the explode emits ~n_words rows per doc but they stream
+through the broadcast join without materializing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.functions.texthash import shingle_hashes
+
+# 32-bit ticket space for sampling decisions
+TICKET_SPACE = 1 << 32
+
+
+def sample_ticket(key: Column, seed: str = "s0") -> Column:
+    """Deterministic 32-bit sampling ticket: first 8 hex chars of
+    md5(seed || key). md5 (not xxhash64) so the DuckDB oracle can compute
+    the identical ticket."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by content identity: row kept iff
+    ticket(key) < rate·2³². Reproducible across runs, partitionings, and
+    engines; rows keep their membership when the corpus is re-ingested."""
+    return df.filter(sample_ticket(F.col(key_col), seed) < int(rate * TICKET_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing for a
+    training mix): stratum s keeps ``fractions[s]`` of its rows, absent
+    strata keep ``default_rate``. Same ticket mechanism as hash_sample —
+    one stateless predicate, no shuffle, no rand()."""
+    thr: Column = F.lit(int(default_rate * TICKET_SPACE))
+    for s, r in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(int(r * TICKET_SPACE))).otherwise(thr)
+    return df.filter(sample_ticket(F.col(key_col), seed) < thr)
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the number of distinct
+    word ``n``-grams it shares with the benchmark corpus (0 = clean).
+
+    Output: ``id, n_contaminated_ngrams, contaminated``. Drop/keep
+    policy belongs to the caller (``.filter(~col('contaminated'))``).
+
+    The benchmark n-gram hash set broadcasts (benchmarks are small);
+    the corpus side streams explode→join→count with one final groupBy on
+    the doc id. ``broadcast=False`` for pathological benchmark sizes."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(bench_text_col), n)).alias("__g")
+        ).distinct()
+    )
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("__g"),
+    ).distinct()
+    hits = doc_grams.join(bench_grams, "__g").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_ngrams")
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns — Java∩RE2 common subset ONLY (no lookarounds, no \b
+# differences: \b is ASCII word boundary in both). Order matters: emails
+# before IPs before phones (an already-redacted token can't re-match).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers, with per-kind match counts
+    (``n_email, n_ip, n_phone``) for audit rows. Pure JVM regex — one
+    codegen'd projection, no Python."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    red = t
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(red, F.lit(pat)))
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(out_col, red)

@@ -1161,6 +1161,142 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation queries (operators/curation.py): deterministic sampling,
+# benchmark decontamination, PII redaction.
+# ---------------------------------------------------------------------------
+
+# the md5-derived 32-bit sampling ticket, restated for DuckDB: Σ nibble·16^k
+_ORACLE_TICKET = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), "
+    "CAST(i AS INT), 1)) - 1) * power(16, 8 - i)))"
+)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling (curation.hash_sample): the
+    same rows are in the 25% sample on every run, partitioning, and
+    engine — the oracle recomputes the md5 ticket nibble-by-nibble."""
+    from validate_xml_rust_spark.operators.curation import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25, "doc_id").select("doc_id", "lang")
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_ORACLE_TICKET} < {int(0.25 * (1 << 32))}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing (curation.stratified_sample): en keeps
+    50%, de 20%, everything else 5% — the training-mix knob, same
+    deterministic ticket."""
+    from validate_xml_rust_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2}, key_col="doc_id",
+        default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_ORACLE_TICKET} <
+      CASE lang WHEN 'en' THEN {int(0.5 * (1 << 32))}
+                WHEN 'de' THEN {int(0.2 * (1 << 32))}
+                ELSE {int(0.05 * (1 << 32))} END
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.contamination_flags): docs
+    sharing any word 8-gram with the 'benchmark' subset (doc_id%100==7)
+    are flagged with their shared-gram count. Oracle: string 8-gram set
+    intersection in DuckDB."""
+    from validate_xml_rust_spark.operators.curation import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    return contamination_flags(docs, bench, n=8)
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) = 0 THEN []
+           WHEN len(w) >= 8 THEN
+             list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS gram
+    FROM toks)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 7),
+hits AS (SELECT g.doc_id, count(*) AS n FROM g JOIN bench USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (curation.redact_pii): deterministic emails / IPs /
+    phone numbers are appended to each document, then redacted with
+    per-kind match counts. Oracle: the same Java∩RE2 patterns via DuckDB
+    regexp_replace + regexp_extract_all, applied in the same order."""
+    from validate_xml_rust_spark.operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact doc"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted"
+    )
+
+
+ORACLE_REDACT_PII = r"""
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text,'') || ' contact doc' || CAST(doc_id AS VARCHAR) ||
+         '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         '.1 or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents),
+s1 AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+  FROM inj),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(r1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+         regexp_replace(r1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         CAST(len(regexp_extract_all(r2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phone,
+         regexp_replace(r2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+  FROM s2)
+SELECT doc_id, n_email, n_ip, n_phone, redacted FROM s3
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the gate: documents wrapped as binary
     media payloads, featurized via the mapInPandas batch path
@@ -1296,6 +1432,10 @@ QUERIES = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "streaming_events_hourly": q_streaming_events_hourly,
     "multimodal_features": q_multimodal_features,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
 }
 
 ORACLES = {
@@ -1339,4 +1479,8 @@ ORACLES = {
     "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
     "streaming_events_hourly": ORACLE_EVENTS_HOURLY,  # stream == batch
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "hash_sample": ORACLE_HASH_SAMPLE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "redact_pii": ORACLE_REDACT_PII,
 }
