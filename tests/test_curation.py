@@ -86,3 +86,31 @@ def test_redact_pii_counts_and_output(spark):
     assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
     assert r2["redacted"] == "no pii here; version 1.2 is not an ip and 12-34 not a phone"
     assert out[3]["redacted"] == ""  # null text → empty, never a failure
+
+
+def test_pack_sequences_properties(spark):
+    """Packing invariants: budget respected (unless a single doc exceeds
+    it), packs are contiguous id runs within a partition, every doc packed
+    exactly once, oversized docs isolated."""
+    from validate_xml_rust_spark.operators.curation import pack_sequences
+
+    rows = [(i, i % 2, 300 + (i * 97) % 500) for i in range(200)]
+    rows.append((1000, 0, 5000))  # oversized doc: own pack
+    df = spark.createDataFrame(rows, "doc_id long, partition_id int, n_tokens int")
+    out = pack_sequences(df, max_tokens=2048).collect()
+    assert len(out) == len(rows)
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack in by_pack.values():
+        total = sum(r["n_tokens"] for r in pack)
+        assert total <= 2048 or len(pack) == 1  # budget or singleton
+        ids = sorted(r["doc_id"] for r in pack)
+        pid = pack[0]["partition_id"]
+        assert all(r["partition_id"] == pid for r in pack)
+        # contiguity: no other doc of this partition falls inside the range
+        in_range = [r for r in out if r["partition_id"] == pid
+                    and ids[0] <= r["doc_id"] <= ids[-1]]
+        assert sorted(r["doc_id"] for r in in_range) == ids
+    big = [r for r in out if r["doc_id"] == 1000]
+    assert len(by_pack[big[0]["pack_id"]]) == 1

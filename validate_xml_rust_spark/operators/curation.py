@@ -125,6 +125,61 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+PACK_SCHEMA = "doc_id long, partition_id int, pack_id long, n_tokens int"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    partition_col: str = "partition_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: within each
+    logical partition, docs are taken in ``id`` order and appended to the
+    current pack until adding one would exceed ``max_tokens``; then a new
+    pack opens. A doc longer than the budget gets a pack of its own.
+
+    Output: ``doc_id, partition_id, pack_id, n_tokens`` where pack_id is
+    partition-scoped (partition_id·2³² + seq — globally unique, stable).
+
+    The fold is inherently sequential PER PARTITION (a running budget
+    with resets is not a window function), so it runs as one grouped-map
+    ``applyInPandas`` over the partition column — each group is one Arrow
+    batch in, one out, numpy/python only over that group's (id, tokens)
+    pairs, never row-at-a-time through the JVM. At corpus scale the
+    partition count bounds parallelism, so partitions should be sized to
+    O(10⁴-10⁵) docs (the usual shard size)."""
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__id")
+        pid = int(pdf["__pid"].iloc[0])
+        packs, budget, seq = [], 0, -1
+        for t in pdf["__tok"]:
+            t = int(t) if t is not None and t == t else 0
+            if seq < 0 or budget + t > max_tokens:
+                seq += 1
+                budget = 0
+            budget += t
+            packs.append((pid << 32) + seq)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["__id"],
+                "partition_id": pid,
+                "pack_id": packs,
+                "n_tokens": [int(t) if t == t else 0 for t in pdf["__tok"]],
+            }
+        )
+
+    prepared = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(partition_col).cast("int").alias("__pid"),
+        F.col(tokens_col).cast("int").alias("__tok"),
+    )
+    return prepared.groupBy("__pid").applyInPandas(pack, PACK_SCHEMA)
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
 ) -> DataFrame:

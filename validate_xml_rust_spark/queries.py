@@ -1297,6 +1297,43 @@ SELECT doc_id, n_email, n_ip, n_phone, redacted FROM s3
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (curation.pack_sequences): docs fill a
+    2000-char budget per pack, in id order within each of 4 logical
+    partitions. The running-budget-with-reset fold is not a window
+    function — Spark runs it as grouped-map applyInPandas; the oracle
+    re-derives the identical packing with a RECURSIVE CTE in DuckDB."""
+    from validate_xml_rust_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 4).cast("int")
+    )
+    return pack_sequences(
+        docs, max_tokens=2000, tokens_col="n_chars"
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH RECURSIVE o AS (
+  SELECT CAST(doc_id % 4 AS INT) AS pid, doc_id,
+         CAST(coalesce(n_chars, 0) AS INT) AS tok,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM documents),
+r AS (
+  SELECT pid, rn, doc_id, tok, CAST(0 AS BIGINT) AS seq, tok AS budget
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.pid, o.rn, o.doc_id, o.tok,
+         CASE WHEN r.budget + o.tok > 2000 THEN r.seq + 1 ELSE r.seq END,
+         CASE WHEN r.budget + o.tok > 2000 THEN o.tok ELSE r.budget + o.tok END
+  FROM r JOIN o ON o.pid = r.pid AND o.rn = r.rn + 1)
+SELECT doc_id, pid AS partition_id,
+       CAST(pid AS BIGINT) * 4294967296 + seq AS pack_id,
+       tok AS n_tokens
+FROM r
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the gate: documents wrapped as binary
     media payloads, featurized via the mapInPandas batch path
@@ -1436,6 +1473,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1483,4 +1521,5 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "redact_pii": ORACLE_REDACT_PII,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }
