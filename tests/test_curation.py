@@ -114,3 +114,17 @@ def test_pack_sequences_properties(spark):
         assert sorted(r["doc_id"] for r in in_range) == ids
     big = [r for r in out if r["doc_id"] == 1000]
     assert len(by_pack[big[0]["pack_id"]]) == 1
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle: the benchmark gram set is the
+    broadcast side of the join."""
+    docs = spark.createDataFrame(
+        [(i, "some words repeated here for doc %d padding out the text" % i)
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id < 3")
+    out = contamination_flags(docs, bench, n=4)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
