@@ -60,3 +60,22 @@ def test_fingerprint_normalization(spark):
     fps = {r["fp_md5"] for r in rows}
     rolls = {r["fp_roll"] for r in rows}
     assert len(fps) == 1 and len(rolls) == 1  # all normalize identically
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from validate_xml_rust_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now buy now buy now buy now"),  # spam
+            (1, "each word in this sentence appears exactly once here"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["repetitive"] and out[0]["unigram_rep"] > 0.5
+    assert out[0]["bigram_rep"] > 0.5  # "buy now" repeats as a bigram too
+    assert not out[1]["repetitive"] and out[1]["unigram_rep"] == 0.0
+    assert out[2]["unigram_rep"] == 0.0 and out[3]["bigram_rep"] == 0.0

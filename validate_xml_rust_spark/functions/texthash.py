@@ -147,6 +147,29 @@ def winnow_fingerprints_udf(text: Column, k: int = 3, window: int = 4) -> Column
     return wf(token_hashes(text))
 
 
+def gram_repetition_udf(text: Column, k: int = 2) -> Column:
+    """Fraction of duplicated k-grams: 1 − distinct/total over positional
+    k-gram hashes (the Gopher-style intra-document repetition signal).
+    Arrow-batched numpy — a per-gram expression fold would be interpreted
+    (repo rule: >~10 array ops/row → Arrow)."""
+    mult = _window_multipliers(k)
+
+    @F.pandas_udf("double")
+    def rep(batch: pd.Series) -> pd.Series:
+        out = np.zeros(len(batch), dtype=np.float64)
+        with np.errstate(over="ignore"):
+            for i, h in enumerate(batch):
+                if h is None or len(h) == 0:
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                grams = _combine_shingles_seq(x, k, mult)
+                if len(grams):
+                    out[i] = 1.0 - len(np.unique(grams)) / len(grams)
+        return pd.Series(np.round(out, 6))
+
+    return rep(token_hashes(text))
+
+
 def minhash_signature_from_text(text: Column, k: int = 3, num_perm: int = 32) -> Column:
     """Fused shingle+MinHash in ONE Arrow round trip: token hashes JVM-side,
     then window-combine + permutation-min in numpy. The hot path for

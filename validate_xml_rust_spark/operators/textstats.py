@@ -128,6 +128,38 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", flag_threshold: float = 0.2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals:
+
+    - ``unigram_rep`` — fraction of duplicated word tokens
+      (1 − distinct/total; pure expressions, codegen),
+    - ``bigram_rep``  — fraction of duplicated word bigrams (Arrow numpy
+      over positional gram hashes — see texthash.gram_repetition_udf),
+    - ``repetitive``  — either ratio above ``flag_threshold`` (the
+      boilerplate/spam drop signal).
+    """
+    from validate_xml_rust_spark.functions.texthash import gram_repetition_udf
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(F.trim(t)), r"[^a-z0-9]+"), lambda x: F.length(x) > 0)
+    n = F.size(words)
+    uni = F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    bi = gram_repetition_udf(F.col(text_col), k=2)
+    return (
+        df.withColumn("unigram_rep", uni)
+        .withColumn("bigram_rep", bi)
+        .withColumn(
+            "repetitive",
+            (F.col("unigram_rep") > flag_threshold)
+            | (F.col("bigram_rep") > flag_threshold),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprints:
 

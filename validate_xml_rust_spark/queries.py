@@ -1161,6 +1161,46 @@ FROM documents
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition (textstats.repetition_stats):
+    duplicated-unigram and duplicated-bigram fractions + the drop flag.
+    The oracle recomputes both ratios over string tokens/bigram strings
+    (hash-domain vs string-domain equivalence, as with the Jaccard
+    oracles)."""
+    from validate_xml_rust_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "unigram_rep", "bigram_rep", "repetitive"
+    )
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+              ELSE [array_to_string(w, ' ')] END AS bg
+  FROM toks),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) END AS unigram_rep,
+         CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS bigram_rep
+  FROM g)
+SELECT doc_id, unigram_rep, bigram_rep,
+       (unigram_rep > 0.2 OR bigram_rep > 0.2) AS repetitive
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation queries (operators/curation.py): deterministic sampling,
 # benchmark decontamination, PII redaction.
@@ -1474,6 +1514,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
+    "repetition_stats": q_repetition_stats,
 }
 
 ORACLES = {
@@ -1522,4 +1563,5 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "redact_pii": ORACLE_REDACT_PII,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "repetition_stats": ORACLE_REPETITION_STATS,
 }
