@@ -108,3 +108,65 @@ def test_validate_full_content_mode_scoping(spark):
     res = validate_full(df, spark, reg, route_mode="content")
     dups = res.table_violations.collect()
     assert len(dups) == 2 and all(r["url"] == "https://a/1" for r in dups)
+
+
+def test_validate_full_contamination_and_near_dup(spark):
+    """Spec-declared curation policy: contamination + near-dup as
+    table-scope constraints, violations in the engine contract."""
+    base_text = ("the quick brown fox jumps over the lazy dog while the cat "
+                 "watches from the warm windowsill in the garden")
+    rows = [
+        ("u0", base_text, "en", 0),
+        ("u1", base_text, "en", 0),                                # near/exact dup of u0
+        ("u2", "totally different words about spark shuffles and "
+               "partitions with no overlap at all anywhere", "en", 0),
+        ("u3", "prefix junk then secret holdout benchmark passage about "
+               "purple elephants juggling nine flaming torches plus a "
+               "suffix", "en", 0),                                 # contaminated
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string, partition_id int")
+    bench = spark.createDataFrame(
+        [("b0", "secret holdout benchmark passage about purple elephants "
+                "juggling nine flaming torches")],
+        "bid string, text string",
+    )
+    spec = Spec(
+        "web-v1",
+        (
+            Constraint("no_bench_overlap", "text", "contamination",
+                       {"benchmark": "holdout", "n": 8}),
+            Constraint("no_near_dups", "text", "near_dup", {"threshold": 0.8}),
+        ),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    ctx = TableContext(ref_tables={"holdout": bench})
+    res = validate_full(df, spark, reg, ctx)
+    v = {(r["constraint_id"], r["url"]): r for r in res.table_violations.collect()}
+    assert ("no_bench_overlap", "u3") in v
+    assert int(v[("no_bench_overlap", "u3")]["observed_value"]) >= 1
+    assert ("no_near_dups", "u1") in v          # u1 loses to u0 (min id)
+    assert v[("no_near_dups", "u1")]["observed_value"] == "u0"
+    assert all(u not in ("u0", "u2") for c, u in v)  # survivors untouched
+
+
+def test_repetition_row_constraint(spark):
+    """Declarative Gopher repetition bound as a row-scope spec kind."""
+    from validate_xml_rust_spark.operators.validate import validate
+
+    rows = [
+        ("u0", "buy now " * 20, "en"),
+        ("u1", "every word here is used exactly once in this document", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    spec = Spec(
+        "web-v1",
+        (Constraint("low_repetition", "text", "repetition",
+                    {"k": 2, "max_ratio": 0.2}),),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    res = validate(df, spark, reg, route_col="lang")
+    st = {r["url"]: r["status"] for r in res.verdicts.collect()}
+    assert st == {"u0": "invalid", "u1": "valid"}
+    viol = res.violations().collect()
+    assert len(viol) == 1 and viol[0]["constraint_id"] == "low_repetition"
+    assert float(viol[0]["observed_value"]) > 0.2

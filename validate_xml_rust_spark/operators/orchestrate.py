@@ -72,6 +72,48 @@ def _table_violations_for(
             broadcast=c.params.get("broadcast", True),
         )
         return v.select(*VIOLATION_COLS)
+    if c.kind == "contamination":
+        from validate_xml_rust_spark.operators.curation import contamination_flags
+
+        bench = ctx.ref_tables[c.params["benchmark"]]
+        flags = contamination_flags(
+            df, bench,
+            id_col=id_col, text_col=c.column,
+            bench_text_col=c.params.get("bench_text_col", c.column),
+            n=int(c.params.get("n", 8)),
+            broadcast=c.params.get("broadcast", True),
+        )
+        max_hits = int(c.params.get("max_hits", 0))
+        return flags.filter(F.col("n_contaminated_ngrams") > max_hits).select(
+            F.col(id_col).cast("string").alias("url"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col("n_contaminated_ngrams").cast("string").alias("observed_value"),
+            F.concat(
+                F.lit("shares "), F.col("n_contaminated_ngrams").cast("string"),
+                F.lit(f" {c.params.get('n', 8)}-grams with benchmark "),
+                F.lit(c.params["benchmark"]),
+            ).alias("message"),
+        )
+    if c.kind == "near_dup":
+        from validate_xml_rust_spark.operators.dedup import (
+            connected_components,
+            minhash_near_duplicates,
+        )
+
+        pairs = minhash_near_duplicates(
+            df, id_col=id_col, text_col=c.column,
+            threshold=float(c.params.get("threshold", 0.8)),
+        )
+        comp = connected_components(pairs)
+        return comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").cast("string").alias("url"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col("component").cast("string").alias("observed_value"),
+            F.concat(
+                F.lit("near-duplicate of "), F.col("component").cast("string"),
+                F.lit(f" (jaccard >= {c.params.get('threshold', 0.8)})"),
+            ).alias("message"),
+        )
     if c.kind == "drift":
         from validate_xml_rust_spark.operators.drift import (
             chi2_drift_check,

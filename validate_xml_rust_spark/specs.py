@@ -48,9 +48,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 ROW_KINDS = frozenset(
-    {"not_null", "regex", "range", "isin", "length", "utf8", "expr", "pandas_check"}
+    {"not_null", "regex", "range", "isin", "length", "utf8", "expr",
+     "pandas_check", "repetition"}
 )
-TABLE_KINDS = frozenset({"unique", "referential", "drift"})
+TABLE_KINDS = frozenset({"unique", "referential", "drift", "contamination", "near_dup"})
 
 
 @dataclass(frozen=True)
@@ -183,6 +184,22 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
         pred = F.expr(p["predicate"])
         fail = ~F.coalesce(pred, F.lit(False))
         msg = f"predicate failed: {p['predicate']}"
+    elif c.kind == "repetition":
+        # Gopher-style intra-doc repetition bound: fraction of duplicated
+        # k-grams must stay ≤ max_ratio (Arrow numpy — spam/boilerplate
+        # drop signal as a declarative row constraint)
+        from validate_xml_rust_spark.functions.texthash import gram_repetition_udf
+
+        ratio = gram_repetition_udf(col, int(p.get("k", 2)))
+        fail = col.isNotNull() & (ratio > float(p["max_ratio"]))
+        msg = (
+            f"{c.column} duplicated {p.get('k', 2)}-gram ratio exceeds "
+            f"{p['max_ratio']}"
+        )
+        return CompiledCheck(
+            c.constraint_id, c.column, c.severity, fail,
+            ratio.cast("string"), msg,
+        )
     elif c.kind == "pandas_check":
         # Arrow-batched named validator (functions/pandas_checks.py) — the
         # "pandas/Arrow UDF batch validator" slot of the north star. Null
