@@ -401,3 +401,31 @@ def test_winnowing_guarantee_and_candidates(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              winnow_candidate_pairs(docs, shingle_k=k, window=w).collect()}
     assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_minhash_eager_releases_caches(spark):
+    """eager=True materializes the pair result and releases the cached
+    shingle/signature frames — no corpus-sized cache strands in a
+    long-lived session (only the small checkpointed result survives)."""
+    from validate_xml_rust_spark.operators.dedup import minhash_near_duplicates
+
+    sc = spark.sparkContext
+
+    def pids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    # set-difference of RDD ids, not counts: the async ContextCleaner can
+    # reap OTHER tests' leftovers between reads, but ids WE create are
+    # referenced and stay until released
+    d = _docs(spark)
+    before = pids()
+    lazy = minhash_near_duplicates(d, threshold=0.5)
+    rows_l = {(r["id_a"], r["id_b"]) for r in lazy.collect()}
+    assert len(pids() - before) >= 2  # the documented lazy-mode behavior
+    spark.catalog.clearCache()
+
+    before = pids()
+    eager = minhash_near_duplicates(d, threshold=0.5, eager=True)
+    rows_e = {(r["id_a"], r["id_b"]) for r in eager.collect()}
+    assert rows_e == rows_l
+    assert len(pids() - before) <= 1  # only the checkpointed result itself

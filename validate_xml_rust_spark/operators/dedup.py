@@ -141,10 +141,16 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    eager: bool = False,
 ) -> DataFrame:
     """Verified near-dup pairs ``(id_a, id_b, jaccard)``: LSH candidates
     re-checked with exact Jaccard over shingle hashes (two broadcast-
-    friendly joins back to the shingle sets)."""
+    friendly joins back to the shingle sets).
+
+    ``eager=True`` materializes the (small) pair result immediately and
+    releases the cached shingle/signature frames before returning — the
+    right mode inside long-lived sessions (the lazy default strands two
+    persisted frames until the caller clears the cache)."""
     from pyspark.storagelevel import StorageLevel
 
     from validate_xml_rust_spark.functions.texthash import minhash_signature
@@ -170,6 +176,11 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        out = j.localCheckpoint(eager=True)
+        sig.unpersist()
+        sh.unpersist()
+        return out
     return j
 
 
@@ -179,6 +190,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     chunk_bits: int = 16,
+    eager: bool = False,
 ) -> DataFrame:
     """SimHash near-dups: pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -218,6 +230,10 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if eager:
+        out = pairs.localCheckpoint(eager=True)
+        h.unpersist()
+        return out
     return pairs
 
 
@@ -344,8 +360,12 @@ def near_dedup(
     near-dup subgraph). ``broadcast_drop=False`` for corpora where the
     duplicate set itself is too large to broadcast (falls back to a
     sort-merge anti-join)."""
+    # eager: materialize the (small) pairs table once and release the
+    # corpus-sized shingle/signature caches before the CC iterations —
+    # otherwise every CC round's edge scan would re-read them, and they
+    # would strand in cache past the call
     pairs = minhash_near_duplicates(
-        df, id_col, text_col, threshold=threshold, **minhash_kwargs
+        df, id_col, text_col, threshold=threshold, eager=True, **minhash_kwargs
     )
     comp = connected_components(pairs)
     drop = comp.filter(F.col("id") != F.col("component")).select(

@@ -562,7 +562,7 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from validate_xml_rust_spark.operators.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, eager=True
     )
 
 
@@ -584,7 +584,7 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from validate_xml_rust_spark.sources.corpus import synthetic_documents
 
     docs = synthetic_documents(spark, 600, n_partitions=8)
-    return simhash_near_duplicates(docs, max_hamming=3)
+    return simhash_near_duplicates(docs, max_hamming=3, eager=True)
 
 
 ORACLE_SIMHASH_NEARDUPS = """
