@@ -105,12 +105,9 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
         )
         return time.perf_counter() - t0, rows
 
-    # best of 2 measured runs (post-warmup) — steady-state, noise-resistant
-    s1, per_part = run_once()
-    s2, per_part2 = run_once()
-    secs = min(s1, s2)
-    if s2 < s1:
-        per_part = per_part2
+    # best of 3 measured runs (post-warmup) — steady-state, noise-resistant
+    runs = [run_once() for _ in range(3)]
+    secs, per_part = min(runs, key=lambda r: r[0])
     total = sum(r["total"] for r in per_part)
     _ = partition_pass_fail  # kept importable for parity runs
     return round(secs, 3), {

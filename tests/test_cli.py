@@ -72,3 +72,10 @@ def test_cli_filters_to_empty_input(capsys):
     code = main(["synth:100", "--include", "zzz://**"])
     assert code == 0
     assert "No documents found" in capsys.readouterr().out
+
+
+def test_cli_extension_filter_runs(capsys):
+    # synth pages have extension-less urls → --extension html filters all
+    # rows out → the empty-input short-circuit path (exit 0)
+    code = main(["synth:200", "-q", "--extension", "html"])
+    assert code == 0

@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=None, help="executor threads (default: all cores)")
     p.add_argument("--include", action="append", default=[], help="include glob (repeatable)")
     p.add_argument("--exclude", action="append", default=[], help="exclude glob (repeatable)")
+    p.add_argument(
+        "--extension", action="append", default=[],
+        help="keep only urls with this extension (repeatable; the reference's "
+             "--extension xml analog, applied to the url path)",
+    )
     p.add_argument("--fail-fast", action="store_true")
     p.add_argument("--verbosity", "-v", action="count", default=0)
     p.add_argument("--quiet", "-q", action="store_true")
@@ -106,6 +111,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = read_pages_dir(spark, args.path)
     df = glob_filters(df, include=args.include or None, exclude=args.exclude or None)
+    if args.extension:
+        from validate_xml_rust_spark.sources.scan import extension_filter
+
+        df = extension_filter(df, args.extension)
     df = with_partition_id(df, args.partitions)
 
     # empty-input short-circuit (src/validator.rs:432-438)
