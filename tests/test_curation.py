@@ -128,3 +128,9 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     out = contamination_flags(docs, bench, n=4)
     plan = out._jdf.queryExecution().sparkPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # the corpus gram stream reaches the broadcast probe WITHOUT any
+    # exchange: per-doc grams are already distinct, so the only shuffles
+    # in the whole plan are over the tiny hit/bench streams
+    corpus_side = plan.split("BroadcastHashJoin")[-1]
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchanges <= 2, plan  # hit-count agg + final id join only

@@ -95,10 +95,14 @@ def contamination_flags(
     )
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
+    # shingle_hashes is per-doc DISTINCT already (np.unique) — exploding
+    # yields unique (id, gram) pairs, so no corpus-wide distinct/shuffle
+    # is needed before the broadcast probe; the only shuffle is the
+    # per-doc count over the (tiny) hit stream
     doc_grams = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingle_hashes(F.col(text_col), n)).alias("__g"),
-    ).distinct()
+    )
     hits = doc_grams.join(bench_grams, "__g").groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_contaminated_ngrams")
     )
