@@ -327,7 +327,6 @@ def embedding_near_duplicates(
     mask = (1 << bits_per_band) - 1
     sigd = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
         lsh_signature(F.col(vec_col), n_bits).alias("__sig"),
     )
     banded = sigd.select(
@@ -355,8 +354,11 @@ def embedding_near_duplicates(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    va = sigd.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = sigd.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    # verify joins need only (id, vector) — take them from the RAW input,
+    # not sigd, or the signature UDF would be recomputed on both join
+    # sides (3x total) just to be projected away
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
