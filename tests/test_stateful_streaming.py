@@ -47,3 +47,53 @@ def test_first_seen_dedup_across_runs(spark, tmp_path):
     got = {r["url"]: (r["is_duplicate"], r["n_seen_before"]) for r in rows2}
     assert got["https://a/1"] == (True, 2)  # state survived the restart
     assert got["https://a/3"] == (False, 0)
+
+
+def test_streaming_near_dedup_cross_batch(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch is caught against
+    its batch-1 original via band-bucket keyed state — the incremental
+    capability the batch LSH operator lacks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from validate_xml_rust_spark.streaming.stateful import streaming_near_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six")
+    near = base.replace("five six", "seven eight")  # ~2/30 words changed
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2],
+                  "text": [base,
+                           "totally different words in the first batch here "
+                           "nothing shared with anything else at all",
+                           "another unrelated document full of spark jargon "
+                           "partitions shuffles and codegen stages"]}),
+        d / "a_batch1.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": [100, 101],
+                  "text": [near,
+                           "fresh unrelated second batch content with zero "
+                           "overlap against any earlier document"]}),
+        d / "b_batch2.parquet",
+    )
+    sdf = streaming_near_dedup(
+        spark, str(d), threshold=0.5, max_files_per_trigger=1
+    )
+    name = "near_dedup_stream_test"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).dropDuplicates(["id_new", "id_seen"]).collect()
+    pairs = {frozenset((r["id_new"], r["id_seen"])): r["est_jaccard"] for r in rows}
+    assert frozenset((0, 100)) in pairs          # cross-batch near-dup caught
+    assert pairs[frozenset((0, 100))] >= 0.5
+    assert all(101 not in p and 1 not in p and 2 not in p for p in pairs)

@@ -73,6 +73,109 @@ def streaming_first_seen_dedup(
     )
 
 
+NEARDUP_OUTPUT_SCHEMA = (
+    "band_key long, id_new long, id_seen long, est_jaccard double"
+)
+NEARDUP_STATE_SCHEMA = "ids array<long>, sigs array<string>"
+
+
+def _near_dedup_fn(num_perm: int, threshold: float, max_state: int):
+    """Stateful near-dup matcher for one LSH band bucket: state holds the
+    (id, MinHash signature) of every doc previously seen in this bucket;
+    each arriving doc is compared against them (signature-agreement
+    fraction is an unbiased Jaccard estimate) and appended. ``max_state``
+    caps degenerate buckets, mirroring the batch path's max_bucket."""
+    import numpy as np
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (band_key,) = key
+        if state.exists:
+            ids, sigs = list(state.get[0]), [
+                np.frombuffer(bytes.fromhex(s), dtype=np.int64) for s in state.get[1]
+            ]
+        else:
+            ids, sigs = [], []
+        out = []
+        for pdf in pdfs:
+            for doc_id, sig_list in zip(pdf["id"], pdf["sig"]):
+                sig = np.asarray(sig_list, dtype=np.int64)
+                for seen_id, seen_sig in zip(ids, sigs):
+                    est = float((sig == seen_sig).mean())
+                    if est >= threshold:
+                        out.append((band_key, int(doc_id), int(seen_id), round(est, 6)))
+                if len(ids) < max_state:
+                    ids.append(int(doc_id))
+                    sigs.append(sig)
+        state.update((ids, [s.tobytes().hex() for s in sigs]))
+        yield pd.DataFrame(
+            out, columns=["band_key", "id_new", "id_seen", "est_jaccard"]
+        )
+
+    return fn
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_state: int = 200,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Cross-batch NEAR-duplicate detection: streaming MinHash + LSH with
+    per-band-bucket keyed state (applyInPandasWithState). Each doc's
+    signature is computed in-stream (Arrow UDF), exploded into band keys;
+    a band bucket's state accumulates the docs ever seen there, and every
+    arrival is matched against them with the signature-agreement Jaccard
+    estimate. A doc arriving in batch 7 is caught against its near-dup
+    from batch 1 — the thing the batch operator cannot do incrementally.
+
+    The same pair can surface from several bands — dedupe downstream with
+    ``.dropDuplicates(['id_new','id_seen'])`` on the sink side (state is
+    per-band by design: bucket-sharded, bounded, mergeable). At cluster
+    scale the state store shards by band key (uniform hash — no skew),
+    RocksDB backend recommended; ``max_state`` bounds degenerate buckets
+    exactly like the batch path's ``max_bucket``."""
+    from validate_xml_rust_spark.functions.texthash import (
+        lsh_band_keys,
+        minhash_signature_from_text,
+    )
+
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(text_col, T.StringType()),
+            ]
+        )
+    rows_per_band = num_perm // bands
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    sig = stream.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_from_text(F.col(text_col), shingle_k, num_perm).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("b"),
+    ).select("id", "sig", F.col("b.key").alias("band_key"))
+    return banded.groupBy("band_key").applyInPandasWithState(
+        _near_dedup_fn(num_perm, threshold, max_state),
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     sdf: "DataFrame", checkpoint_dir: str, output_dir: str
 ) -> None:
