@@ -76,7 +76,7 @@ def streaming_first_seen_dedup(
 NEARDUP_OUTPUT_SCHEMA = (
     "band_key long, id_new long, id_seen long, est_jaccard double"
 )
-NEARDUP_STATE_SCHEMA = "ids array<long>, sigs array<string>"
+NEARDUP_STATE_SCHEMA = "ids array<long>, sigs array<binary>"
 
 
 def _near_dedup_fn(num_perm: int, threshold: float, max_state: int):
@@ -91,7 +91,7 @@ def _near_dedup_fn(num_perm: int, threshold: float, max_state: int):
         (band_key,) = key
         if state.exists:
             ids, sigs = list(state.get[0]), [
-                np.frombuffer(bytes.fromhex(s), dtype=np.int64) for s in state.get[1]
+                np.frombuffer(b, dtype=np.int64) for b in state.get[1]
             ]
         else:
             ids, sigs = [], []
@@ -106,7 +106,7 @@ def _near_dedup_fn(num_perm: int, threshold: float, max_state: int):
                 if len(ids) < max_state:
                     ids.append(int(doc_id))
                     sigs.append(sig)
-        state.update((ids, [s.tobytes().hex() for s in sigs]))
+        state.update((ids, [s.tobytes() for s in sigs]))
         yield pd.DataFrame(
             out, columns=["band_key", "id_new", "id_seen", "est_jaccard"]
         )
