@@ -97,3 +97,39 @@ def test_streaming_near_dedup_cross_batch(spark, tmp_path):
     assert frozenset((0, 100)) in pairs          # cross-batch near-dup caught
     assert pairs[frozenset((0, 100))] >= 0.5
     assert all(101 not in p and 1 not in p and 2 not in p for p in pairs)
+
+
+def test_streaming_near_dedup_across_runs(spark, tmp_path):
+    """State survives a RESTART (the north-rule resume contract applied to
+    dedup): run 1 ingests the original, the process 'stops', run 2 with
+    the same checkpoint ingests a near copy — caught against run-1 state
+    recovered from the parquet-sink checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from validate_xml_rust_spark.streaming.stateful import (
+        run_available_now,
+        streaming_near_dedup,
+    )
+
+    base = ("red orange yellow green blue indigo violet cyan magenta "
+            "crimson teal amber jade coral slate pearl onyx ruby topaz "
+            "ivory bronze copper silver golden rose lily fern moss sage "
+            "pine")
+    near = base.replace("pine", "oak")
+    d = tmp_path / "in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    pq.write_table(pa.table({"doc_id": [0], "text": [base]}), d / "r1.parquet")
+    run_available_now(streaming_near_dedup(spark, str(d)), ckpt, out)
+
+    pq.write_table(pa.table({"doc_id": [50], "text": [near]}), d / "r2.parquet")
+    run_available_now(streaming_near_dedup(spark, str(d)), ckpt, out)
+
+    pairs = {
+        frozenset((r["id_new"], r["id_seen"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert frozenset((0, 50)) in pairs  # run-2 arrival vs run-1 state
