@@ -14,6 +14,14 @@ cross-validates:
 Two different simhash implementations, two different pairing algorithms,
 two different engines. Rerun after any change to sources/corpus.py or the
 simhash implementations:  python tools/make_fixtures.py
+
+planted_vectors.parquet — an INPUT fixture (both engines read the same
+rows; nothing golden about it): 600 float32 vectors with 30 anchor
+clusters of 3 satellites each at cosine ~0.97 against 400+ random
+background vectors (max background cosine ~0.55). The driver's sf tables
+carry no high-cosine pairs, so the banded-LSH near-dup and LSH ANN gates
+need planted similarity structure to assert recall against the DuckDB
+brute-force oracle. Seeded numpy — byte-stable across regenerations.
 """
 
 from __future__ import annotations
@@ -25,6 +33,8 @@ import sys
 sys.path.insert(0, ".")
 
 N_DOCS = 600
+N_VECS, DIM, N_ANCHORS, N_SATS = 600, 32, 30, 3
+VEC_SEED = 4242
 
 
 def main() -> None:
@@ -44,6 +54,43 @@ def main() -> None:
     shutil.rmtree(tmp)
     print(f"wrote fixtures/simhash_docs_{N_DOCS}.parquet ({h.count()} rows)")
     spark.stop()
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(VEC_SEED)
+    vecs = np.zeros((N_VECS, DIM), dtype=np.float64)
+    # anchors at ids 0..N_ANCHORS-1; satellites of anchor i at
+    # 100 + N_SATS*i + j; everything else random background
+    for i in range(N_ANCHORS):
+        v = rng.standard_normal(DIM)
+        vecs[i] = v / np.linalg.norm(v)
+    for i in range(N_ANCHORS):
+        for j in range(N_SATS):
+            noise = rng.standard_normal(DIM)
+            a = vecs[i]
+            noise -= (noise @ a) * a
+            noise /= np.linalg.norm(noise)
+            c = 0.97 + 0.02 * rng.random()
+            vecs[100 + N_SATS * i + j] = c * a + np.sqrt(1 - c * c) * noise
+    for k in range(N_VECS):
+        if not vecs[k].any():
+            v = rng.standard_normal(DIM)
+            vecs[k] = v / np.linalg.norm(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k].astype(np.float32).tolist() for k in range(N_VECS)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        "fixtures/planted_vectors.parquet",
+    )
+    print(f"wrote fixtures/planted_vectors.parquet ({N_VECS} rows)")
 
 
 if __name__ == "__main__":

@@ -620,6 +620,69 @@ ORACLE_NGRAM_JACCARD = _oracle_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Planted-vector INPUT fixture (tools/make_fixtures.py): 30 anchor
+# clusters at cosine ~0.97 over random background (max background cosine
+# ~0.55) — the sf embeddings carry no high-cosine pairs, so the LSH
+# recall gates need planted similarity structure. Both engines read the
+# SAME rows; the oracle is an exhaustive brute-force restatement.
+_PLANTED_VECS = "/root/repo/fixtures/planted_vectors.parquet"
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup (the SCALE path, vs embedding_neardup_exact
+    the brute-force oracle path): 16 bands x 4 bits over the planted
+    vectors — equality with the full O(n²) cosine scan asserts recall is
+    exactly 1.0 at the 0.9 threshold (per-pair miss probability ~4e-6 at
+    cos 0.9, deterministic under the seeded planes)."""
+    from validate_xml_rust_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet(_PLANTED_VECS)
+    return embedding_near_duplicates(
+        emb, threshold=0.9, bits_per_band=4, bands=16
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP_LSH = f"""
+WITH e AS (SELECT vec_id, embedding FROM '{_PLANTED_VECS}'),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (ann_topk — candidates restricted to
+    signatures within probe_hamming of the query's bucket, then exact
+    rescoring) vs the exhaustive top-k oracle: equality asserts exact
+    recall@3 inside the query's planted cluster."""
+    from validate_xml_rust_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet(_PLANTED_VECS)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_topk(emb, qv, k=3, n_planes=12, probe_hamming=2, exclude_id=0)
+
+
+ORACLE_ANN_TOPK_LSH = f"""
+WITH q AS (SELECT embedding AS qv FROM '{_PLANTED_VECS}' WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nb
+  FROM '{_PLANTED_VECS}' e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(d/(na*nb), 6) AS cos_sim FROM s
+ORDER BY cos_sim DESC, vec_id LIMIT 3
+"""
+
+
 def q_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per nation — window ranking (W1 optional in
     SURVEY.md §2.5, realized as row_number over a partitioned window)."""
@@ -1515,6 +1578,8 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_topk_lsh": q_ann_topk_lsh,
 }
 
 ORACLES = {
@@ -1564,4 +1629,6 @@ ORACLES = {
     "redact_pii": ORACLE_REDACT_PII,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "repetition_stats": ORACLE_REPETITION_STATS,
+    "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
+    "ann_topk_lsh": ORACLE_ANN_TOPK_LSH,
 }
