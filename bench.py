@@ -186,6 +186,16 @@ def main() -> None:
         lambda: _force(minhash_near_duplicates(corpus, threshold=0.6))
     )
 
+    # Winnowing fingerprints + candidate pairs over the same 100k corpus
+    # (the containment-detection dedup family)
+    from validate_xml_rust_spark.operators.dedup import winnow_candidate_pairs
+
+    winnow_candidate_pairs(corpus, min_shared=2).count()  # steady-state warmup
+    spark.catalog.clearCache()
+    timings["winnow_pairs_100k"] = _time(
+        lambda: _force(winnow_candidate_pairs(corpus, min_shared=2))
+    )
+
     # IVF with a BUILT index (cluster_id-partitioned parquet): the probe
     # becomes a partition-pruned scan — contrast with q:ivf_ann_topk,
     # which retrains + reassigns per query.

@@ -413,11 +413,18 @@ def winnow_candidate_pairs(
     on the uniform hash key) → count shared per pair. Same degenerate-
     bucket cap as the MinHash path (a boilerplate fingerprint shared by k
     docs would otherwise fan out k²)."""
-    fp = winnow_fingerprints(df, id_col, text_col, shingle_k, window)
-    flat = fp.select("id", F.explode("fingerprints").alias("f"))
+    from pyspark.storagelevel import StorageLevel
+
+    # materialize the exploded fingerprints ONCE: the bucket-size pass and
+    # both self-join sides would otherwise each re-run the Arrow winnowing
+    # UDF over the whole corpus (3x measured ~10x wall) — same pattern as
+    # minhash_candidates' signature persist
+    flat = winnow_fingerprints(df, id_col, text_col, shingle_k, window).select(
+        "id", F.explode("fingerprints").alias("f")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = flat.groupBy("f").agg(F.count(F.lit(1)).alias("__bw"))
-    flat = flat.join(sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), "f")
-    a, b = flat.alias("a"), flat.alias("b")
+    capped = flat.join(sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), "f")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
