@@ -43,10 +43,19 @@ def _time(fn) -> float:
     t0 = time.perf_counter()
     fn()
     secs = round(time.perf_counter() - t0, 3)
-    # drop anything an operator persisted (LSH signatures etc.) so one
-    # query's cache never degrades the next query's measurement
+    # drop anything an operator persisted so one query's cache never
+    # degrades the next query's measurement. catalog.clearCache() only
+    # clears SQL-cached plans — localCheckpoint blocks (eager LSH results,
+    # CC rounds) are RDD-level persists and need the registry sweep, or
+    # they accumulate executor memory across the run (measured: +10s GC
+    # drag on queries later in the bench)
     if _SPARK is not None:
         _SPARK.catalog.clearCache()
+        jmap = _SPARK.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist()
     return secs
 
 
