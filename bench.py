@@ -40,9 +40,20 @@ def _force(df) -> None:
 
 
 def _time(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    secs = round(time.perf_counter() - t0, 3)
+    """Best of 2 executions (fresh plan each — operators are lazy thunks),
+    with the RDD/cache sweep between them: resilient to ambient machine
+    load without hiding per-query plan/codegen cost entirely."""
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        secs = round(time.perf_counter() - t0, 3)
+        best = secs if best is None else min(best, secs)
+        _sweep()
+    return best
+
+
+def _sweep() -> None:
     # drop anything an operator persisted so one query's cache never
     # degrades the next query's measurement. catalog.clearCache() only
     # clears SQL-cached plans — localCheckpoint blocks (eager LSH results,
@@ -56,7 +67,6 @@ def _time(fn) -> float:
             rdd = jmap.get(rid)
             if rdd is not None:
                 rdd.unpersist()
-    return secs
 
 
 def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, dict]:
