@@ -80,3 +80,29 @@ def test_windowed_verdict_counts_memory_sink(spark, tmp_path):
     # null warc_ts rows are dropped by the event-time groupBy; everything
     # else lands in some window
     assert 980 <= total <= 1000
+
+
+def test_streaming_verdicts_equal_batch_verdicts(spark, tmp_path):
+    """Fidelity: the incremental streaming path must emit EXACTLY the
+    verdict rows the batch path computes — per url: same status, same
+    error_count (the stream==batch guarantee the gate asserts for
+    aggregates, here at row granularity)."""
+    from validate_xml_rust_spark.operators.validate import validate
+
+    inp = str(tmp_path / "pages")
+    df = with_partition_id(pages(spark, 800), 4)
+    df.write.mode("append").parquet(inp)
+
+    validate_stream_available_now(
+        spark, inp, _registry(), str(tmp_path / "ck"), str(tmp_path / "out"), "eq"
+    )
+    stream_v = {
+        (r["url"], r["partition_id"]): (r["status"], r["error_count"])
+        for r in spark.read.parquet(f"{tmp_path}/out/verdicts").collect()
+    }
+    batch = validate(spark.read.parquet(inp), spark, _registry()).verdicts
+    batch_v = {
+        (r["url"], r["partition_id"]): (r["status"], r["error_count"])
+        for r in batch.collect()
+    }
+    assert stream_v == batch_v
