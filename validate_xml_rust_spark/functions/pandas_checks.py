@@ -123,4 +123,15 @@ def pandas_check_column(
             return pd.Series([], dtype=object)
         return pd.concat(slices)
 
+    if batch_timeout_ms is not None:
+        # The budget cut is wall-clock dependent: under task retry /
+        # speculation (or if Catalyst duplicated the expression) the NULL
+        # tail could start at different rows across evaluations, letting
+        # the fail check (ok == false) and its _timeout companion
+        # (ok IS NULL) disagree about which rows were evaluated. Marking
+        # the UDF nondeterministic stops Catalyst from duplicating or
+        # pushing it; verdict counts under an expired budget remain
+        # best-effort by contract (documented in specs.expand_constraint).
+        run = run.asNondeterministic()
+
     return run(col.cast("string"))

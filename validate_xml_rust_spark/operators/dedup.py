@@ -258,28 +258,17 @@ def connected_components(
         )
         .distinct()
     )
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+
     sc = pairs.sparkSession.sparkContext
-
-    def _pids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    def _release(ids: set) -> None:
-        # localCheckpoint blocks are persisted at the RDD level, outside
-        # the SQL CacheManager, so DataFrame.unpersist() cannot free them —
-        # release via the context's persistent-RDD registry instead
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            rdd = jmap.get(i)
-            if rdd is not None:
-                rdd.unpersist()
-
-    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
-        pre = _pids()
-        out = df.localCheckpoint(eager=True)
-        return out, _pids() - pre
-
+    # Checkpoint ids come straight off each checkpointed frame's LogicalRDD
+    # (ckpt.py) — NOT a registry set-diff, which would have captured the
+    # edges cache below (its buffer RDD registers during the first
+    # checkpoint's materializing action) and released it at the RDD level
+    # after round 1, silently forcing every later round's two edge scans to
+    # recompute the pairs plan.
     edges = edges.persist()
-    labels, ckpt_ids = _checkpoint(
+    labels, ckpt_ids = eager_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
@@ -322,7 +311,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels, new_ckpt_ids = _checkpoint(updated)
+        new_labels, new_ckpt_ids = eager_checkpoint(updated)
         # convergence test over two materialized, lineage-free frames
         # (labels frames are #near-dup-nodes rows — tiny next to the corpus)
         changed = (
@@ -335,7 +324,7 @@ def connected_components(
         # A checkpoint's blocks ARE its data (lineage-free): release the
         # superseded one only now that the newer checkpoint has
         # materialized and nothing in any live plan can reach it.
-        _release(ckpt_ids)
+        release_blocks(sc, ckpt_ids)
         ckpt_ids = new_ckpt_ids
         labels = new_labels
         if stats is not None:

@@ -100,9 +100,14 @@ def _table_violations_for(
             minhash_near_duplicates,
         )
 
+        # eager: checkpoint the (small) pairs table and release the
+        # corpus-sized shingle/signature caches BEFORE the CC iterations —
+        # a lazy default here would strand both in executor cache after
+        # every validation run (the long-session leak eager mode exists for)
         pairs = minhash_near_duplicates(
             df, id_col=id_col, text_col=c.column,
             threshold=float(c.params.get("threshold", 0.8)),
+            eager=True,
         )
         comp = connected_components(pairs)
         return comp.filter(F.col("id") != F.col("component")).select(

@@ -16,6 +16,8 @@ agrees with a from-scratch declarative restatement.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +30,11 @@ from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# committed oracle fixtures travel with the package — derive their location
+# from the module, not a hardcoded checkout path
+_FIXTURES = Path(__file__).resolve().parents[1] / "fixtures"
 
 
 # ---------------------------------------------------------------------------
@@ -587,8 +594,8 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, max_hamming=3, eager=True)
 
 
-ORACLE_SIMHASH_NEARDUPS = """
-WITH h AS (SELECT * FROM '/root/repo/fixtures/simhash_docs_600.parquet')
+ORACLE_SIMHASH_NEARDUPS = f"""
+WITH h AS (SELECT * FROM '{_FIXTURES / "simhash_docs_600.parquet"}')
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -625,7 +632,7 @@ ORACLE_NGRAM_JACCARD = _oracle_jaccard_pairs(
 # ~0.55) — the sf embeddings carry no high-cosine pairs, so the LSH
 # recall gates need planted similarity structure. Both engines read the
 # SAME rows; the oracle is an exhaustive brute-force restatement.
-_PLANTED_VECS = "/root/repo/fixtures/planted_vectors.parquet"
+_PLANTED_VECS = str(_FIXTURES / "planted_vectors.parquet")
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
