@@ -205,6 +205,22 @@ def main() -> None:
         lambda: _force(minhash_near_duplicates(corpus, threshold=0.6))
     )
 
+    # End-to-end curation pipeline over the same 100k corpus: validate-free
+    # config exercising the per-step checkpoint discipline (exact dedup →
+    # MinHash near-dedup → sample → pack). curate() materializes every
+    # step itself, so the timing needs no _force; release() frees the
+    # result checkpoints before the sweep.
+    from validate_xml_rust_spark.pipeline import curate
+
+    def _run_curate() -> None:
+        res = curate(
+            corpus, spark, near_dup_threshold=0.6,
+            sample_rate=0.9, pack_max_tokens=2048,
+        )
+        res.release()
+
+    timings["curate_100k"] = _time(_run_curate)
+
     # Winnowing fingerprints + candidate pairs over the same 100k corpus
     # (the containment-detection dedup family)
     from validate_xml_rust_spark.operators.dedup import winnow_candidate_pairs

@@ -56,6 +56,67 @@ def test_curate_end_to_end(spark):
     assert steps["pack"]["n_packs"] == len(by_pack)
 
 
+def test_curate_single_pass_per_step(spark):
+    """Each step's work executes ONCE: an accumulator-traced text column
+    counts how many times the source text is actually evaluated across the
+    whole curate() call — with per-step eager checkpoints the only
+    evaluations are exact_dedup's two source scans (fingerprint groupBy +
+    join-back), while the lazy-chain anti-pattern re-derives the full
+    lineage at every step count (≥3× more). Plus: the returned frames are
+    lineage-free block scans, and a repeat caller action costs exactly one
+    job."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    @F.udf("string")
+    def traced(t):
+        acc.add(1)
+        return t
+
+    n = 300
+    base = spark.range(n).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma delta epsilon zeta ', cast(id % 250 as string)) as raw",
+    )
+    docs = base.select("doc_id", traced(F.col("raw")).alias("text"))
+    res = curate(
+        docs, spark, near_dup_threshold=None, sample_rate=0.5, pack_max_tokens=64
+    )
+    evals = acc.value
+    # measured 4n: input count (Python UDFs aren't pruned by count),
+    # exact_dedup's two source scans, checkpoint materialization;
+    # sample/pack read the checkpointed blocks (0 source evals). The
+    # lazy-chain anti-pattern re-derives exact_dedup at every later step
+    # count (≥ 9n) — the bound separates the two shapes cleanly.
+    assert evals <= 4 * n, f"source text evaluated {evals} times for {n} rows"
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert steps["exact_dedup"]["rows_out"] == 250
+    # returned frames are materialized block scans, not re-derivable plans
+    for frame in (res.kept, res.packs):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan and "Join" not in plan, plan
+    # a repeat caller action on kept is exactly one (block-scan) job
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    res.kept.count()
+    new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    # ≤2: AQE may split the count into partial + final jobs; a lineage
+    # re-derivation (shuffles for dedup + packing) would be many more
+    assert len(new_jobs) <= 2, f"expected a block-scan count, saw {len(new_jobs)} jobs"
+    res.release()
+
+
+def test_pack_shard_is_content_derived(spark):
+    """pack_id assignment must not depend on physical partitioning: the
+    same docs at different parallelism produce identical packs."""
+    rows = [(i, "tok " * (5 + i % 7)) for i in range(120)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(11)
+    packs_a = curate(a, spark, near_dup_threshold=None, pack_max_tokens=40).packs
+    packs_b = curate(b, spark, near_dup_threshold=None, pack_max_tokens=40).packs
+    assert sorted(map(tuple, packs_a.collect())) == sorted(map(tuple, packs_b.collect()))
+
+
 def test_curate_minimal_config(spark):
     # no registry, no benchmark, no sampling: just dedup
     docs = spark.createDataFrame(

@@ -47,12 +47,21 @@ def main() -> None:
     h = docs.select("doc_id", simhash64_expr("text").alias("simhash"))
 
     os.makedirs("fixtures", exist_ok=True)
-    tmp = "fixtures/.simhash_tmp"
-    h.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-    shutil.move(os.path.join(tmp, part), f"fixtures/simhash_docs_{N_DOCS}.parquet")
-    shutil.rmtree(tmp)
-    print(f"wrote fixtures/simhash_docs_{N_DOCS}.parquet ({h.count()} rows)")
+
+    def write_one(df, name: str) -> None:
+        tmp = f"fixtures/.{name}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), f"fixtures/{name}.parquet")
+        shutil.rmtree(tmp)
+        print(f"wrote fixtures/{name}.parquet ({df.count()} rows)")
+
+    write_one(h, f"simhash_docs_{N_DOCS}")
+    # INPUT snapshot of the planted corpus itself (doc_id, text): the
+    # exact-dup and curation-lineage oracles brute-force their CTE chains
+    # over these rows in DuckDB while Spark runs the live generator —
+    # equality also pins the generator's determinism.
+    write_one(docs, f"synthetic_docs_{N_DOCS}")
     spark.stop()
 
     import numpy as np

@@ -36,6 +36,18 @@ def eager_checkpoint(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
     return out, ids
 
 
+def block_ids_of(df: DataFrame) -> frozenset[int]:
+    """Block-RDD ids of an ALREADY-checkpointed frame (empty set if the
+    frame is not a plain LogicalRDD scan — never guesses)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return frozenset()
+        return frozenset({int(plan.rdd().id())})
+    except Exception:
+        return frozenset()
+
+
 def release_blocks(df_or_sc, ids: frozenset[int]) -> None:
     """Unpersist checkpoint blocks by RDD id (no-op for unknown ids)."""
     sc = df_or_sc.sparkSession.sparkContext if isinstance(df_or_sc, DataFrame) else df_or_sc

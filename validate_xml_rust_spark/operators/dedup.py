@@ -349,6 +349,12 @@ def near_dedup(
     near-dup subgraph). ``broadcast_drop=False`` for corpora where the
     duplicate set itself is too large to broadcast (falls back to a
     sort-merge anti-join)."""
+    from validate_xml_rust_spark.ckpt import (
+        block_ids_of,
+        eager_checkpoint,
+        release_blocks,
+    )
+
     # eager: materialize the (small) pairs table once and release the
     # corpus-sized shingle/signature caches before the CC iterations —
     # otherwise every CC round's edge scan would re-read them, and they
@@ -357,9 +363,15 @@ def near_dedup(
         df, id_col, text_col, threshold=threshold, eager=True, **minhash_kwargs
     )
     comp = connected_components(pairs)
-    drop = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("__drop")
+    # materialize the (tiny — dup ids only) drop set, then release the
+    # pairs and final-label checkpoints: the caller's anti-join references
+    # only the drop blocks, so nothing near-dup-sized outlives the call
+    drop, _ = eager_checkpoint(
+        comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("__drop")
+        )
     )
+    release_blocks(df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp))
     if broadcast_drop:
         drop = F.broadcast(drop)
     return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")

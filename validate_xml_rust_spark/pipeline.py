@@ -10,11 +10,22 @@ plus drop accounting (``report['steps']``: step, rows_in, rows_out,
 dropped). Steps are skipped when their knob is None — the pipeline
 degrades to exactly the steps you configure.
 
-Scale shape: one validation scan; dedup/near-dedup shuffle hash keys;
-decontamination broadcasts the benchmark; sampling and the repetition
-filter are stateless predicates; packing is per-shard sequential. Between
-steps the surviving id set is carried as a DataFrame — no driver-side
-materialization of row data (counts only)."""
+Scale shape — each step's work executes EXACTLY ONCE: every step's output
+is materialized as an eager localCheckpoint, the step count is a block
+scan of that materialized frame (never a lineage recompute), the next
+step's plan is rooted at the checkpoint, and the superseded checkpoint's
+blocks are released at the RDD level as soon as the successor has
+materialized. The returned ``kept``/``packs`` frames are themselves
+checkpoints, so the caller's write is a block scan too — total work is
+one pass per step, not the O(steps²) full-corpus re-derivation that
+per-step ``count()`` on lazy frames would cost. Blocks live in executor
+MEMORY_AND_DISK; a production 100 TB run would swap ``eager_checkpoint``
+for writes to intermediate tables (same one-pass shape, durable blocks).
+Call ``result.release()`` when done with the frames.
+
+Sequence packing is sharded by a CONTENT hash of the doc id (never
+``spark_partition_id()``, a physical-plan artifact): pack assignments are
+reproducible across cluster sizes, AQE decisions, and retries."""
 
 from __future__ import annotations
 
@@ -23,12 +34,27 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+
 
 @dataclass
 class CurationResult:
     kept: DataFrame
     packs: DataFrame | None
     report: dict = field(default_factory=dict)
+    _block_ids: frozenset = frozenset()
+
+    def release(self) -> None:
+        """Free the checkpoint blocks backing ``kept``/``packs`` (RDD-level
+        — DataFrame.unpersist cannot reach localCheckpoint blocks)."""
+        if self.kept is not None and self._block_ids:
+            release_blocks(self.kept.sparkSession.sparkContext, self._block_ids)
+
+
+def pack_shard(id_col: str, n_shards: int) -> F.Column:
+    """Deterministic packing shard: content hash of the doc id, so pack_id
+    assignment survives repartitioning, AQE, retries, and engine swaps."""
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(13)), F.lit(n_shards)).cast("int")
 
 
 def curate(
@@ -43,20 +69,30 @@ def curate(
     max_repetition: float | None = None,
     sample_rate: float | None = None,
     pack_max_tokens: int | None = None,
+    pack_shards: int = 32,
     contamination_n: int = 8,
 ) -> CurationResult:
     """Run the configured curation steps in order; every step logs
-    (rows_in, rows_out) into ``result.report['steps']``."""
+    (rows_in, rows_out) into ``result.report['steps']``. One pass per
+    step — see module docstring for the checkpoint discipline."""
+    sc = spark.sparkContext
     steps: list[dict] = []
     cur = df
-    n = cur.count()
+    n = df.count()  # input count: one column-pruned source scan
+    prev_ids: frozenset = frozenset()  # blocks of the predecessor checkpoint
 
     def log(step: str, out_df: DataFrame) -> DataFrame:
-        nonlocal n
-        m = out_df.count()
+        nonlocal n, prev_ids
+        # the eager checkpoint IS the step's single execution; the count
+        # below scans the materialized blocks (no lineage to recompute)
+        out, ids = eager_checkpoint(out_df)
+        m = out.count()
         steps.append({"step": step, "rows_in": n, "rows_out": m, "dropped": n - m})
+        # successor materialized → predecessor blocks are unreachable
+        release_blocks(sc, prev_ids)
+        prev_ids = ids
         n = m
-        return out_df
+        return out
 
     if registry is not None:
         from validate_xml_rust_spark.operators.validate import validate
@@ -112,15 +148,22 @@ def curate(
 
         cur = log("sample", hash_sample(cur, sample_rate, id_col))
 
+    kept_ids = prev_ids
     packs = None
+    pack_ids: frozenset = frozenset()
     if pack_max_tokens is not None:
         from validate_xml_rust_spark.operators.curation import pack_sequences
         from validate_xml_rust_spark.operators.textstats import token_stats
 
         with_tokens = token_stats(cur, text_col).withColumn(
-            "partition_id", F.spark_partition_id()
+            "partition_id", pack_shard(id_col, pack_shards)
         )
-        packs = pack_sequences(with_tokens, pack_max_tokens, id_col=id_col)
+        # packs is checkpointed once: the n_packs count below and the
+        # caller's eventual action both read the same materialized blocks,
+        # so the reported count and the delivered packs cannot disagree
+        packs, pack_ids = eager_checkpoint(
+            pack_sequences(with_tokens, pack_max_tokens, id_col=id_col)
+        )
         steps.append(
             {
                 "step": "pack",
@@ -131,4 +174,7 @@ def curate(
             }
         )
 
-    return CurationResult(kept=cur, packs=packs, report={"steps": steps})
+    return CurationResult(
+        kept=cur, packs=packs, report={"steps": steps},
+        _block_ids=kept_ids | pack_ids,
+    )

@@ -347,15 +347,23 @@ FROM documents
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups over the PLANTED corpus (the sf documents table
+    carries no duplicate texts, which would make this gate a zero-row
+    0==0 match): every ``id % 17 == 0`` doc is a byte-exact copy of its
+    predecessor, so both engines must find the same ~35 groups. Spark
+    runs the live generator; the oracle reads the committed snapshot of
+    the same rows (fixtures/synthetic_docs_600.parquet)."""
     from validate_xml_rust_spark.operators.dedup import exact_duplicates
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    return exact_duplicates(synthetic_documents(spark, 600, n_partitions=8))
 
 
-ORACLE_EXACT_DUP_GROUPS = r"""
+ORACLE_EXACT_DUP_GROUPS = rf"""
 SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS n_dup, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'
+GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -1444,6 +1452,93 @@ FROM r
 """
 
 
+def q_curate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline lineage (pipeline.curate): a fixed
+    SQL-restatable config — exact dedup → benchmark decontamination →
+    repetition filter → deterministic 25% sample — over the planted
+    corpus, emitting the per-step (rows_in, rows_out, dropped) report.
+    The oracle re-derives every step count through a DuckDB CTE chain
+    over the committed snapshot of the same rows, so the gate covers the
+    builder-composed glue (step ordering, id carrying between steps),
+    not just the per-operator semantics the other gates already pin."""
+    from validate_xml_rust_spark.pipeline import curate
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    bench = docs.filter(F.col("doc_id") % 50 == 7).select("text")
+    res = curate(
+        docs, spark, benchmark=bench, near_dup_threshold=None,
+        max_repetition=0.2, sample_rate=0.25,
+    )
+    rows = [
+        (s["step"], s["rows_in"], s["rows_out"], s["dropped"])
+        for s in res.report["steps"]
+    ]
+    res.release()
+    return spark.createDataFrame(
+        rows, "step string, rows_in long, rows_out long, dropped long"
+    )
+
+
+_CURATE_W = (
+    "list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), "
+    "'[^a-z0-9]+'), x -> length(x) > 0)"
+)
+_CURATE_GRAMS8 = (
+    "CASE WHEN len(w) = 0 THEN [] WHEN len(w) >= 8 THEN "
+    "list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+ORACLE_CURATE_LINEAGE = rf"""
+WITH d0 AS (SELECT doc_id, text FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+fp AS (SELECT doc_id, text,
+              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+       FROM d0),
+d1 AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS kid FROM fp)
+       WHERE doc_id = kid),
+toks1 AS (SELECT doc_id, {_CURATE_W} AS w FROM d1),
+g1 AS (SELECT DISTINCT doc_id, gram FROM (
+         SELECT doc_id, unnest({_CURATE_GRAMS8}) AS gram FROM toks1)),
+btoks AS (SELECT doc_id, {_CURATE_W} AS w FROM d0 WHERE doc_id % 50 = 7),
+bg AS (SELECT DISTINCT gram FROM (
+         SELECT unnest({_CURATE_GRAMS8}) AS gram FROM btoks)),
+dirty AS (SELECT DISTINCT g1.doc_id FROM g1 JOIN bg USING (gram)),
+d2 AS (SELECT d1.doc_id, d1.text FROM d1
+       WHERE NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = d1.doc_id)),
+rtoks AS (SELECT doc_id, {_CURATE_W} AS w FROM d2),
+rb AS (SELECT doc_id, w,
+              CASE WHEN len(w) = 0 THEN []
+                   WHEN len(w) >= 2 THEN
+                     list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+                   ELSE [array_to_string(w, ' ')] END AS bgm
+       FROM rtoks),
+rr AS (SELECT doc_id,
+              CASE WHEN len(w) = 0 THEN 0.0
+                   ELSE round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) END AS unigram_rep,
+              CASE WHEN len(bgm) = 0 THEN 0.0
+                   ELSE round(1 - CAST(len(list_distinct(bgm)) AS DOUBLE) / len(bgm), 6) END AS bigram_rep
+       FROM rb),
+d3 AS (SELECT d2.doc_id FROM d2 JOIN rr USING (doc_id)
+       WHERE NOT (unigram_rep > 0.2 OR bigram_rep > 0.2)),
+d4 AS (SELECT doc_id FROM d3 WHERE {_ORACLE_TICKET} < {int(0.25 * (1 << 32))})
+SELECT step, CAST(rows_in AS BIGINT) AS rows_in,
+       CAST(rows_out AS BIGINT) AS rows_out,
+       CAST(rows_in - rows_out AS BIGINT) AS dropped
+FROM (
+  SELECT 'exact_dedup' AS step,
+         (SELECT count(*) FROM d0) AS rows_in, (SELECT count(*) FROM d1) AS rows_out
+  UNION ALL SELECT 'decontaminate',
+         (SELECT count(*) FROM d1), (SELECT count(*) FROM d2)
+  UNION ALL SELECT 'repetition_filter',
+         (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)
+  UNION ALL SELECT 'sample',
+         (SELECT count(*) FROM d3), (SELECT count(*) FROM d4)
+)
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the gate: documents wrapped as binary
     media payloads, featurized via the mapInPandas batch path
@@ -1584,6 +1679,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
+    "curate_lineage": q_curate_lineage,
     "repetition_stats": q_repetition_stats,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -1635,6 +1731,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "redact_pii": ORACLE_REDACT_PII,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "curate_lineage": ORACLE_CURATE_LINEAGE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "ann_topk_lsh": ORACLE_ANN_TOPK_LSH,
