@@ -121,11 +121,41 @@ def test_report_formatting(spark):
     assert "Invalid: 1" in txt
     assert "Success rate: 50.0%" in txt
     assert "Duration: 1.23s" in txt
-    assert "Failures" in txt and "<null>: invalid" in txt
+    assert "Failures" in txt and "✗ INVALID  <null>:" in txt
     assert "cpus: 4" in txt
     assert format_duration_ms(500) == "500ms"
     assert format_duration_ms(90_000) == "1.5m"
     assert "url_not_null" in format_failures(res.verdicts)
+    # pytest stdout is not a TTY → auto-detection must stay plain
+    assert "\x1b[" not in txt
+
+
+def test_report_color_modes(spark, monkeypatch):
+    """Color iff TTY (reference src/output.rs:23): forced on → ANSI codes
+    with the reference's per-status colors; forced off → plain; auto
+    follows sys.stdout.isatty()."""
+    import sys as _sys
+
+    from validate_xml_rust_spark.operators.report import format_summary
+
+    df = spark.createDataFrame(
+        [
+            ("https://a/1", None, _html("webpage-v1"), "x", "en"),
+            (None, None, _html("webpage-v1"), "x", "en"),
+        ],
+        PAGE_SCHEMA,
+    )
+    res = validate(df, spark, _registry(), route_mode="content")
+    colored = report(res.verdicts, verbosity=1, color=True)
+    assert "\x1b[31m✗ INVALID\x1b[0m" in colored  # invalid = red (31)
+    assert "\x1b[32mValid:\x1b[0m" in colored     # valid label = green (32)
+    plain = report(res.verdicts, verbosity=1, color=False)
+    assert "\x1b[" not in plain
+    # auto mode: monkeypatched TTY turns color on without an explicit flag
+    monkeypatch.setattr(_sys.stdout, "isatty", lambda: True, raising=False)
+    srow = {"total": 1, "valid": 1, "invalid": 0, "error": 0, "skipped": 0,
+            "success_rate": 100.0, "schemas_used": []}
+    assert "\x1b[32m" in format_summary(srow)
 
 
 def test_plan_shapes(spark):

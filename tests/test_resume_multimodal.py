@@ -55,6 +55,33 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     assert n3 == 1
 
 
+def test_manifest_snapshot_generations(spark, tmp_path):
+    """Re-run after PARTIAL completion: the first commit is snapshot 1,
+    the resumed remainder commits as snapshot 2, every manifest row
+    carries its generation (the Iceberg-snapshot swap-in shape)."""
+    manifest = str(tmp_path / "manifest_gen")
+    df = with_partition_id(pages(spark, 800), 8)
+    first = df.filter(F.col("partition_id") < 4)
+    _, n1 = run_with_resume(first, spark, _registry(), manifest, "run-1")
+    assert n1 == 4
+    m1 = spark.read.parquet(manifest)
+    assert {r["snapshot_id"] for r in m1.select("snapshot_id").collect()} == {1}
+    # resumed run over the full input: only partitions 4-7 are pending,
+    # and they commit as generation 2
+    _, n2 = run_with_resume(df, spark, _registry(), manifest, "run-2")
+    assert n2 == 4
+    gens = {
+        r["partition_id"]: r["snapshot_id"]
+        for r in spark.read.parquet(manifest).collect()
+    }
+    assert set(gens) == set(range(8))
+    assert all(gens[p] == 1 for p in range(4))
+    assert all(gens[p] == 2 for p in range(4, 8))
+    # both generations count as completed — nothing pending
+    _, n3 = run_with_resume(df, spark, _registry(), manifest, "run-3")
+    assert n3 == 0
+
+
 def test_partition_metrics_shape(spark):
     df = with_partition_id(pages(spark, 500), 4)
     from validate_xml_rust_spark.operators.validate import validate

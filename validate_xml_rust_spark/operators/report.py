@@ -9,8 +9,27 @@ per row (src/output.rs:51-57 prints only non-valid), 2 + performance."""
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ANSI codes matching the reference exactly (src/output.rs:35-67 /
+# format_file_result): valid green, invalid red, error yellow, skipped cyan
+_STATUS_COLOR = {"valid": "32", "invalid": "31", "error": "33", "skipped": "36"}
+_STATUS_MARK = {"valid": "✓", "invalid": "✗", "error": "⚠", "skipped": "-"}
+
+
+def _resolve_color(color: bool | None) -> bool:
+    """None → auto-detect: color iff stdout is a TTY (the reference's
+    ``atty::is(Stream::Stdout)``, src/output.rs:23)."""
+    if color is not None:
+        return color
+    return bool(getattr(sys.stdout, "isatty", lambda: False)())
+
+
+def colorize(text: str, code: str, enabled: bool) -> str:
+    return f"\x1b[{code}m{text}\x1b[0m" if enabled else text
 
 
 def format_duration_ms(ms: float) -> str:
@@ -22,15 +41,18 @@ def format_duration_ms(ms: float) -> str:
     return f"{ms / 60_000:.1f}m"
 
 
-def format_summary(summary: dict, wall_ms: float | None = None) -> str:
+def format_summary(
+    summary: dict, wall_ms: float | None = None, color: bool | None = None
+) -> str:
+    c = _resolve_color(color)
     lines = [
         "Validation Results",
         "==================",
         f"Total:   {summary['total']}",
-        f"Valid:   {summary['valid']}",
-        f"Invalid: {summary['invalid']}",
-        f"Errors:  {summary['error']}",
-        f"Skipped: {summary['skipped']}",
+        f"{colorize('Valid:', '32', c)}   {summary['valid']}",
+        f"{colorize('Invalid:', '31', c)} {summary['invalid']}",
+        f"{colorize('Errors:', '33', c)}  {summary['error']}",
+        f"{colorize('Skipped:', '36', c)} {summary['skipped']}",
         f"Success rate: {summary['success_rate']:.1f}%",
         f"Specs used: {', '.join(summary.get('schemas_used') or []) or '(none)'}",
     ]
@@ -41,8 +63,12 @@ def format_summary(summary: dict, wall_ms: float | None = None) -> str:
     return "\n".join(lines)
 
 
-def format_failures(verdicts: DataFrame, limit: int = 50) -> str:
-    """Verbose view: only non-valid rows (P7), '<url>: <status>: details'."""
+def format_failures(
+    verdicts: DataFrame, limit: int = 50, color: bool | None = None
+) -> str:
+    """Verbose view: only non-valid rows (P7), status-colored markers like
+    the reference's format_file_result (✗ red, ⚠ yellow, - cyan)."""
+    c = _resolve_color(color)
     rows = (
         verdicts.filter(F.col("status") != "valid")
         .select("url", "status", "error_details")
@@ -52,7 +78,12 @@ def format_failures(verdicts: DataFrame, limit: int = 50) -> str:
     out = []
     for r in rows:
         details = "; ".join(r["error_details"] or [])
-        out.append(f"{r['url'] or '<null>'}: {r['status']}: {details}")
+        status = r["status"]
+        mark = colorize(
+            f"{_STATUS_MARK.get(status, '?')} {status.upper()}",
+            _STATUS_COLOR.get(status, "0"), c,
+        )
+        out.append(f"{mark}  {r['url'] or '<null>'}: {details}")
     return "\n".join(out)
 
 
@@ -61,13 +92,14 @@ def report(
     verbosity: int = 0,
     wall_ms: float | None = None,
     perf: dict | None = None,
+    color: bool | None = None,
 ) -> str:
     from validate_xml_rust_spark.operators.summary import summarize
 
     srow = summarize(verdicts).collect()[0].asDict()
-    parts = [format_summary(srow, wall_ms)]
+    parts = [format_summary(srow, wall_ms, color=color)]
     if verbosity >= 1:
-        failures = format_failures(verdicts)
+        failures = format_failures(verdicts, color=color)
         if failures:
             parts.append("\nFailures\n--------\n" + failures)
     if verbosity >= 2 and perf:

@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
-    "partition_id int, run_id string, n_rows long, n_valid long, "
-    "n_invalid long, n_error long, n_skipped long, n_violations long, "
-    "completed_at timestamp"
+    "partition_id int, run_id string, snapshot_id long, n_rows long, "
+    "n_valid long, n_invalid long, n_error long, n_skipped long, "
+    "n_violations long, completed_at timestamp"
 )
 
 
@@ -46,9 +46,28 @@ def partition_metrics(verdicts: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def write_manifest(metrics: DataFrame, manifest_dir: str) -> None:
-    """Append completed-partition rows (the "snapshot commit")."""
-    metrics.write.mode("append").parquet(manifest_dir)
+def next_snapshot_id(spark: SparkSession, manifest_dir: str) -> int:
+    """Monotonically increasing snapshot generation: 1 + the highest id
+    already committed (1 for a fresh manifest). With Iceberg this column
+    is replaced by the table's own snapshot id at commit time — the
+    manifest schema is deliberately shaped so that swap-in changes only
+    this function."""
+    m = read_manifest(spark, manifest_dir)
+    if m is None or "snapshot_id" not in m.columns:
+        return 1
+    row = m.agg(F.max("snapshot_id").alias("s")).collect()[0]
+    return int(row["s"] or 0) + 1
+
+
+def write_manifest(metrics: DataFrame, manifest_dir: str) -> int:
+    """Append completed-partition rows as ONE snapshot generation (the
+    "snapshot commit"); returns the committed snapshot_id."""
+    spark = metrics.sparkSession
+    sid = next_snapshot_id(spark, manifest_dir)
+    metrics.withColumn("snapshot_id", F.lit(sid)).write.mode("append").parquet(
+        manifest_dir
+    )
+    return sid
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame | None:

@@ -1168,6 +1168,58 @@ FROM documents WHERE doc_id % 8 NOT IN (0, 3, 5)
 """
 
 
+def q_exit_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI exit-code ladder — the reference's outermost contract
+    (src/main.rs:113-119: 0 all valid/skipped, 1 config error or
+    fail-fast, 2 errors present, 3 invalid present) — pinned in the
+    driver gate by running the real in-process CLI over deterministic
+    synthetic scenarios. The planted-page schedule guarantees each
+    scenario's verdict mix: synth ids 0/997k carry NULL urls (invalid
+    under a not-null spec), id 641 carries malformed UTF-8 html and id
+    523 a ghost spec reference (both → error under the default
+    registry). Oracle: the contract constants."""
+    import json as _json
+    import tempfile
+
+    from validate_xml_rust_spark.cli import main as cli_main
+
+    def spec_file(td: str, name: str, predicate: str) -> str:
+        p = f"{td}/{name}.json"
+        with open(p, "w") as f:
+            _json.dump(
+                {
+                    "spec_id": f"{name}-v1",
+                    "constraints": [
+                        {"constraint_id": name, "column": "url",
+                         "kind": "expr", "params": {"predicate": predicate}},
+                    ],
+                },
+                f,
+            )
+        return p
+
+    with tempfile.TemporaryDirectory(prefix="vxrs_cli_gate_") as td:
+        rows = [
+            ("all_valid", cli_main(
+                ["synth:300", "-q", "--spec", spec_file(td, "permissive", "1 = 1")])),
+            ("invalid_rows", cli_main(
+                ["synth:300", "-q", "--spec",
+                 spec_file(td, "url-not-null", "url IS NOT NULL")])),
+            ("error_rows", cli_main(["synth:700", "-q"])),
+            ("fail_fast", cli_main(["synth:700", "-q", "--fail-fast"])),
+            ("config_error", cli_main(["/definitely/missing/path"])),
+        ]
+    return spark.createDataFrame(rows, "scenario string, exit_code int")
+
+
+ORACLE_EXIT_CODES = """
+SELECT * FROM (VALUES
+  ('all_valid', 0), ('invalid_rows', 3), ('error_rows', 2),
+  ('fail_fast', 1), ('config_error', 1)
+) AS t(scenario, exit_code)
+"""
+
+
 def q_scan_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-discovery predicates (sources/scan.py S2-S4) as one
     pipeline over synthesized urls: extension filter → include/exclude
@@ -1670,6 +1722,7 @@ QUERIES = {
     "drift_ks_nchars": q_drift_ks_nchars,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
+    "exit_codes": q_exit_codes,
     "scan_url_filters": q_scan_url_filters,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "streaming_events_hourly": q_streaming_events_hourly,
@@ -1722,6 +1775,7 @@ ORACLES = {
     "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
+    "exit_codes": ORACLE_EXIT_CODES,
     "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
     "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
     "streaming_events_hourly": ORACLE_EVENTS_HOURLY,  # stream == batch
