@@ -64,3 +64,49 @@ def test_uniqueness_violations_broadcast_escape_hatch(spark):
     static_plan = nobc._jdf.queryExecution().sparkPlan().toString()
     joins = [ln for ln in static_plan.splitlines() if "Join" in ln and "k#" in ln]
     assert all("BroadcastHashJoin" not in ln for ln in joins), static_plan
+
+
+def test_bloom_prepass_exact_and_selective(spark):
+    """bloom=True must (a) produce the exact same dup set as the plain
+    path and (b) send only a small suspected fraction of a low-dup corpus
+    into the groupBy shuffle (SCALE.md §3 mitigation (a), now real)."""
+    from validate_xml_rust_spark.operators.uniqueness import duplicate_keys
+
+    n = 50_000
+    base = spark.range(n).selectExpr("concat('k', id) as k")
+    dups = spark.range(20).selectExpr("concat('k', id * 977) as k")
+    df = base.unionByName(dups).repartition(8)
+
+    stats: dict = {}
+    with_bloom = {
+        (r["k"], r["n_dup"])
+        for r in duplicate_keys(df, ["k"], bloom=True, stats=stats).collect()
+    }
+    plain = {
+        (r["k"], r["n_dup"]) for r in duplicate_keys(df, ["k"]).collect()
+    }
+    assert with_bloom == plain and len(plain) == 20
+    # the shuffle input shrank from the full corpus to the suspects
+    assert stats["total_rows"] == n + 20
+    assert stats["suspected_rows"] < 0.02 * n, stats
+
+
+def test_bloom_prepass_catches_cross_partition_and_null_dups(spark):
+    from validate_xml_rust_spark.operators.uniqueness import duplicate_keys
+
+    # every dup pair straddles partitions; plus a null-key pair (matches
+    # the plain path's null-group semantics)
+    a = spark.range(1000).selectExpr("concat('x', id) as k").coalesce(1)
+    b = spark.range(990, 1010).selectExpr(
+        "CASE WHEN id < 1000 THEN concat('x', id) END as k"
+    ).coalesce(1)
+    df = a.unionByName(b)
+    got = {
+        (r["k"], r["n_dup"])
+        for r in duplicate_keys(df, ["k"], bloom=True).collect()
+    }
+    want = {
+        (r["k"], r["n_dup"]) for r in duplicate_keys(df, ["k"]).collect()
+    }
+    assert got == want
+    assert (None, 10) in got  # ids 1000-1009 → 10 NULL keys, one group

@@ -17,17 +17,148 @@ salts by hand (SURVEY.md §4).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# two independent 64-bit key hashes (JVM-side xxhash64) seed the k Bloom
+# probe positions via double hashing: idx_i = h1 + i*h2 (mod m)
+_BLOOM_SEED = 101
+_BLOOM_SCHEMA = "seen binary, dup binary"
+
+
+def _bit_positions(h1: np.ndarray, h2: np.ndarray, n_hashes: int, m: int) -> np.ndarray:
+    """(n, k) bit indices, double hashing in uint64, m a power of two."""
+    a = h1.astype(np.uint64).reshape(-1, 1)
+    b = h2.astype(np.uint64).reshape(-1, 1)
+    i = np.arange(n_hashes, dtype=np.uint64).reshape(1, -1)
+    return ((a + i * b) & np.uint64(m - 1)).astype(np.int64)
+
+
+def _member(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Row-wise all-k-bits-set membership test against a packed bit array."""
+    got = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return got.all(axis=1)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+
+
+def bloom_suspects(
+    df: DataFrame,
+    keys: list[str],
+    bloom_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Rows whose key MIGHT appear more than once — a guaranteed SUPERSET
+    of the truly-duplicated rows (Bloom filters have no false negatives),
+    so an exact groupBy over the survivors yields the exact dup set while
+    shuffling only the suspected fraction.
+
+    Two passes, no key shuffle:
+
+    1. per partition (one ``mapInPandas`` row out): a packed ``seen`` bit
+       array of the partition's keys plus a ``dup`` bit array of keys
+       already seen WITHIN the partition (batch-incremental, including
+       intra-batch repeats via exact (h1,h2) collisions);
+    2. driver fold over the O(partitions) bloom rows: cross-partition
+       suspects are ``seen_i AND prefix_seen`` at the BIT level (an
+       over-approximation — extra false positives, never negatives),
+       OR-ed with the per-partition dup blooms; the merged suspect bloom
+       broadcasts and a vectorized probe filters the corpus.
+
+    At 10^12 rows this turns the irreducible full-corpus key shuffle
+    (SCALE.md §3's 24 TB) into a shuffle of the suspected keys only — for
+    low-dup corpora a few percent plus the false-positive rate (sized by
+    ``bloom_bits``; the driver fold moves p·m/8 bytes, e.g. 4,000
+    partitions × 8 MiB = 32 GB streamed, or tree-aggregated when p·m is
+    extreme). ``stats['suspected_rows']``/``stats['total_rows']`` report
+    the pre-filter selectivity when a dict is passed."""
+    if bloom_bits & (bloom_bits - 1):
+        raise ValueError("bloom_bits must be a power of two")
+    key_cols = [F.col(k) for k in keys]
+    hashed = df.select(
+        F.xxhash64(*key_cols).alias("__h1"),
+        F.xxhash64(*key_cols, F.lit(_BLOOM_SEED)).alias("__h2"),
+    )
+    m, k = bloom_bits, n_hashes
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = np.zeros(m >> 3, dtype=np.uint8)
+        dup = np.zeros(m >> 3, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64)
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64)
+            pos = _bit_positions(h1, h2, k, m)
+            before = _member(seen, pos)
+            # intra-batch repeats: identical (h1, h2) pairs
+            pairs = np.stack([h1, h2], axis=1)
+            _, inv, cnt = np.unique(
+                pairs, axis=0, return_inverse=True, return_counts=True
+            )
+            repeats = cnt[inv] > 1
+            _set_bits(dup, pos[before | repeats])
+            _set_bits(seen, pos)
+        if any_rows:
+            yield pd.DataFrame({"seen": [seen.tobytes()], "dup": [dup.tobytes()]})
+
+    blooms = hashed.mapInPandas(build, _BLOOM_SCHEMA).collect()
+    merged = np.zeros(m >> 3, dtype=np.uint8)
+    running = np.zeros(m >> 3, dtype=np.uint8)
+    for row in blooms:
+        s = np.frombuffer(row["seen"], dtype=np.uint8)
+        d = np.frombuffer(row["dup"], dtype=np.uint8)
+        merged |= d | (s & running)
+        running |= s
+    bc = df.sparkSession.sparkContext.broadcast(merged.tobytes())
+
+    @F.pandas_udf("boolean")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _bit_positions(
+            h1.to_numpy(dtype=np.int64), h2.to_numpy(dtype=np.int64), k, m
+        )
+        return pd.Series(_member(bits, pos))
+
+    out = df.filter(
+        probe(
+            F.xxhash64(*key_cols), F.xxhash64(*key_cols, F.lit(_BLOOM_SEED))
+        )
+    )
+    if stats is not None:
+        stats["total_rows"] = df.count()
+        stats["suspected_rows"] = out.count()
+    return out
+
 
 def duplicate_keys(
-    df: DataFrame, keys: list[str], n_salts: int = 16, salted: bool = True
+    df: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    salted: bool = True,
+    bloom: bool = False,
+    bloom_bits: int = 1 << 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Keys appearing more than once. Output: ``*keys, n_dup``.
 
     ``salted=False`` gives the naive single-shuffle plan (for plan/bench
-    comparison in tests)."""
+    comparison in tests). ``bloom=True`` prepends the Bloom suspected-key
+    pre-pass (``bloom_suspects``): only rows whose key might repeat reach
+    the groupBy shuffle — same exact result (the pre-pass is a guaranteed
+    superset), a fraction of the shuffle bytes on low-dup corpora."""
+    if bloom:
+        df = bloom_suspects(df, keys, bloom_bits=bloom_bits, stats=stats)
     key_cols = [F.col(k) for k in keys]
     nn = df
     if salted:

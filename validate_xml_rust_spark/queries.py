@@ -214,6 +214,17 @@ GROUP BY o_custkey HAVING count(*) > 1
 """
 
 
+def q_duplicate_custkeys_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact dup set through the Bloom suspected-key pre-pass
+    (operators/uniqueness.bloom_suspects): per-partition packed blooms →
+    driver fold → broadcast probe, so only suspected keys reach the
+    groupBy shuffle. The pre-pass is a guaranteed superset (no false
+    negatives), hence the oracle is IDENTICAL to duplicate_custkeys —
+    equality proves the pruning never drops a real duplicate."""
+    orders = _t(spark, sf_dir, "orders")
+    return duplicate_keys(orders, ["o_custkey"], n_salts=8, bloom=True)
+
+
 def q_referential_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     # parent = "registered" customers (positive balance) — planted misses
@@ -582,6 +593,82 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_NEARDUPS = _oracle_jaccard_pairs("", 0.5)
+
+
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-BATCH streaming near-dedup == batch brute force: the planted
+    corpus replays as 6 micro-batches (consecutive ids land in different
+    files, so every planted pair straddles batches), flows through the
+    stateful band-bucket matcher (streaming/stateful.py,
+    applyInPandasWithState), and the surviving candidates are verified
+    with the batch pipeline's exact-Jaccard step. The oracle is the full
+    O(n²) string-shingle Jaccard join over the committed snapshot of the
+    same rows — equality proves the keyed-state logic (state append,
+    cross-batch matching, signature agreement) loses no pair and invents
+    none. 16 bands × 2 rows: per-pair miss probability ≈ 3e-12 at J=0.9,
+    deterministic under the seeded hash family."""
+    import tempfile
+
+    from validate_xml_rust_spark.functions.texthash import jaccard, shingle_hashes
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+    from validate_xml_rust_spark.streaming.stateful import (
+        run_available_now,
+        streaming_near_dedup,
+    )
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    td = tempfile.mkdtemp(prefix="vxrs_stream_neardup_")
+    in_dir, out_dir, ckpt = f"{td}/in", f"{td}/out", f"{td}/ckpt"
+    for b in range(6):
+        docs.filter(F.col("doc_id") % 6 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    sdf = streaming_near_dedup(
+        spark, in_dir, num_perm=32, bands=16, threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    run_available_now(sdf, ckpt, out_dir)
+    cand = (
+        spark.read.parquet(out_dir)
+        .select(
+            F.least("id_new", "id_seen").alias("id_a"),
+            F.greatest("id_new", "id_seen").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = docs.select("doc_id", shingle_hashes(F.col("text"), 3).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sa"), F.col("sb")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+ORACLE_STREAMING_NEARDUP = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) >= 3 THEN
+                list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+"""
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1692,6 +1779,7 @@ QUERIES = {
     "profile_documents": q_profile_documents,
     "length_histogram": q_length_histogram,
     "duplicate_custkeys": q_duplicate_custkeys,
+    "duplicate_custkeys_bloom": q_duplicate_custkeys_bloom,
     "referential_orders": q_referential_orders,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1705,6 +1793,7 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "minhash_neardups": q_minhash_neardups,
+    "streaming_neardup": q_streaming_neardup,
     "simhash_neardups": q_simhash_neardups,
     "ngram_jaccard": q_ngram_jaccard,
     "top_orders_per_nation": q_top_orders_per_nation,
@@ -1745,6 +1834,7 @@ ORACLES = {
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "duplicate_custkeys": ORACLE_DUPLICATE_CUSTKEYS,
+    "duplicate_custkeys_bloom": ORACLE_DUPLICATE_CUSTKEYS,
     "referential_orders": ORACLE_REFERENTIAL_ORDERS,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
@@ -1758,6 +1848,7 @@ ORACLES = {
     "ivf_ann_topk": ORACLE_ANN_TOPK,  # exact-recall assertion (see q_ivf_ann_topk)
     "embedding_neardup_exact": ORACLE_EMBEDDING_NEARDUP_EXACT,
     "minhash_neardups": ORACLE_MINHASH_NEARDUPS,
+    "streaming_neardup": ORACLE_STREAMING_NEARDUP,
     "simhash_neardups": ORACLE_SIMHASH_NEARDUPS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "top_orders_per_nation": ORACLE_TOP_ORDERS_PER_NATION,
