@@ -175,6 +175,16 @@ def main() -> None:
     timings["uniqueness_pages_unsalted"] = _time(
         lambda: _force(duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], salted=False))
     )
+    # bloom pre-pass: ~1% of pages urls are planted dups, so only the
+    # suspected sliver reaches the groupBy shuffle (SCALE.md §3 (a))
+    timings["uniqueness_pages_bloom"] = _time(
+        lambda: _force(
+            duplicate_keys(
+                pg.filter(F.col("url").isNotNull()), ["url"],
+                n_salts=16, bloom=True, bloom_bits=1 << 24,
+            )
+        )
+    )
     timings["profile_pages"] = _time(
         lambda: profile(pg, ["url", "lang", "warc_ts"]).collect()
     )

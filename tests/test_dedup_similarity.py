@@ -48,6 +48,14 @@ def test_exact_duplicates_and_dedup(spark):
         "doc_id long, text string",
     )
     assert exact_dedup(d2).count() == 2
+    # NULL-text rows are not duplicates of each other — ALL survive (an
+    # inner fingerprint join-back would silently drop every one)
+    d3 = spark.createDataFrame(
+        [(0, "same"), (1, "same"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    kept3 = {r["doc_id"] for r in exact_dedup(d3).collect()}
+    assert kept3 == {0, 2, 3}
 
 
 def test_minhash_finds_identical_and_near(spark):

@@ -61,12 +61,18 @@ def exact_duplicates(
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep one row per distinct content (the min-id row)."""
+    """Keep one row per distinct content (the min-id row). Rows with NULL
+    text (no fingerprint) are NOT duplicates of each other — they all
+    survive (SQL UNIQUE semantics, same rule as uniqueness.py); an inner
+    join back on the fingerprint would silently drop every one of them
+    (NULL never equi-joins)."""
     fp = fingerprint(df, text_col)
-    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias("__keep"))
+    keep = fp.filter(F.col("fingerprint").isNotNull()).groupBy("fingerprint").agg(
+        F.min(id_col).alias("__keep")
+    )
     return (
-        fp.join(keep, "fingerprint")
-        .filter(F.col(id_col) == F.col("__keep"))
+        fp.join(keep, "fingerprint", "left")
+        .filter(F.col("fingerprint").isNull() | (F.col(id_col) == F.col("__keep")))
         .drop("fingerprint", "__keep")
     )
 

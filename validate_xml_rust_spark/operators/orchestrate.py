@@ -110,15 +110,29 @@ def _table_violations_for(
             eager=True,
         )
         comp = connected_components(pairs)
-        return comp.filter(F.col("id") != F.col("component")).select(
-            F.col("id").cast("string").alias("url"),
-            F.lit(c.constraint_id).alias("constraint_id"),
-            F.col("component").cast("string").alias("observed_value"),
-            F.concat(
-                F.lit("near-duplicate of "), F.col("component").cast("string"),
-                F.lit(f" (jaccard >= {c.params.get('threshold', 0.8)})"),
-            ).alias("message"),
+        # materialize the (tiny) violation rows, then release the pairs and
+        # final-label checkpoints — nothing near-dup-sized outlives the call
+        from validate_xml_rust_spark.ckpt import (
+            block_ids_of,
+            eager_checkpoint,
+            release_blocks,
         )
+
+        out, _ = eager_checkpoint(
+            comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").cast("string").alias("url"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.col("component").cast("string").alias("observed_value"),
+                F.concat(
+                    F.lit("near-duplicate of "), F.col("component").cast("string"),
+                    F.lit(f" (jaccard >= {c.params.get('threshold', 0.8)})"),
+                ).alias("message"),
+            )
+        )
+        release_blocks(
+            df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp)
+        )
+        return out
     if c.kind == "drift":
         from validate_xml_rust_spark.operators.drift import (
             chi2_drift_check,

@@ -73,13 +73,16 @@ def bloom_suspects(
        OR-ed with the per-partition dup blooms; the merged suspect bloom
        broadcasts and a vectorized probe filters the corpus.
 
-    At 10^12 rows this turns the irreducible full-corpus key shuffle
-    (SCALE.md §3's 24 TB) into a shuffle of the suspected keys only — for
-    low-dup corpora a few percent plus the false-positive rate (sized by
-    ``bloom_bits``; the driver fold moves p·m/8 bytes, e.g. 4,000
-    partitions × 8 MiB = 32 GB streamed, or tree-aggregated when p·m is
-    extreme). ``stats['suspected_rows']``/``stats['total_rows']`` report
-    the pre-filter selectivity when a dict is passed."""
+    This turns the full-corpus key shuffle (SCALE.md §3's 24 TB at url
+    grain) into a shuffle of the suspected keys only — for low-dup corpora
+    a few percent plus the false-positive rate. Honest sizing: the
+    cross-partition fold tests "bit set in ≥2 partition blooms", so
+    ``bloom_bits`` must scale with TOTAL distinct keys (≈16 bits per key
+    keeps the fold's per-bit collision rate ≈0.25 and the 4-hash FP rate
+    ≈4e-7); practical to ~10^10 keys, beyond which shard the bloom by
+    key-hash range (SCALE.md §3). ``stats['suspected_rows']``/
+    ``stats['total_rows']`` report the pre-filter selectivity when a dict
+    is passed."""
     if bloom_bits & (bloom_bits - 1):
         raise ValueError("bloom_bits must be a power of two")
     key_cols = [F.col(k) for k in keys]
