@@ -58,6 +58,38 @@ def test_exact_duplicates_and_dedup(spark):
     assert kept3 == {0, 2, 3}
 
 
+def test_incremental_dedup_against_store(spark):
+    """New slice vs historical fingerprint store: store hits drop,
+    within-slice dups keep min id, NULL texts pass through."""
+    from validate_xml_rust_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")], "doc_id long, text string"
+    )
+    store = fingerprint(history).select("fingerprint")
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),   # in store → dropped
+            (11, "brand new"),     # kept
+            (12, "brand new"),     # within-slice dup of 11 → dropped
+            (13, None),            # null text → kept (not a duplicate)
+            (14, "Also  Seen "),   # normalizes to a store hit → dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in incremental_dedup(new, store).collect()}
+    assert kept == {11, 13}
+    # broadcast escape hatch yields the same result
+    kept_bc = {
+        r["doc_id"]
+        for r in incremental_dedup(new, store, broadcast_seen=True).collect()
+    }
+    assert kept_bc == kept
+
+
 def test_minhash_finds_identical_and_near(spark):
     d = _docs(spark)
     cands = {(r["id_a"], r["id_b"]) for r in minhash_candidates(d).collect()}

@@ -145,3 +145,26 @@ def test_hash_sample_rate_bounds(spark_prop, rate):
         assert kept == 0
     if rate == 1.0:
         assert kept == 1500
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=120),
+    bits_pow=st.integers(min_value=8, max_value=14),
+)
+@settings(max_examples=10, deadline=None)
+def test_bloom_prepass_never_loses_a_duplicate(spark_prop, keys, bits_pow):
+    """Superset property: for ARBITRARY key multisets and bloom sizes
+    (down to degenerate 256-bit filters where almost everything collides),
+    duplicate_keys(bloom=True) equals the plain path — false positives
+    only ever ADD rows to the pre-filter, never drop a real duplicate."""
+    from validate_xml_rust_spark.operators.uniqueness import duplicate_keys
+
+    df = spark_prop.createDataFrame(
+        [(f"k{v}",) for v in keys], "k string"
+    ).repartition(4)
+    got = {
+        (r["k"], r["n_dup"])
+        for r in duplicate_keys(df, ["k"], bloom=True, bloom_bits=1 << bits_pow).collect()
+    }
+    want = {(r["k"], r["n_dup"]) for r in duplicate_keys(df, ["k"]).collect()}
+    assert got == want

@@ -383,6 +383,38 @@ def near_dedup(
     return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """Batch-incremental exact dedup: keep the rows of a NEW corpus slice
+    (the daily crawl) that are neither already in the historical
+    fingerprint store ``seen`` nor duplicated within the slice itself —
+    the batch analog of streaming_first_seen_dedup, for pipelines that
+    ingest in daily table snapshots rather than a stream.
+
+    ``seen`` needs only a ``fingerprint_col`` column (the store the
+    previous runs appended — write ``fingerprint(new_slice)`` back after
+    each ingest). Scale shape: one anti-join keyed on the md5 fingerprint
+    (uniform, skew-free); the store side is a sorted/bucketed table at
+    corpus scale, so the join is a sort-merge over co-partitioned hashes
+    — or ``broadcast_seen=True`` when the store is small. NULL-text rows
+    pass through (no fingerprint → not duplicates, same rule as
+    exact_dedup)."""
+    fp = fingerprint(new_df, text_col)
+    store = seen.select(F.col(fingerprint_col).alias("fingerprint")).distinct()
+    if broadcast_seen:
+        store = F.broadcast(store)
+    # left_anti passes NULL-fingerprint rows through by itself (NULL
+    # equi-matches nothing), so no special-casing is needed here
+    fresh = fp.join(store, "fingerprint", "left_anti")
+    return exact_dedup(fresh.drop("fingerprint"), id_col, text_col)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -378,6 +378,38 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental dedup (dedup.incremental_dedup): re-ingesting the
+    planted corpus against a historical fingerprint store covering ids
+    < 200 — survivors are the rows whose content is NEW to the store,
+    deduped within the slice (min id per fingerprint). The oracle
+    re-derives both the anti-join and the within-slice keep rule over the
+    committed snapshot."""
+    from validate_xml_rust_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup,
+    )
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    seen = fingerprint(docs.filter(F.col("doc_id") < 200)).select("fingerprint")
+    return incremental_dedup(docs, seen)
+
+
+ORACLE_INCREMENTAL_DEDUP = rf"""
+WITH d0 AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+hist AS (SELECT DISTINCT f FROM d0 WHERE doc_id < 200),
+fresh AS (SELECT doc_id, text, f FROM d0
+          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.f = d0.f))
+SELECT doc_id, text FROM (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS kid FROM fresh)
+WHERE doc_id = kid
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + the BPE-ish subword estimate. Spark counts
     subwords by splitting on alnum/non-alnum boundary transitions
@@ -668,6 +700,72 @@ p AS (
                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+"""
+
+
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch FIRST-SEEN dedup (streaming/stateful.py,
+    applyInPandasWithState): the documents table replays as 5 arrival
+    files (batch j = doc_id // 100, one file per micro-batch, file order
+    pinned by explicit mtimes), keyed on doc_id % 100 — every key arrives
+    exactly once per batch, so each occurrence's ``n_seen_before`` is
+    fully determined: doc_id // 100. The oracle restates that closed form;
+    equality pins the keyed-state counter across batches."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from validate_xml_rust_spark.streaming.stateful import (
+        run_available_now,
+        streaming_first_seen_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        (F.col("doc_id") % 100).cast("string").alias("key"),
+        F.floor(F.col("doc_id") / 100).cast("int").alias("batch"),
+    )
+    rows = docs.collect()  # 500 tiny rows — gate fixture setup only
+    td = tempfile.mkdtemp(prefix="vxrs_first_seen_")
+    in_dir, out_dir, ckpt = f"{td}/in", f"{td}/out", f"{td}/ckpt"
+    os.makedirs(in_dir)
+    t0 = _time.time() - 1000
+    for j in sorted({r["batch"] for r in rows}):
+        part = [r for r in rows if r["batch"] == j]
+        path = f"{in_dir}/batch{j}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r["url"] for r in part]),
+                    "key": pa.array([r["key"] for r in part]),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (t0 + j, t0 + j))  # arrival order = mtime order
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("key", T.StringType())]
+    )
+    sdf = streaming_first_seen_dedup(
+        spark, in_dir, ckpt, key_expr="key", schema=schema,
+        max_files_per_trigger=1,
+    )
+    run_available_now(sdf, ckpt, out_dir)
+    return spark.read.parquet(out_dir).select(
+        "key", "url", "is_duplicate", "n_seen_before"
+    )
+
+
+ORACLE_STREAMING_FIRST_SEEN = """
+SELECT CAST(doc_id % 100 AS VARCHAR) AS key,
+       CAST(doc_id AS VARCHAR) AS url,
+       doc_id >= 100 AS is_duplicate,
+       CAST(doc_id // 100 AS BIGINT) AS n_seen_before
+FROM documents
 """
 
 
@@ -1793,7 +1891,9 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "minhash_neardups": q_minhash_neardups,
+    "incremental_dedup": q_incremental_dedup,
     "streaming_neardup": q_streaming_neardup,
+    "streaming_first_seen": q_streaming_first_seen,
     "simhash_neardups": q_simhash_neardups,
     "ngram_jaccard": q_ngram_jaccard,
     "top_orders_per_nation": q_top_orders_per_nation,
@@ -1848,7 +1948,9 @@ ORACLES = {
     "ivf_ann_topk": ORACLE_ANN_TOPK,  # exact-recall assertion (see q_ivf_ann_topk)
     "embedding_neardup_exact": ORACLE_EMBEDDING_NEARDUP_EXACT,
     "minhash_neardups": ORACLE_MINHASH_NEARDUPS,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "streaming_neardup": ORACLE_STREAMING_NEARDUP,
+    "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
     "simhash_neardups": ORACLE_SIMHASH_NEARDUPS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "top_orders_per_nation": ORACLE_TOP_ORDERS_PER_NATION,

@@ -53,14 +53,21 @@ def streaming_first_seen_dedup(
     checkpoint_dir: str,
     key_expr: str = "url",
     schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> "DataFrame":
     """Build the stateful streaming dedup over a file-source stream;
     returns the streaming DataFrame (attach a sink + availableNow trigger;
     tests use the memory sink). Re-running with the same checkpoint keeps
-    the state store, so duplicates are detected across RUNS too."""
+    the state store, so duplicates are detected across RUNS too.
+    ``max_files_per_trigger=1`` replays one arrival file per micro-batch
+    (file order = modification time, oldest first) — the deterministic
+    replay mode the first-seen gate query uses."""
     from validate_xml_rust_spark.streaming.incremental import PAGES_SCHEMA
 
-    stream = spark.readStream.schema(schema or PAGES_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(schema or PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
     keyed = stream.select(
         F.expr(key_expr).cast("string").alias("key"), F.col("url")
     ).filter(F.col("key").isNotNull())
