@@ -175,8 +175,13 @@ def main() -> None:
     timings["uniqueness_pages_unsalted"] = _time(
         lambda: _force(duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], salted=False))
     )
-    # bloom pre-pass: ~1% of pages urls are planted dups, so only the
-    # suspected sliver reaches the groupBy shuffle (SCALE.md §3 (a))
+    # bloom pre-pass: ~2% of pages rows (planted dups + FP) reach the
+    # groupBy shuffle instead of 100%. NOTE this entry reads SLOWER than
+    # the plain salted path on local[N] — the pre-pass pays an extra CPU
+    # scan to cut shuffle BYTES, and a single box shuffles through memory
+    # for free; the win is network-bound cluster shuffle (SCALE.md §3 (a)
+    # does the arithmetic). Timed anyway: honest numbers over flattering
+    # ones, and the entry guards against the pre-pass itself regressing.
     timings["uniqueness_pages_bloom"] = _time(
         lambda: _force(
             duplicate_keys(

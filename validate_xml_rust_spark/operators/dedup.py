@@ -59,21 +59,33 @@ def exact_duplicates(
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Keep one row per distinct content (the min-id row). Rows with NULL
     text (no fingerprint) are NOT duplicates of each other — they all
     survive (SQL UNIQUE semantics, same rule as uniqueness.py); an inner
     join back on the fingerprint would silently drop every one of them
-    (NULL never equi-joins)."""
-    fp = fingerprint(df, text_col)
-    keep = fp.filter(F.col("fingerprint").isNotNull()).groupBy("fingerprint").agg(
+    (NULL never equi-joins).
+
+    ``fingerprint_col`` names a PRECOMPUTED fingerprint column on ``df``
+    (kept in the output — the caller owns it); when None, the md5
+    normalization fingerprint is computed here and dropped. Callers that
+    already paid the normalization pass (incremental_dedup) must not pay
+    it twice — at corpus scale it is the dominant per-row CPU."""
+    if fingerprint_col is None:
+        fp, fcol, drop_cols = fingerprint(df, text_col), "fingerprint", ["fingerprint", "__keep"]
+    else:
+        fp, fcol, drop_cols = df, fingerprint_col, ["__keep"]
+    keep = fp.filter(F.col(fcol).isNotNull()).groupBy(fcol).agg(
         F.min(id_col).alias("__keep")
     )
     return (
-        fp.join(keep, "fingerprint", "left")
-        .filter(F.col("fingerprint").isNull() | (F.col(id_col) == F.col("__keep")))
-        .drop("fingerprint", "__keep")
+        fp.join(keep, fcol, "left")
+        .filter(F.col(fcol).isNull() | (F.col(id_col) == F.col("__keep")))
+        .drop(*drop_cols)
     )
 
 
@@ -347,6 +359,7 @@ def near_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     broadcast_drop: bool = True,
+    stats: dict | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash pairs → connected
@@ -354,7 +367,15 @@ def near_dedup(
     pair survive untouched (the common case — components cover only the
     near-dup subgraph). ``broadcast_drop=False`` for corpora where the
     duplicate set itself is too large to broadcast (falls back to a
-    sort-merge anti-join)."""
+    sort-merge anti-join).
+
+    The returned frame's anti-join references an internal drop-set
+    localCheckpoint (one row per dropped doc — corpus-fraction sized on
+    dup-heavy crawls) that ``DataFrame.unpersist`` cannot reach. Pass a
+    ``stats`` dict and release ``stats['ckpt_block_ids']`` via
+    ``ckpt.release_blocks`` once your own downstream action/checkpoint has
+    materialized (pipeline.curate does this); otherwise the blocks live
+    until the executor JVM drops them."""
     from validate_xml_rust_spark.ckpt import (
         block_ids_of,
         eager_checkpoint,
@@ -372,11 +393,13 @@ def near_dedup(
     # materialize the (tiny — dup ids only) drop set, then release the
     # pairs and final-label checkpoints: the caller's anti-join references
     # only the drop blocks, so nothing near-dup-sized outlives the call
-    drop, _ = eager_checkpoint(
+    drop, drop_ids = eager_checkpoint(
         comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias("__drop")
         )
     )
+    if stats is not None:
+        stats["ckpt_block_ids"] = drop_ids
     release_blocks(df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp))
     if broadcast_drop:
         drop = F.broadcast(drop)
@@ -412,7 +435,12 @@ def incremental_dedup(
     # left_anti passes NULL-fingerprint rows through by itself (NULL
     # equi-matches nothing), so no special-casing is needed here
     fresh = fp.join(store, "fingerprint", "left_anti")
-    return exact_dedup(fresh.drop("fingerprint"), id_col, text_col)
+    # reuse the fingerprint already computed for the anti-join — recomputing
+    # it inside exact_dedup would run the trim/regexp/lower/md5 normalization
+    # (the dominant per-row CPU here) over every surviving row twice
+    return exact_dedup(
+        fresh, id_col, text_col, fingerprint_col="fingerprint"
+    ).drop("fingerprint")
 
 
 def winnow_fingerprints(

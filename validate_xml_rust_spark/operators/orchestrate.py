@@ -46,6 +46,7 @@ def _table_violations_for(
     ctx: TableContext,
     id_col: str,
     partition_col: str,
+    ckpt_ids: set | None = None,
 ) -> DataFrame:
     if c.kind == "unique":
         from validate_xml_rust_spark.operators.uniqueness import (
@@ -118,7 +119,7 @@ def _table_violations_for(
             release_blocks,
         )
 
-        out, _ = eager_checkpoint(
+        out, out_ids = eager_checkpoint(
             comp.filter(F.col("id") != F.col("component")).select(
                 F.col("id").cast("string").alias("url"),
                 F.lit(c.constraint_id).alias("constraint_id"),
@@ -132,6 +133,8 @@ def _table_violations_for(
         release_blocks(
             df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp)
         )
+        if ckpt_ids is not None:
+            ckpt_ids |= out_ids
         return out
     if c.kind == "drift":
         from validate_xml_rust_spark.operators.drift import (
@@ -155,12 +158,27 @@ def _table_violations_for(
 class FullValidationResult:
     row_result: ValidationResult
     table_violations: DataFrame | None
+    # localCheckpoint blocks backing table_violations (near_dup constraints
+    # materialize eagerly — see validate_full docstring); unreachable by
+    # DataFrame.unpersist, so the caller frees them explicitly when done
+    ckpt_block_ids: frozenset = frozenset()
 
     def all_violations(self) -> DataFrame:
         row_v = self.row_result.violations().select(*VIOLATION_COLS)
         if self.table_violations is None:
             return row_v
         return row_v.unionByName(self.table_violations)
+
+    def release(self) -> None:
+        """Free checkpoint blocks backing table_violations (RDD-level —
+        call after the violations have been written/consumed)."""
+        if self.table_violations is not None and self.ckpt_block_ids:
+            from validate_xml_rust_spark.ckpt import release_blocks
+
+            release_blocks(
+                self.table_violations.sparkSession.sparkContext,
+                self.ckpt_block_ids,
+            )
 
 
 def validate_full(
@@ -179,7 +197,14 @@ def validate_full(
     Table checks run over the rows the spec actually governs (rows routed
     to that spec), so a registry with per-route specs applies each spec's
     uniqueness/referential/drift to its own slice — mirroring the
-    reference's per-schema scoping."""
+    reference's per-schema scoping.
+
+    Cost note: ``near_dup`` constraints execute their full MinHash+CC
+    pipeline EAGERLY here (a deliberate trade — the lazy form strands
+    corpus-sized shingle/signature caches in executor memory after every
+    run); don't declare one in a registry whose table_violations you never
+    read. The materialized violation rows are localCheckpoint blocks —
+    call ``result.release()`` once they're consumed."""
     ctx = context or TableContext()
     row_result = validate(
         df, spark, registry, route_col=route_col, route_mode=route_mode,
@@ -190,6 +215,7 @@ def validate_full(
     # rows per spec: reuse the verdict spec_id by joining back? Cheaper:
     # recompute the routing predicate per spec on the input (narrow).
     table_v: DataFrame | None = None
+    ckpt_ids: set = set()
     for sid, spec in sorted(registry.specs.items()):
         tcs = spec.table_constraints()
         if not tcs:
@@ -207,7 +233,13 @@ def validate_full(
         if scoped is None:
             continue
         for c in tcs:
-            v = _table_violations_for(scoped, c, ctx, id_col, partition_col)
+            v = _table_violations_for(
+                scoped, c, ctx, id_col, partition_col, ckpt_ids=ckpt_ids
+            )
             table_v = v if table_v is None else table_v.unionByName(v)
 
-    return FullValidationResult(row_result=row_result, table_violations=table_v)
+    return FullValidationResult(
+        row_result=row_result,
+        table_violations=table_v,
+        ckpt_block_ids=frozenset(ckpt_ids),
+    )

@@ -64,15 +64,24 @@ def write_manifest(metrics: DataFrame, manifest_dir: str) -> int:
     "snapshot commit"); returns the committed snapshot_id."""
     spark = metrics.sparkSession
     sid = next_snapshot_id(spark, manifest_dir)
-    metrics.withColumn("snapshot_id", F.lit(sid)).write.mode("append").parquet(
-        manifest_dir
-    )
+    # cast: F.lit(python int) is INT32, MANIFEST_SCHEMA declares long —
+    # mixed physical types in one parquet dir break schema-enforcing readers
+    metrics.withColumn("snapshot_id", F.lit(sid).cast("long")).write.mode(
+        "append"
+    ).parquet(manifest_dir)
     return sid
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(manifest_dir)
+        # mergeSchema: a manifest dir written before the snapshot_id column
+        # existed gets new-schema files appended beside old ones; without
+        # merging, the inferred schema comes from an ARBITRARY footer — an
+        # old one hides snapshot_id and next_snapshot_id would re-issue
+        # generation 1 (duplicate ids). Merged, old rows read as NULL
+        # snapshot_id and max() skips them. The manifest is O(partitions)
+        # files, so the footer sweep is cheap.
+        return spark.read.option("mergeSchema", "true").parquet(manifest_dir)
     except Exception:
         return None  # no manifest yet → nothing completed
 

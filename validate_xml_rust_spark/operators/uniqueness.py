@@ -67,11 +67,13 @@ def bloom_suspects(
        array of the partition's keys plus a ``dup`` bit array of keys
        already seen WITHIN the partition (batch-incremental, including
        intra-batch repeats via exact (h1,h2) collisions);
-    2. driver fold over the O(partitions) bloom rows: cross-partition
-       suspects are ``seen_i AND prefix_seen`` at the BIT level (an
-       over-approximation — extra false positives, never negatives),
-       OR-ed with the per-partition dup blooms; the merged suspect bloom
-       broadcasts and a vectorized probe filters the corpus.
+    2. an executor-side tree-reduce over the O(partitions) bloom rows —
+       the combine ``(s₁|s₂, d₁|d₂|(s₁&s₂))`` is associative and
+       commutative, so cross-partition suspects (bit set in ≥2 partition
+       blooms — an over-approximation: extra false positives, never
+       negatives) merge in a tree and only the final 2·m/8 bytes reach
+       the driver; the merged suspect bloom broadcasts and a vectorized
+       probe filters the corpus.
 
     This turns the full-corpus key shuffle (SCALE.md §3's 24 TB at url
     grain) into a shuffle of the suspected keys only — for low-dup corpora
@@ -104,25 +106,38 @@ def bloom_suspects(
             h2 = pdf["__h2"].to_numpy(dtype=np.int64)
             pos = _bit_positions(h1, h2, k, m)
             before = _member(seen, pos)
-            # intra-batch repeats: identical (h1, h2) pairs
+            # intra-batch repeats: identical (h1, h2) pairs. reshape(-1):
+            # numpy 2.0.x returns a (n,1) inverse from axis-unique (2.1
+            # reverted it) — flatten so the mask stays 1-D everywhere
             pairs = np.stack([h1, h2], axis=1)
             _, inv, cnt = np.unique(
                 pairs, axis=0, return_inverse=True, return_counts=True
             )
-            repeats = cnt[inv] > 1
+            repeats = cnt[inv.reshape(-1)] > 1
             _set_bits(dup, pos[before | repeats])
             _set_bits(seen, pos)
         if any_rows:
             yield pd.DataFrame({"seen": [seen.tobytes()], "dup": [dup.tobytes()]})
 
-    blooms = hashed.mapInPandas(build, _BLOOM_SCHEMA).collect()
-    merged = np.zeros(m >> 3, dtype=np.uint8)
-    running = np.zeros(m >> 3, dtype=np.uint8)
-    for row in blooms:
-        s = np.frombuffer(row["seen"], dtype=np.uint8)
-        d = np.frombuffer(row["dup"], dtype=np.uint8)
-        merged |= d | (s & running)
-        running |= s
+    def combine(a: tuple, b: tuple) -> tuple:
+        sa = np.frombuffer(a[0], dtype=np.uint8)
+        da = np.frombuffer(a[1], dtype=np.uint8)
+        sb = np.frombuffer(b[0], dtype=np.uint8)
+        db = np.frombuffer(b[1], dtype=np.uint8)
+        return ((sa | sb).tobytes(), (da | db | (sa & sb)).tobytes())
+
+    bloom_rows = hashed.mapInPandas(build, _BLOOM_SCHEMA).rdd.map(
+        lambda r: (bytes(r["seen"]), bytes(r["dup"]))
+    )
+    # no isEmpty() pre-probe (it would compute the first partition's whole
+    # bloom build, then treeReduce recomputes it); no treeAggregate either
+    # (its zeroValue ships 2·m/8 zero bytes into every task) — reduce and
+    # catch the only-empty-input error instead.
+    try:
+        _, dup_bytes = bloom_rows.treeReduce(combine, depth=2)
+        merged = np.frombuffer(dup_bytes, dtype=np.uint8)
+    except ValueError:  # "Cannot reduce() empty RDD": df had no rows
+        merged = np.zeros(m >> 3, dtype=np.uint8)
     bc = df.sparkSession.sparkContext.broadcast(merged.tobytes())
 
     @F.pandas_udf("boolean")

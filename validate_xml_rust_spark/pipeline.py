@@ -116,10 +116,17 @@ def curate(
 
     cur = log("exact_dedup", exact_dedup(cur, id_col, text_col))
     if near_dup_threshold is not None:
+        nd_stats: dict = {}
         cur = log(
             "near_dedup",
-            near_dedup(cur, id_col, text_col, threshold=near_dup_threshold),
+            near_dedup(
+                cur, id_col, text_col, threshold=near_dup_threshold,
+                stats=nd_stats,
+            ),
         )
+        # the step checkpoint (inside log) has materialized, so near_dedup's
+        # internal drop-set checkpoint is unreachable — free its blocks
+        release_blocks(sc, nd_stats.get("ckpt_block_ids", frozenset()))
 
     if benchmark is not None:
         from validate_xml_rust_spark.operators.curation import contamination_flags

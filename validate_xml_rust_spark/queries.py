@@ -405,8 +405,11 @@ hist AS (SELECT DISTINCT f FROM d0 WHERE doc_id < 200),
 fresh AS (SELECT doc_id, text, f FROM d0
           WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.f = d0.f))
 SELECT doc_id, text FROM (
-  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS kid FROM fresh)
-WHERE doc_id = kid
+  SELECT doc_id, text, f, min(doc_id) OVER (PARTITION BY f) AS kid FROM fresh)
+-- f IS NULL: NULL-text rows ALL survive — the window alone would group
+-- every NULL fingerprint into one partition and keep only the min id,
+-- the opposite of the engine's SQL-UNIQUE NULL rule (exact_dedup)
+WHERE doc_id = kid OR f IS NULL
 """
 
 
@@ -1394,11 +1397,13 @@ def q_exit_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("fail_fast", cli_main(["synth:700", "-q", "--fail-fast"])),
             ("config_error", cli_main(["/definitely/missing/path"])),
         ]
-    return spark.createDataFrame(rows, "scenario string, exit_code int")
+    # bigint on both sides — the driver's value hash canonicalizes int32
+    # and int64 differently (CLAUDE.md gate-typing rule)
+    return spark.createDataFrame(rows, "scenario string, exit_code long")
 
 
 ORACLE_EXIT_CODES = """
-SELECT * FROM (VALUES
+SELECT scenario, CAST(exit_code AS BIGINT) AS exit_code FROM (VALUES
   ('all_valid', 0), ('invalid_rows', 3), ('error_rows', 2),
   ('fail_fast', 1), ('config_error', 1)
 ) AS t(scenario, exit_code)
@@ -1733,8 +1738,9 @@ fp AS (SELECT doc_id, text,
               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
        FROM d0),
 d1 AS (SELECT doc_id, text FROM (
-         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS kid FROM fp)
-       WHERE doc_id = kid),
+         SELECT doc_id, text, f, min(doc_id) OVER (PARTITION BY f) AS kid FROM fp)
+       -- f IS NULL: NULL-text rows all survive exact dedup (engine rule)
+       WHERE doc_id = kid OR f IS NULL),
 toks1 AS (SELECT doc_id, {_CURATE_W} AS w FROM d1),
 g1 AS (SELECT DISTINCT doc_id, gram FROM (
          SELECT doc_id, unnest({_CURATE_GRAMS8}) AS gram FROM toks1)),
