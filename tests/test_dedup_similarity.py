@@ -56,6 +56,12 @@ def test_exact_duplicates_and_dedup(spark):
     )
     kept3 = {r["doc_id"] for r in exact_dedup(d3).collect()}
     assert kept3 == {0, 2, 3}
+    # precomputed-fingerprint path: same keeps, caller's column preserved
+    from validate_xml_rust_spark.operators.dedup import fingerprint
+
+    pre = exact_dedup(fingerprint(d3), fingerprint_col="fingerprint")
+    assert "fingerprint" in pre.columns
+    assert {r["doc_id"] for r in pre.collect()} == {0, 2, 3}
 
 
 def test_incremental_dedup_against_store(spark):
@@ -77,11 +83,15 @@ def test_incremental_dedup_against_store(spark):
             (12, "brand new"),     # within-slice dup of 11 → dropped
             (13, None),            # null text → kept (not a duplicate)
             (14, "Also  Seen "),   # normalizes to a store hit → dropped
+            (15, None),            # second null text → ALSO kept (NULL
+                                   # fingerprints are not dups of each other)
         ],
         "doc_id long, text string",
     )
-    kept = {r["doc_id"] for r in incremental_dedup(new, store).collect()}
-    assert kept == {11, 13}
+    out = incremental_dedup(new, store)
+    assert out.columns == ["doc_id", "text"]  # fingerprint not leaked
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {11, 13, 15}
     # broadcast escape hatch yields the same result
     kept_bc = {
         r["doc_id"]

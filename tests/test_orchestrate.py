@@ -147,6 +147,17 @@ def test_validate_full_contamination_and_near_dup(spark):
     assert ("no_near_dups", "u1") in v          # u1 loses to u0 (min id)
     assert v[("no_near_dups", "u1")]["observed_value"] == "u0"
     assert all(u not in ("u0", "u2") for c, u in v)  # survivors untouched
+    # the near_dup violations were checkpointed eagerly — the result hands
+    # the caller the block ids, and release() frees them (the violations
+    # frame must not be read afterwards)
+    assert res.ckpt_block_ids
+    pers = spark.sparkContext._jsc.getPersistentRDDs()
+    assert any(rid in res.ckpt_block_ids for rid in pers.keySet().toArray() or [])
+    res.release()
+    pers_after = spark.sparkContext._jsc.getPersistentRDDs()
+    assert not any(
+        rid in res.ckpt_block_ids for rid in pers_after.keySet().toArray() or []
+    )
 
 
 def test_repetition_row_constraint(spark):

@@ -82,6 +82,37 @@ def test_manifest_snapshot_generations(spark, tmp_path):
     assert n3 == 0
 
 
+def test_manifest_upgrade_from_pre_snapshot_schema(spark, tmp_path):
+    """A manifest dir written BEFORE the snapshot_id column existed gets
+    new-schema generations appended beside the old files: the reader must
+    merge schemas (an arbitrary old footer would hide snapshot_id and
+    re-issue generation 1), old rows surface as NULL snapshot_id, and the
+    committed column is physically long (the declared type)."""
+    from validate_xml_rust_spark.operators.resume import (
+        next_snapshot_id,
+        read_manifest,
+        write_manifest,
+    )
+    from validate_xml_rust_spark.operators.validate import validate
+
+    manifest = str(tmp_path / "manifest_mixed")
+    df = with_partition_id(pages(spark, 400), 4)
+    res = validate(df, spark, _registry())
+    metrics = partition_metrics(res.verdicts, "legacy-run")
+    # legacy writer: no snapshot_id column at all
+    metrics.write.mode("append").parquet(manifest)
+    assert next_snapshot_id(spark, manifest) == 1
+    # two new-schema commits on top of the legacy files
+    assert write_manifest(partition_metrics(res.verdicts, "run-1"), manifest) == 1
+    assert write_manifest(partition_metrics(res.verdicts, "run-2"), manifest) == 2
+    m = read_manifest(spark, manifest)
+    assert dict(m.dtypes)["snapshot_id"] == "bigint"
+    gens = [r["snapshot_id"] for r in m.select("snapshot_id").collect()]
+    assert sorted(g for g in gens if g is not None) == [1] * 4 + [2] * 4
+    assert sum(1 for g in gens if g is None) == 4  # legacy rows, not dropped
+    assert next_snapshot_id(spark, manifest) == 3
+
+
 def test_partition_metrics_shape(spark):
     df = with_partition_id(pages(spark, 500), 4)
     from validate_xml_rust_spark.operators.validate import validate
