@@ -709,11 +709,17 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
 def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch FIRST-SEEN dedup (streaming/stateful.py,
     applyInPandasWithState): the documents table replays as 5 arrival
-    files (batch j = doc_id // 100, one file per micro-batch, file order
-    pinned by explicit mtimes), keyed on doc_id % 100 — every key arrives
-    exactly once per batch, so each occurrence's ``n_seen_before`` is
-    fully determined: doc_id // 100. The oracle restates that closed form;
-    equality pins the keyed-state counter across batches."""
+    files (batch j = doc_id // K with K = ceil(n/5), one file per
+    micro-batch, file order pinned by explicit mtimes), keyed on
+    doc_id % K — every key arrives exactly once per batch, so each
+    occurrence's ``n_seen_before`` is fully determined: doc_id // K. The
+    oracle restates that closed form (K from the same count); equality
+    pins the keyed-state counter across batches.
+
+    The batch COUNT is fixed at 5 regardless of sf — scaling the corpus
+    grows rows-per-trigger (real state-store work), not trigger count
+    (fixed per-micro-batch commit overhead): 50 triggers at sf0.1 was
+    ~55s of pure checkpoint churn for the same state-logic coverage."""
     import os
     import tempfile
     import time as _time
@@ -727,12 +733,14 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_first_seen_dedup,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    base = _t(spark, sf_dir, "documents")
+    kk = (base.count() + 4) // 5  # keys per batch → always 5 batches
+    docs = base.select(
         F.col("doc_id").cast("string").alias("url"),
-        (F.col("doc_id") % 100).cast("string").alias("key"),
-        F.floor(F.col("doc_id") / 100).cast("int").alias("batch"),
+        (F.col("doc_id") % kk).cast("string").alias("key"),
+        F.floor(F.col("doc_id") / kk).cast("int").alias("batch"),
     )
-    rows = docs.collect()  # 500 tiny rows — gate fixture setup only
+    rows = docs.collect()  # tiny (url,key) rows — replay fixture setup only
     td = tempfile.mkdtemp(prefix="vxrs_first_seen_")
     in_dir, out_dir, ckpt = f"{td}/in", f"{td}/out", f"{td}/ckpt"
     os.makedirs(in_dir)
@@ -764,11 +772,12 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAMING_FIRST_SEEN = """
-SELECT CAST(doc_id % 100 AS VARCHAR) AS key,
+WITH kk AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS k FROM documents)
+SELECT CAST(doc_id % k AS VARCHAR) AS key,
        CAST(doc_id AS VARCHAR) AS url,
-       doc_id >= 100 AS is_duplicate,
-       CAST(doc_id // 100 AS BIGINT) AS n_seen_before
-FROM documents
+       doc_id >= k AS is_duplicate,
+       CAST(doc_id // k AS BIGINT) AS n_seen_before
+FROM documents, kk
 """
 
 
