@@ -79,3 +79,43 @@ def test_cli_extension_filter_runs(capsys):
     # rows out → the empty-input short-circuit path (exit 0)
     code = main(["synth:200", "-q", "--extension", "html"])
     assert code == 0
+
+
+def test_cli_resume_manifest_roundtrip(tmp_path, capsys):
+    """--manifest end-to-end: the first run validates everything and
+    commits snapshot 1; the identical re-run finds nothing pending and
+    exits 0 (the reference's re-run-skips-work disk-cache contract at
+    CLI level); the manifest records one generation."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark import get_spark
+
+    manifest = str(tmp_path / "manifest")
+    spec = {
+        "spec_id": "permissive-v1",
+        "constraints": [
+            {"constraint_id": "ok", "column": "url", "kind": "expr",
+             "params": {"predicate": "1 = 1"}},
+        ],
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    args = ["synth:300", "--spec", str(p), "--manifest", manifest,
+            "--partitions", "8"]
+    code1 = main(args + ["--run-id", "r1"])
+    out1 = capsys.readouterr().out
+    assert code1 == 0
+    assert "Committed snapshot 1 (run r1)" in out1
+    # identical re-run: every partition already committed → nothing pending
+    code2 = main(args + ["--run-id", "r2"])
+    out2 = capsys.readouterr().out
+    assert code2 == 0
+    assert "Nothing pending" in out2
+    spark = get_spark()
+    m = spark.read.parquet(manifest)
+    assert {r["snapshot_id"] for r in m.select("snapshot_id").collect()} == {1}
+    assert {r["run_id"] for r in m.select("run_id").collect()} == {"r1"}
+    assert m.select("partition_id").distinct().count() == 8
+    assert m.agg(F.sum("n_rows").alias("n")).collect()[0]["n"] == 300

@@ -40,6 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", help="write verdicts+violations parquet under this dir")
     p.add_argument("--cache-dir", help="spec cache dir (TTL disk cache)")
     p.add_argument("--partitions", type=int, default=32)
+    p.add_argument(
+        "--manifest",
+        help="resume manifest dir: skip partitions already committed there; "
+             "commit this run's completed partitions as a new snapshot "
+             "generation (the reference's disk-cache resume, S9/J2, at "
+             "table scale)",
+    )
+    p.add_argument(
+        "--run-id",
+        help="lineage run id recorded in the manifest (default: cli-<epoch>)",
+    )
     return p
 
 
@@ -117,10 +128,19 @@ def main(argv: list[str] | None = None) -> int:
         df = extension_filter(df, args.extension)
     df = with_partition_id(df, args.partitions)
 
+    # --- resume: restrict to partitions not yet in the manifest (S9/J2)
+    if args.manifest:
+        from validate_xml_rust_spark.operators.resume import pending_rows
+
+        df = pending_rows(df, spark, args.manifest)
+
     # empty-input short-circuit (src/validator.rs:432-438)
     if df.limit(1).count() == 0:
         if not args.quiet:
-            print("No documents found to validate")
+            if args.manifest:
+                print("Nothing pending — all partitions already in the manifest")
+            else:
+                print("No documents found to validate")
         return 0
 
     # --- validation + aggregation phases
@@ -144,6 +164,20 @@ def main(argv: list[str] | None = None) -> int:
         phases.start("aggregation")
         srow = summarize(verdicts).collect()[0].asDict()
     phases.finish()
+
+    # --- commit completed partitions (one snapshot generation per run)
+    if args.manifest:
+        from validate_xml_rust_spark.operators.resume import (
+            partition_metrics,
+            write_manifest,
+        )
+
+        run_id = args.run_id or f"cli-{int(time.time())}"
+        # res.verdicts (not the --output re-read): the parquet drops
+        # violation_entries, which the per-partition metrics row needs
+        sid = write_manifest(partition_metrics(res.verdicts, run_id), args.manifest)
+        if not args.quiet:
+            print(f"Committed snapshot {sid} (run {run_id}) to {args.manifest}")
     wall_ms = (time.perf_counter() - t0) * 1000
 
     # --- report + exit code (S8/S10)
