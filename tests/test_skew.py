@@ -110,3 +110,29 @@ def test_bloom_prepass_catches_cross_partition_and_null_dups(spark):
     }
     assert got == want
     assert (None, 10) in got  # ids 1000-1009 → 10 NULL keys, one group
+
+
+def test_frequent_values_skewed_column(spark):
+    """frequent_values on a Zipf-ish column: matches a plain groupBy
+    top-k (values + counts + deterministic tie-break), NULLs excluded,
+    and the global top-k plans as TakeOrdered (no full-sort shuffle of
+    the distinct-value table)."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.profile import frequent_values
+
+    # hot value 'a' (500 rows), then b=200, c=200 (tie → value asc), d=50,
+    # plus nulls that must not appear
+    rows = (
+        [("a",)] * 500 + [("b",)] * 200 + [("c",)] * 200 + [("d",)] * 50
+        + [(None,)] * 25
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    top = frequent_values(df, "v", k=3)
+    got = [(r["value"], r["n"], r["rank"]) for r in top.orderBy("rank").collect()]
+    assert got == [("a", 500, 1), ("b", 200, 2), ("c", 200, 3)]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # two-phase salted count: both aggregation phases present
+    analyzed = top._jdf.queryExecution().analyzed().toString()
+    assert "__salt" in analyzed

@@ -86,6 +86,43 @@ def length_histogram(
     )
 
 
+def frequent_values(
+    df: DataFrame, column: str, k: int = 10, n_salts: int = 16
+) -> DataFrame:
+    """Top-k most frequent values of a column (the data-quality
+    "frequent items" profile), deterministic tie-break (n DESC, value
+    ASC). Output: ``column_name, value, n, rank`` (value stringified so
+    heterogeneous columns can union into one profile table).
+
+    Scale shape: the hot values ARE the skewed keys — a plain
+    ``groupBy(column)`` would put every occurrence of the most frequent
+    value in one reducer, which is exactly the row this profile exists to
+    find. The count is therefore the two-phase salted aggregation
+    (operators/skew.py — AQE does not skew-split aggregations); its
+    output is one row per DISTINCT value (already reduced), and the
+    global top-k plans as TakeOrdered over those rows — no full sort, no
+    single-reducer hot key. NULLs are excluded (profile() reports
+    null_rate separately)."""
+    from pyspark.sql import Window
+
+    from validate_xml_rust_spark.operators.skew import salted_agg
+
+    base = df.select(F.col(column).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    counts = salted_agg(base, ["value"], [("count", None, "n")], n_salts=n_salts)
+    top = counts.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
+    # rank assigned AFTER the TakeOrdered — the window's single-partition
+    # exchange carries only k rows
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc())
+    return top.select(
+        F.lit(column).alias("column_name"),
+        "value",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def hll_baselines(
     df: DataFrame, columns: list[str], by: str = "partition_id"
 ) -> DataFrame:

@@ -186,6 +186,38 @@ FROM documents
 """
 
 
+def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items profile (profile.frequent_values): top-5 values of
+    two skew-shaped columns — documents.lang and events.event_type —
+    counted through the two-phase salted aggregation and ranked with the
+    deterministic (n DESC, value ASC) tie-break. The oracle re-derives
+    both top-k lists with a plain GROUP BY + row_number window."""
+    from validate_xml_rust_spark.operators.profile import frequent_values
+
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    return frequent_values(docs, "lang", k=5).unionByName(
+        frequent_values(events, "event_type", k=5)
+    )
+
+
+ORACLE_FREQUENT_VALUES = """
+WITH cl AS (SELECT CAST(lang AS VARCHAR) AS value, count(*) AS n
+            FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+rl AS (SELECT 'lang' AS column_name, value, CAST(n AS BIGINT) AS n,
+              CAST(row_number() OVER (ORDER BY n DESC, value) AS BIGINT) AS rank
+       FROM cl),
+ce AS (SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n
+       FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+re AS (SELECT 'event_type' AS column_name, value, CAST(n AS BIGINT) AS n,
+              CAST(row_number() OVER (ORDER BY n DESC, value) AS BIGINT) AS rank
+       FROM ce)
+SELECT * FROM rl WHERE rank <= 5
+UNION ALL
+SELECT * FROM re WHERE rank <= 5
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from validate_xml_rust_spark.operators.profile import length_histogram
 
@@ -1890,6 +1922,7 @@ QUERIES = {
     "validate_violations": q_validate_violations,
     "validate_summary": q_validate_summary,
     "profile_documents": q_profile_documents,
+    "frequent_values": q_frequent_values,
     "length_histogram": q_length_histogram,
     "duplicate_custkeys": q_duplicate_custkeys,
     "duplicate_custkeys_bloom": q_duplicate_custkeys_bloom,
@@ -1947,6 +1980,7 @@ ORACLES = {
     "validate_violations": ORACLE_VALIDATE_VIOLATIONS,
     "validate_summary": ORACLE_VALIDATE_SUMMARY,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
+    "frequent_values": ORACLE_FREQUENT_VALUES,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "duplicate_custkeys": ORACLE_DUPLICATE_CUSTKEYS,
     "duplicate_custkeys_bloom": ORACLE_DUPLICATE_CUSTKEYS,
