@@ -15,6 +15,13 @@ Two different simhash implementations, two different pairing algorithms,
 two different engines. Rerun after any change to sources/corpus.py or the
 simhash implementations:  python tools/make_fixtures.py
 
+quality_weights.parquet / quality_corpus_600.parquet — the trainable
+quality classifier's DECIMAL(18,9) token weights (deterministic numpy
+logistic fit over the labeled good/bad corpus) plus the corpus snapshot;
+the model_quality gate scores the live generator with the weights in
+Spark while DuckDB re-derives every logit by unnest + join over the
+snapshot. Rerun after touching quality_corpus or the trainer.
+
 planted_vectors.parquet — an INPUT fixture (both engines read the same
 rows; nothing golden about it): 600 float32 vectors with 30 anchor
 clusters of 3 satellites each at cosine ~0.97 against 400+ random
@@ -62,6 +69,21 @@ def main() -> None:
     # over these rows in DuckDB while Spark runs the live generator —
     # equality also pins the generator's determinism.
     write_one(docs, f"synthetic_docs_{N_DOCS}")
+
+    # quality model: weights trained on the labeled good/bad corpus
+    # (sources/corpus.py:quality_corpus, deterministic) + the corpus
+    # snapshot itself. The model_quality gate scores the live generator
+    # with these DECIMAL(18,9) weights in Spark while DuckDB re-derives
+    # the same logits by unnest + join over the snapshot.
+    from validate_xml_rust_spark.operators.quality_model import (
+        train_quality_model,
+    )
+    from validate_xml_rust_spark.sources.corpus import quality_corpus
+
+    qcorp = quality_corpus(spark, N_DOCS, n_partitions=8)
+    model = train_quality_model(qcorp)
+    write_one(model.to_df(spark), "quality_weights")
+    write_one(qcorp, f"quality_corpus_{N_DOCS}")
     spark.stop()
 
     import numpy as np

@@ -445,6 +445,45 @@ WHERE doc_id = kid OR f IS NULL
 """
 
 
+def q_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier, scoring path
+    (quality_model.score_quality_expr): the committed DECIMAL(18,9)
+    token-weight fixture (trained deterministically by
+    tools/make_fixtures.py on the labeled good/bad corpus) scores the
+    live quality_corpus generator — explode tokens → broadcast-join
+    weights → DECIMAL-exact logit sum. The oracle re-derives every logit
+    by unnest + join over the committed corpus snapshot; the keep flag
+    compares in DECIMAL, so both engines decide identically. The sigmoid
+    stays out of the gate (libm last-ulp differences); it is monotone in
+    the gated logit."""
+    from validate_xml_rust_spark.operators.quality_model import score_quality_expr
+    from validate_xml_rust_spark.sources.corpus import quality_corpus
+
+    corp = quality_corpus(spark, 600, n_partitions=8)
+    weights = spark.read.parquet(str(_FIXTURES / "quality_weights.parquet"))
+    return score_quality_expr(corp, weights)
+
+
+ORACLE_MODEL_QUALITY = rf"""
+WITH w AS (SELECT token, weight
+           FROM '{_FIXTURES / "quality_weights.parquet"}'
+           WHERE token <> '__bias__'),
+b AS (SELECT weight AS bias
+      FROM '{_FIXTURES / "quality_weights.parquet"}'
+      WHERE token = '__bias__'),
+t AS (SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+               x -> length(x) > 0)) AS token
+      FROM '{_FIXTURES / "quality_corpus_600.parquet"}'),
+s AS (SELECT doc_id, sum(weight) AS sw FROM t JOIN w USING (token) GROUP BY doc_id)
+SELECT d.doc_id,
+       round(CAST((SELECT bias FROM b) + coalesce(s.sw, 0) AS DOUBLE), 6) AS logit,
+       ((SELECT bias FROM b) + coalesce(s.sw, 0)) > 0 AS keep
+FROM '{_FIXTURES / "quality_corpus_600.parquet"}' d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + the BPE-ish subword estimate. Spark counts
     subwords by splitting on alnum/non-alnum boundary transitions
@@ -1934,6 +1973,7 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
+    "model_quality": q_model_quality,
     "langid": q_langid,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -1992,6 +2032,7 @@ ORACLES = {
     "exact_dup_groups": ORACLE_EXACT_DUP_GROUPS,
     "token_stats": ORACLE_TOKEN_STATS,
     "quality_scores": ORACLE_QUALITY_SCORES,
+    "model_quality": ORACLE_MODEL_QUALITY,
     "langid": ORACLE_LANGID,
     "ann_topk": ORACLE_ANN_TOPK,
     "ivf_ann_topk": ORACLE_ANN_TOPK,  # exact-recall assertion (see q_ivf_ann_topk)

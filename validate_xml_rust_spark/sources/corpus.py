@@ -76,3 +76,51 @@ def expected_pairs(n_rows: int) -> tuple[set, set]:
         elif a[0] == b[0]:
             near.add((i - 1, i))
     return exact, near
+
+
+SPAM_WORDS = (
+    "buy", "click", "free", "win", "now", "offer", "casino", "prize",
+)
+QUALITY_DOC_WORDS = 40
+
+
+def quality_corpus(
+    spark: SparkSession, n_rows: int, n_partitions: int | None = None
+) -> DataFrame:
+    """Labeled good/bad corpus for the trainable quality scorer
+    (operators/quality_model.py). ``label=1`` (odd ids): varied
+    pseudo-random words from a ``g####`` vocabulary with common function
+    words sprinkled in; ``label=0`` (even ids): spam — a short loop of
+    promotional words (SPAM_WORDS) plus a tiny repeated filler set. The
+    classes are separable on token identity, so a linear token-weight
+    model must learn them; pure Column expressions, deterministic, scales
+    like the other generators. Output: ``doc_id, text, label``."""
+    df = spark.range(0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    label = (i % 2).cast("int")
+    idx = F.sequence(F.lit(0), F.lit(QUALITY_DOC_WORDS - 1))
+
+    def good_word(j: F.Column) -> F.Column:
+        h = F.abs(F.xxhash64(i, j, F.lit(SEED + 1))) % VOCAB
+        return F.when(
+            j % 5 == 2,
+            F.element_at(
+                F.array(F.lit("the"), F.lit("and"), F.lit("of")),
+                ((h % 3) + 1).cast("int"),
+            ),
+        ).otherwise(F.concat(F.lit("g"), h.cast("string")))
+
+    def bad_word(j: F.Column) -> F.Column:
+        h = F.abs(F.xxhash64(i, j, F.lit(SEED + 2)))
+        spam = F.element_at(
+            F.array(*[F.lit(w) for w in SPAM_WORDS]),
+            ((h % len(SPAM_WORDS)) + 1).cast("int"),
+        )
+        # a small repeated filler set keeps bad docs from being pure spam
+        return F.when(j % 3 == 0, F.concat(F.lit("f"), (h % 20).cast("string"))).otherwise(spam)
+
+    text = F.concat_ws(
+        " ",
+        F.transform(idx, lambda j: F.when(label == 1, good_word(j)).otherwise(bad_word(j))),
+    )
+    return df.select(i.alias("doc_id"), text.alias("text"), label.alias("label"))
