@@ -193,6 +193,20 @@ def main() -> None:
     timings["profile_pages"] = _time(
         lambda: profile(pg, ["url", "lang", "warc_ts"]).collect()
     )
+    # model-based quality scoring at pages scale: the zero-shuffle Arrow
+    # path (broadcast weight map, one narrow pass — no joins, no shuffle)
+    from validate_xml_rust_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+    from validate_xml_rust_spark.sources.corpus import quality_corpus
+
+    qmodel = train_quality_model(quality_corpus(spark, 2000, cpus))
+    timings["model_quality_pages"] = _time(
+        lambda: _force(
+            score_quality(pg, qmodel).select("url", "quality_logit", "quality_prob")
+        )
+    )
     timings["length_histogram_pages"] = _time(
         lambda: length_histogram(pg, "text", lo=0, hi=400, n_buckets=20).collect()
     )
