@@ -60,9 +60,10 @@ def tokens_col(text_col: str) -> F.Column:
     )
 
 
-def _tokenize_py(text: str | None) -> list[str]:
-    """Python twin of tokens_col — must stay in lockstep (ASCII-identical)."""
-    if text is None:
+def _tokenize_py(text) -> list[str]:
+    """Python twin of tokens_col — must stay in lockstep (ASCII-identical).
+    Non-str (None / NaN from an all-null Arrow batch) → no tokens."""
+    if not isinstance(text, str):
         return []
     return [t for t in re.split(TOKEN_SPLIT, text.strip().lower()) if t]
 
@@ -109,7 +110,6 @@ def train_quality_model(
         F.col(label_col).cast("double").alias("__y"),
         tokens_col(text_col).alias("__t"),
         F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary")).alias("__tk"),
-        F.monotonically_increasing_id().alias("__mid"),
     )
     # pass 1: document-frequency vocabulary (top-k over distinct tokens)
     vocab_rows = (
@@ -121,9 +121,15 @@ def train_quality_model(
         .collect()
     )
     vocab = {r["token"]: j for j, r in enumerate(vocab_rows)}
-    # pass 2: deterministic capped sample, collected as token arrays
+    # pass 2: deterministic capped sample, collected as token arrays.
+    # Sort key is (content md5, label) — NOT a physical row id, so the
+    # sample is identical across partitionings/AQE/retries; rows tying at
+    # the cap boundary have equal (tokens, label), so any cut among them
+    # yields the same feature matrix up to permutation of identical rows
+    # (summation-order-safe: swapping equal addends preserves every
+    # partial sum), hence a bitwise-identical model.
     sample = (
-        base.orderBy("__tk", "__mid").limit(sample_cap).select("__y", "__t").collect()
+        base.orderBy("__tk", "__y").limit(sample_cap).select("__y", "__t").collect()
     )
     n, v = len(sample), len(vocab)
     if n == 0 or v == 0:
