@@ -214,6 +214,16 @@ def main() -> None:
     timings["drift_chi2_pages"] = _time(
         lambda: chi2_drift_check(pg, "lang", base).collect()
     )
+    from validate_xml_rust_spark.operators.drift import psi_drift_check
+
+    timings["drift_psi_pages"] = _time(
+        lambda: psi_drift_check(pg, "lang", base).collect()
+    )
+    from validate_xml_rust_spark.functions.urlnorm import canonical_dup_groups
+
+    timings["url_canonical_pages"] = _time(
+        lambda: _force(canonical_dup_groups(pg))
+    )
     from validate_xml_rust_spark.operators.skew import host_stats_salted
 
     timings["host_stats_salted_pages"] = _time(

@@ -81,3 +81,38 @@ def test_small_partition_not_flagged(spark):
     base = np.array([1.0, 2.0, 3.0] * 50)
     out = {r["partition_id"]: r for r in ks_drift_check(df, "x", base).collect()}
     assert out[1]["drifted"] is False and out[1]["n"] == 1
+
+
+def test_psi_detects_category_shift(spark):
+    from validate_xml_rust_spark.operators.drift import psi_drift_check
+
+    df = _cat_df(spark)
+    base = categorical_baseline(df.filter("partition_id = 0"), "lang")
+    out = {r["partition_id"]: r for r in psi_drift_check(df, "lang", base).collect()}
+    assert out[0]["drifted"] is False and out[0]["statistic"] < 0.01
+    assert out[1]["drifted"] is False  # same distribution as baseline
+    assert out[2]["drifted"] is True  # inverted distribution
+    assert out[2]["statistic"] > 1.0
+    assert out[2]["test"] == "psi" and out[2]["n"] == 100
+    # novel category (not in baseline) contributes through the OTHER bucket
+    nov = spark.createDataFrame(
+        [(3, "zz")] * 100, "partition_id int, lang string"
+    )
+    out3 = {
+        r["partition_id"]: r
+        for r in psi_drift_check(df.union(nov), "lang", base).collect()
+    }
+    assert out3[3]["drifted"] is True and out3[3]["statistic"] > out3[2]["statistic"]
+
+
+def test_psi_small_partition_guard(spark):
+    from validate_xml_rust_spark.operators.drift import psi_drift_check
+
+    df = spark.createDataFrame(
+        [(0, "en"), (0, "fr"), (1, "zz")], "partition_id int, lang string"
+    )
+    out = {
+        r["partition_id"]: r
+        for r in psi_drift_check(df, "lang", {"en": 50, "fr": 50}).collect()
+    }
+    assert out[1]["drifted"] is False and out[1]["statistic"] == 0.0

@@ -1,0 +1,69 @@
+"""URL canonicalization: every RFC-3986-style rule plus the tracking-param
+strip, including the inputs the gate query's synthesized corpus can't
+reach (nulls, non-url strings, :80 vs :443 interplay, ports that are NOT
+default and must survive)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from validate_xml_rust_spark.functions.urlnorm import (
+    canonical_dup_groups,
+    canonicalize_url,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonicalize_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag",
+            "http://example.com:80/",
+            "http://example.com:8080/x",       # non-default port survives
+            "https://example.com:80/x",        # :80 is NOT default for https
+            "  https://example.com/x  ",       # trims
+            "https://example.com/x?utm_source=a&utm_medium=b&fbclid=1&gclid=2&ref=r",
+            "https://sub.www.example.com/x",   # www. stripped only as prefix
+            "ftp://example.com/file",          # other schemes pass through
+            "not-a-url",
+            None,
+        ],
+    )
+    assert got == [
+        "https://example.com/a/b?a=1&b=2",
+        "http://example.com",
+        "http://example.com:8080/x",
+        "https://example.com:80/x",
+        "https://example.com/x",
+        "https://example.com/x",
+        "https://sub.www.example.com/x",
+        "ftp://example.com/file",
+        None,
+        None,
+    ]
+
+
+def test_canonical_dup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x",),
+            ("https://www.a.com/x/",),
+            ("https://a.com/x#f",),
+            ("https://a.com/x",),  # exact repeat: raw dup, one distinct spelling
+            ("https://b.com/y",),  # singleton — filtered out
+            ("bogus",),
+        ],
+        "url string",
+    )
+    rows = canonical_dup_groups(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["canonical_url"] == "https://a.com/x"
+    assert r["n_raw"] == 4 and r["n_distinct_raw"] == 3

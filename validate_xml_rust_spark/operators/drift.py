@@ -198,6 +198,88 @@ def chi2_drift_check(
     return counts.groupBy("__pid").applyInPandas(check, DRIFT_SCHEMA)
 
 
+def psi_drift_check(
+    df: DataFrame,
+    column: str,
+    baseline_counts: dict[str, int],
+    partition_col: str = "partition_id",
+    threshold: float = 0.2,
+    min_rows: int = 20,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Per-partition Population Stability Index of a categorical column vs
+    baseline proportions: PSI = Σ (p_i − q_i)·ln(p_i / q_i) over the
+    baseline categories plus an OTHER bucket, Laplace-smoothed with
+    ``smooth`` pseudo-counts so empty cells are well-defined (the industry
+    banding: <0.1 stable, 0.1–0.2 moderate, >0.2 drifted).
+
+    Unlike the KS/chi² checks this needs NO Python at all: the only
+    shuffle is the (partition × category) count aggregation (map-side
+    combined, ≤ P·K rows); the category grid is expanded from a literal
+    array and every PSI term is a codegen'd expression. The baseline map
+    rides as a literal — never joined row-wise. The closed-form statistic
+    makes it fully restatable in SQL, so the gate query cross-verifies the
+    arithmetic end to end (chi²/KS gates verify only the statistic their
+    oracles can reach).
+    """
+    cats = sorted(baseline_counts)
+    all_cats = cats + ["__OTHER__"]
+    k = float(len(all_cats))
+    m = float(sum(baseline_counts.values())) or 1.0
+    base_map = F.create_map(
+        *[x for c in cats for x in (F.lit(c), F.lit(float(baseline_counts[c])))]
+    )
+
+    per_pid = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(
+            F.col(partition_col).cast("int").alias("__pid"),
+            F.when(F.col(column).cast("string").isin(cats), F.col(column).cast("string"))
+            .otherwise("__OTHER__")
+            .alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("__pid")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__cat", "__n"))).alias("__m"),
+            F.sum("__n").cast("double").alias("__tot"),
+        )
+    )
+    grid = per_pid.select(
+        "__pid",
+        "__tot",
+        F.explode(F.array(*[F.lit(c) for c in all_cats])).alias("__cat"),
+        "__m",
+    ).select(
+        "__pid",
+        "__tot",
+        F.coalesce(F.element_at("__m", F.col("__cat")), F.lit(0)).cast("double").alias("__o"),
+        F.coalesce(F.element_at(base_map, F.col("__cat")), F.lit(0.0)).alias("__b"),
+    )
+    p = (F.col("__o") + smooth) / (F.col("__tot") + smooth * k)
+    q = (F.col("__b") + smooth) / (m + smooth * k)
+    return (
+        grid.withColumn("__t", (p - q) * F.log(p / q))
+        .groupBy("__pid")
+        .agg(
+            F.when(F.max("__tot") < min_rows, F.lit(0.0))
+            .otherwise(F.round(F.sum("__t"), 6))
+            .alias("statistic"),
+            F.max("__tot").cast("long").alias("n"),
+        )
+        .select(
+            F.col("__pid").alias("partition_id"),
+            F.lit(column).alias("column_name"),
+            F.lit("psi").alias("test"),
+            "statistic",
+            F.lit(float(threshold)).alias("threshold"),
+            F.lit(None).cast("double").alias("p_value"),
+            "n",
+            (F.col("statistic") > threshold).alias("drifted"),
+        )
+    )
+
+
 def drift_violations(drift_df: DataFrame) -> DataFrame:
     """Drifted partitions → violation rows in the engine contract."""
     return drift_df.filter(F.col("drifted")).select(

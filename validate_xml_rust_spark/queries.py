@@ -1381,6 +1381,136 @@ FROM gaps GROUP BY pid
 """
 
 
+def q_drift_psi_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition Population Stability Index of the lang distribution vs
+    the global baseline (operators/drift.py `psi_drift_check`) — the
+    zero-Python drift check: one count aggregation, then codegen'd
+    closed-form PSI terms over a literal category grid. The oracle
+    recomputes the Laplace-smoothed PSI from scratch in SQL, so unlike the
+    chi²/KS gates the ENTIRE statistic (smoothing, OTHER bucket, log
+    terms) is cross-engine verified."""
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        psi_drift_check,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    baseline = categorical_baseline(docs, "lang")
+    out = psi_drift_check(docs, "lang", baseline)
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_DRIFT_PSI_LANG = """
+WITH base AS (
+  SELECT lang AS cat, CAST(count(*) AS DOUBLE) AS b
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+cats AS (SELECT cat FROM base UNION ALL SELECT '__OTHER__'),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cats),
+mm AS (SELECT sum(b) AS m FROM base),
+obs AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid, lang AS cat, count(*) AS o
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+pn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT pn.pid, pn.n,
+         CAST(coalesce(obs.o, 0) AS DOUBLE) AS o,
+         coalesce(base.b, 0.0) AS b
+  FROM pn CROSS JOIN cats
+  LEFT JOIN obs ON obs.pid = pn.pid AND obs.cat = cats.cat
+  LEFT JOIN base ON base.cat = cats.cat),
+terms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) - (b + 0.5) / (m + 0.5 * k))
+           * ln(((o + 0.5) / (n + 0.5 * k)) / ((b + 0.5) / (m + 0.5 * k))) AS t
+  FROM grid CROSS JOIN kk CROSS JOIN mm)
+SELECT CAST(pid AS INT) AS partition_id, 'lang' AS column_name, 'psi' AS test,
+       CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic,
+       CAST(max(n) AS BIGINT) AS n
+FROM terms GROUP BY pid
+"""
+
+
+def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization → duplicate-group detection
+    (functions/urlnorm.py): five deterministic raw spellings per logical
+    page (www. prefix, :443 default port, uppercase scheme, fragment,
+    trailing slash, unsorted + tracking query params) must collapse to two
+    canonical groups. The oracle restates BOTH the url synthesis and the
+    full normalization pipeline (same RE2 regexes, list sort/filter) in
+    SQL — cross-engine proof of every canonicalization rule."""
+    from validate_xml_rust_spark.functions.urlnorm import canonical_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.floor(F.col("doc_id") / 5).cast("long")
+    v = F.col("doc_id") % 5
+    host = F.concat(F.lit("h"), (g % 7).cast("string"), F.lit(".example.com"))
+    stem = F.concat(F.lit("/a/doc-"), g.cast("string"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, stem))
+        .when(v == 1, F.concat(F.lit("https://www."), host, stem, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("HTTPS://"), host, F.lit(":443"), stem, F.lit("#frag")))
+        .when(v == 3, F.concat(F.lit("https://"), host, stem, F.lit("?utm_source=feed&b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), host, stem, F.lit("?a=1&b=2")))
+    )
+    out = canonical_dup_groups(docs.select(url.alias("url")))
+    return out.select(
+        "canonical_url",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_distinct_raw").cast("long").alias("n_distinct_raw"),
+    )
+
+
+# Lockstep with functions/urlnorm.py (both RE2-safe, no lookaround).
+from validate_xml_rust_spark.functions.urlnorm import (  # noqa: E402
+    TRACKING_PARAM_RE as _TRK_RE,
+    URL_PARTS_RE as _URL_RE,
+)
+
+ORACLE_URL_CANONICAL_DUPS = f"""
+WITH u AS (
+  SELECT doc_id, CAST(floor(doc_id / 5) AS BIGINT) AS g, doc_id % 5 AS v
+  FROM documents),
+raw AS (
+  SELECT CASE v
+    WHEN 0 THEN 'https://h' || (g % 7) || '.example.com/a/doc-' || g
+    WHEN 1 THEN 'https://www.h' || (g % 7) || '.example.com/a/doc-' || g || '/'
+    WHEN 2 THEN 'HTTPS://h' || (g % 7) || '.example.com:443/a/doc-' || g || '#frag'
+    WHEN 3 THEN 'https://h' || (g % 7) || '.example.com/a/doc-' || g
+                || '?utm_source=feed&b=2&a=1'
+    ELSE 'https://h' || (g % 7) || '.example.com/a/doc-' || g || '?a=1&b=2'
+    END AS url
+  FROM u),
+parts AS (
+  SELECT url,
+         lower(regexp_extract(trim(url), '{_URL_RE}', 1)) AS scheme,
+         lower(regexp_extract(trim(url), '{_URL_RE}', 2)) AS auth0,
+         regexp_extract(trim(url), '{_URL_RE}', 3) AS path0,
+         regexp_extract(trim(url), '{_URL_RE}', 4) AS rawq
+  FROM raw),
+norm AS (
+  SELECT url, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+           ELSE auth0 END, '^www\\.', '') AS auth,
+    regexp_replace(path0, '/+$', '') AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+        string_split(regexp_replace(rawq, '^\\?', ''), '&'),
+        x -> len(x) > 0 AND NOT regexp_matches(x, '{_TRK_RE}'))), '&'), '') AS query
+  FROM parts),
+canon AS (
+  SELECT url,
+         scheme || '://' || auth || path ||
+         CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical_url
+  FROM norm WHERE scheme <> '')
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM canon GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic two-phase salted aggregation (operators/skew.py) over the
     few-hot-keys event_type column — the exact shape AQE does NOT cover
@@ -1997,6 +2127,8 @@ QUERIES = {
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "drift_chi2_lang": q_drift_chi2_lang,
     "drift_ks_nchars": q_drift_ks_nchars,
+    "drift_psi_lang": q_drift_psi_lang,
+    "url_canonical_dups": q_url_canonical_dups,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
     "exit_codes": q_exit_codes,
@@ -2056,6 +2188,8 @@ ORACLES = {
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
     "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
     "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
+    "drift_psi_lang": ORACLE_DRIFT_PSI_LANG,
+    "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
     "exit_codes": ORACLE_EXIT_CODES,
