@@ -134,3 +134,36 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     corpus_side = plan.split("BroadcastHashJoin")[-1]
     n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_exchanges <= 2, plan  # hit-count agg + final id join only
+
+
+def test_boilerplate_lines_threshold(spark):
+    from validate_xml_rust_spark.operators.curation import boilerplate_lines
+
+    rows = [(i, "FOOTER\nunique-%d" % i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # FOOTER in 5 docs: > 4 trips, > 5 does not
+    assert [r["line"] for r in boilerplate_lines(df, max_doc_freq=4).collect()] == [
+        "FOOTER"
+    ]
+    assert boilerplate_lines(df, max_doc_freq=5).count() == 0
+    # doc_freq counts DISTINCT docs, not occurrences
+    rep = spark.createDataFrame(
+        [(0, "X\nX\nX"), (1, "X")], "doc_id long, text string"
+    )
+    got = boilerplate_lines(rep, max_doc_freq=1).collect()
+    assert got == [] or all(r["doc_freq"] == 2 for r in got)
+    assert boilerplate_lines(rep, max_doc_freq=1).count() == 1
+
+
+def test_strip_boilerplate_order_and_structure(spark):
+    from validate_xml_rust_spark.operators.curation import strip_boilerplate
+
+    footer = "(c) example"
+    rows = [(i, f"{footer}\nline a {i}\n\n  line b {i}") for i in range(12)]
+    rows.append((99, footer))  # every line boilerplate → doc vanishes
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate(df, max_doc_freq=10).collect()}
+    assert 99 not in out  # fully-boilerplate doc dropped
+    # footer stripped; empty line and indentation preserved, order intact
+    assert out[3] == "line a 3\n\n  line b 3"
+    assert len(out) == 12

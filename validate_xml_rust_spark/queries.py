@@ -1867,6 +1867,48 @@ SELECT doc_id, n_email, n_ip, n_phone, redacted FROM s3
 """
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup, the C4/CCNet boilerplate rule
+    (operators/curation.py `strip_boilerplate`): wrap every document in a
+    per-source copyright header and a global contact footer, then strip
+    every line whose trimmed form occurs in >10 distinct docs. Headers/
+    footers vanish, each document's own text survives in original order.
+    The oracle restates explode → distinct-doc count → NOT IN → ordered
+    string_agg reassembly entirely in SQL."""
+    from validate_xml_rust_spark.operators.curation import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("(c) "), F.coalesce(F.col("source"), F.lit("?")),
+        F.lit(" rights reserved\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\ncontact admin@example.com"),
+    )
+    d = docs.select("doc_id", t.alias("text"))
+    return strip_boilerplate(d, max_doc_freq=10)
+
+
+ORACLE_STRIP_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id,
+         '(c) ' || coalesce(source, '?') || ' rights reserved' || chr(10) ||
+         coalesce(text, '') || chr(10) || 'contact admin@example.com' AS t
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS raw,
+         unnest(generate_series(1, len(string_split(t, chr(10))))) AS idx
+  FROM d),
+lt AS (SELECT doc_id, idx, raw, trim(raw) AS line FROM l),
+bp AS (
+  SELECT line FROM lt WHERE line <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) > 10)
+SELECT doc_id, string_agg(raw, chr(10) ORDER BY idx) AS clean_text
+FROM lt WHERE line NOT IN (SELECT line FROM bp)
+GROUP BY doc_id
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (curation.pack_sequences): docs fill a
     2000-char budget per pack, in id order within each of 4 logical
@@ -2140,6 +2182,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
+    "strip_boilerplate": q_strip_boilerplate,
     "pack_sequences": q_pack_sequences,
     "curate_lineage": q_curate_lineage,
     "repetition_stats": q_repetition_stats,
@@ -2201,6 +2244,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "redact_pii": ORACLE_REDACT_PII,
+    "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "curate_lineage": ORACLE_CURATE_LINEAGE,
     "repetition_stats": ORACLE_REPETITION_STATS,
