@@ -119,3 +119,48 @@ def test_cli_resume_manifest_roundtrip(tmp_path, capsys):
     assert {r["run_id"] for r in m.select("run_id").collect()} == {"r1"}
     assert m.select("partition_id").distinct().count() == 8
     assert m.agg(F.sum("n_rows").alias("n")).collect()[0]["n"] == 300
+
+
+def test_cli_manifest_missing_plus_empty_input_says_no_documents(tmp_path, capsys):
+    # first-ever run, no manifest on disk, filters remove everything:
+    # must NOT claim "all partitions already in the manifest"
+    code = main([
+        "synth:100", "--include", "zzz://**",
+        "--manifest", str(tmp_path / "never-written"),
+    ])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "No documents found" in out
+    assert "Nothing pending" not in out
+
+
+def test_cli_single_execution(tmp_path, spark, monkeypatch):
+    """The verdicts pipeline executes ONCE per run even though summary,
+    manifest metrics, and the report all consume it (eager checkpoint in
+    main): a traced url column counts actual source evaluations — the
+    pre-fix lazy chain re-derived the full pipeline per consumer (>=2n)."""
+    from pyspark.sql import functions as F
+
+    import validate_xml_rust_spark.sources.pages as pagesmod
+
+    real_pages = pagesmod.pages
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def traced(t):
+        acc.add(1)
+        return t
+
+    def traced_pages(sp, n, *a, **k):
+        return real_pages(sp, n, *a, **k).withColumn("url", traced(F.col("url")))
+
+    monkeypatch.setattr(pagesmod, "pages", traced_pages)
+    n = 400
+    code = main([
+        f"synth:{n}", "--manifest", str(tmp_path / "m"),
+        "--partitions", "8", "--run-id", "r1",
+    ])
+    assert code in (0, 2, 3)
+    assert acc.value <= int(1.5 * n), (
+        f"url evaluated {acc.value} times for {n} rows — pipeline re-executed"
+    )

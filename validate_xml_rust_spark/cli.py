@@ -129,15 +129,25 @@ def main(argv: list[str] | None = None) -> int:
     df = with_partition_id(df, args.partitions)
 
     # --- resume: restrict to partitions not yet in the manifest (S9/J2)
+    resumed = False
     if args.manifest:
-        from validate_xml_rust_spark.operators.resume import pending_rows
+        from validate_xml_rust_spark.operators.resume import (
+            completed_partitions,
+            pending_against,
+        )
 
-        df = pending_rows(df, spark, args.manifest)
+        done = completed_partitions(spark, args.manifest)
+        # "already committed" is only a true statement when a manifest
+        # actually existed AND recorded partitions — a first run against a
+        # missing/empty manifest with zero input must report "no documents"
+        if done is not None and done.limit(1).count() > 0:
+            df = pending_against(df, done)
+            resumed = True
 
     # empty-input short-circuit (src/validator.rs:432-438)
     if df.limit(1).count() == 0:
         if not args.quiet:
-            if args.manifest:
+            if resumed:
                 print("Nothing pending — all partitions already in the manifest")
             else:
                 print("No documents found to validate")
@@ -151,18 +161,24 @@ def main(argv: list[str] | None = None) -> int:
         route_mode=args.route_mode,
         override_spec_id=override_id,
     )
+    # The verdicts frame feeds up to four consumers (parquet writes,
+    # summary, manifest metrics, report) — checkpoint once so the
+    # scan+constraint pipeline executes ONCE, not once per action (same
+    # one-pass rule as pipeline.curate; a production cluster run would
+    # swap the localCheckpoint for a reliable checkpoint dir).
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+    from validate_xml_rust_spark.operators.validate import ValidationResult
+
+    ck_verdicts, ck_ids = eager_checkpoint(res.verdicts)
+    res = ValidationResult(verdicts=ck_verdicts)
     verdicts = res.verdicts
     if args.output:
         verdicts.drop("violation_entries").write.mode("overwrite").parquet(
             f"{args.output}/verdicts"
         )
         res.violations().write.mode("overwrite").parquet(f"{args.output}/violations")
-        verdicts = spark.read.parquet(f"{args.output}/verdicts")
-        phases.start("aggregation")
-        srow = summarize(verdicts).collect()[0].asDict()
-    else:
-        phases.start("aggregation")
-        srow = summarize(verdicts).collect()[0].asDict()
+    phases.start("aggregation")
+    srow = summarize(verdicts).collect()[0].asDict()
     phases.finish()
 
     # --- commit completed partitions (one snapshot generation per run)
@@ -188,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
             concurrency=args.threads,
         )
         print(report(res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf))
+    release_blocks(spark.sparkContext, ck_ids)
     return exit_code(srow, fail_fast=args.fail_fast)
 
 

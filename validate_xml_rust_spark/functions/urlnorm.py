@@ -74,10 +74,13 @@ def canonical_dup_groups(
 ) -> DataFrame:
     """Groups of raw urls that collapse to one canonical form.
 
-    One hash-partitioned aggregation on the canonical key (uniform md5-ish
+    One hash-partitioned aggregation on the canonical key (uniform
     distribution — host skew does not transfer to the canonical string's
-    hash); emits (canonical_url, n_raw, n_distinct_raw) for groups with
-    more than one raw spelling. The map-side combine handles the common
+    hash); emits (canonical_url, n_raw, n_distinct_raw) for every
+    canonical form with more than one raw OCCURRENCE. That includes
+    byte-identical repeats (n_distinct_raw = 1) — they are duplicates
+    under the canonical key too; filter ``n_distinct_raw > 1`` to see
+    only true spelling collapses. The map-side combine handles the common
     all-unique case, so the shuffle carries ~one row per distinct url.
     """
     return (
