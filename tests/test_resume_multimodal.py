@@ -175,3 +175,89 @@ def test_hll_baselines(spark):
         # mergeable binary sketch present when Spark supports it
         if "lang__hll" in r.asDict():
             assert r["lang__hll"] is None or len(bytes(r["lang__hll"])) > 0
+
+
+def _inc_registry() -> SpecRegistry:
+    spec = Spec(
+        "doc-v1",
+        (
+            Constraint("text_not_null", "text", "not_null"),
+            Constraint(
+                "text_long", "text", "expr", {"predicate": "length(text) >= 10"}
+            ),
+        ),
+    )
+    return SpecRegistry().add(spec, route_keys=["en"])
+
+
+def test_incremental_verdicts_routing_and_chaining(spark):
+    from validate_xml_rust_spark.operators.resume import (
+        content_fingerprint,
+        incremental_verdicts,
+    )
+    from validate_xml_rust_spark.operators.validate import validate
+
+    docs = spark.createDataFrame(
+        [(str(i), "a longer than ten chars text %d" % i, "en") for i in range(20)],
+        "doc_key string, text string, lang string",
+    )
+    reg = _inc_registry()
+    fcols = ["text", "lang"]
+
+    # prior covers ids 0..14; id 3 has a stale fingerprint (changed since)
+    prior_docs = docs.filter(F.col("doc_key").cast("int") < 15)
+    prior_res = validate(
+        prior_docs, spark, reg, route_col="lang", id_col="doc_key",
+        partition_col=None,
+    )
+    fp = F.when(F.col("doc_key") == "3", F.lit("stale")).otherwise(
+        content_fingerprint(fcols)
+    )
+    # PLANT a wrong verdict on id 7 (fp matches): if reuse really carries
+    # forward (no recompute), the wrong verdict must survive verbatim —
+    # execution-path evidence the matched rows never re-enter validate()
+    pv = prior_res.verdicts.select(
+        F.col("url").alias("doc_key"), "spec_id",
+        F.when(F.col("url") == "7", "invalid").otherwise(F.col("status")).alias("status"),
+        F.when(F.col("url") == "7", 99).otherwise(F.col("error_count")).alias("error_count"),
+    )
+    prior = prior_docs.select("doc_key", fp.alias("content_fp")).join(pv, "doc_key")
+
+    out = incremental_verdicts(
+        docs, prior, spark, reg, fcols, id_col="doc_key",
+        route_col="lang", partition_col=None,
+    )
+    rows = {r["doc_key"]: r for r in out.collect()}
+    assert len(rows) == 20
+    # new rows (15..19) and the stale row (3) revalidate; rest carry forward
+    for k, r in rows.items():
+        expected = int(k) >= 15 or k == "3"
+        assert r["revalidated"] is expected, (k, r)
+    assert rows["3"]["status"] == "valid"  # re-validated fresh
+    assert rows["7"]["status"] == "invalid" and rows["7"]["error_count"] == 99
+    # chaining: the output (it carries content_fp) is the next run's prior
+    out_full = incremental_verdicts(
+        docs, prior, spark, reg, fcols, id_col="doc_key",
+        route_col="lang", partition_col=None,
+    ).select("doc_key", "content_fp", "spec_id", "status", "error_count")
+    out2 = incremental_verdicts(
+        docs, out_full, spark, reg, fcols, id_col="doc_key",
+        route_col="lang", partition_col=None,
+    )
+    assert out2.filter(F.col("revalidated")).count() == 0
+    assert out2.count() == 20
+
+
+def test_content_fingerprint_null_tagging(spark):
+    from validate_xml_rust_spark.operators.resume import content_fingerprint
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", "null"), (None, "x"), ("", "x")],
+        "c1 string, c2 string",
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(content_fingerprint(["c1", "c2"]).alias("fp")).collect()
+    ]
+    # NULL vs the literal string 'null', and NULL vs '' must all differ
+    assert len(set(fps)) == 4

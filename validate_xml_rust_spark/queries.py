@@ -1566,6 +1566,57 @@ FROM documents WHERE doc_id % 8 NOT IN (0, 3, 5)
 """
 
 
+def q_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot-diff validation (operators/resume.py
+    `incremental_verdicts`): a prior snapshot covers doc_id % 4 != 0, and
+    rows with doc_id % 5 == 0 carry a stale fingerprint (content changed
+    since). Unchanged rows must carry their prior verdict forward
+    (revalidated=false); new (% 4 == 0) and changed (% 5 == 0) rows
+    re-validate. The oracle recomputes every verdict from scratch PLUS
+    the closed-form revalidated flag — proving carried-forward verdicts
+    are byte-identical to full recomputation and the reuse/delta routing
+    is exact."""
+    from validate_xml_rust_spark.operators.resume import (
+        content_fingerprint,
+        incremental_verdicts,
+    )
+
+    fcols = ["text", "lang", "source", "n_chars"]
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    prior_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    prior_res = validate(
+        prior_docs, spark, doc_registry(), route_col="lang", id_col="doc_key",
+        partition_col=None,
+    )
+    stale_fp = F.when(F.col("doc_id") % 5 == 0, F.lit("stale")).otherwise(
+        content_fingerprint(fcols)
+    )
+    prior = prior_docs.select("doc_key", stale_fp.alias("content_fp")).join(
+        prior_res.verdicts.select(
+            F.col("url").alias("doc_key"), "spec_id", "status", "error_count"
+        ),
+        "doc_key",
+    )
+    out = incremental_verdicts(
+        docs, prior, spark, doc_registry(), fcols,
+        id_col="doc_key", route_col="lang", partition_col=None,
+    )
+    return out.select("doc_key", "spec_id", "status", "error_count", "revalidated")
+
+
+ORACLE_INCREMENTAL_VALIDATE = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+       CASE WHEN lang IN ('en','de','fr') THEN 'doc-v1'
+            WHEN lang = 'es' THEN 'doc-missing-v9' END AS spec_id,
+       {_ORACLE_STATUS} AS status,
+       CAST(CASE WHEN ({_ORACLE_STATUS}) = 'invalid' THEN ({_ORACLE_FAILS}) ELSE 0 END AS INT) AS error_count,
+       (doc_id % 4 = 0 OR doc_id % 5 = 0) AS revalidated
+FROM documents
+"""
+
+
 def q_exit_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CLI exit-code ladder — the reference's outermost contract
     (src/main.rs:113-119: 0 all valid/skipped, 1 config error or
@@ -2173,6 +2224,7 @@ QUERIES = {
     "url_canonical_dups": q_url_canonical_dups,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
+    "incremental_validate": q_incremental_validate,
     "exit_codes": q_exit_codes,
     "scan_url_filters": q_scan_url_filters,
     "extract_text_roundtrip": q_extract_text_roundtrip,
@@ -2235,6 +2287,7 @@ ORACLES = {
     "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
+    "incremental_validate": ORACLE_INCREMENTAL_VALIDATE,
     "exit_codes": ORACLE_EXIT_CODES,
     "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
     "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
