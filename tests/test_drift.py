@@ -116,3 +116,30 @@ def test_psi_small_partition_guard(spark):
         for r in psi_drift_check(df, "lang", {"en": 50, "fr": 50}).collect()
     }
     assert out[1]["drifted"] is False and out[1]["statistic"] == 0.0
+
+
+def test_embedding_drift_detects_cluster_shift(spark):
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.drift import embedding_drift_check
+
+    rng = np.random.default_rng(7)
+    anchors = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    rows = []
+    for pid in (0, 1):  # 70/30 cluster mix
+        rows += [(pid, anchors[0] + rng.normal(0, 0.1, 3)) for _ in range(70)]
+        rows += [(pid, anchors[1] + rng.normal(0, 0.1, 3)) for _ in range(30)]
+    # partition 2: inverted 10/90 mix — occupancy shift, not scalar drift
+    rows += [(2, anchors[0] + rng.normal(0, 0.1, 3)) for _ in range(10)]
+    rows += [(2, anchors[1] + rng.normal(0, 0.1, 3)) for _ in range(90)]
+    df = spark.createDataFrame(
+        [(p, [float(x) for x in v]) for p, v in rows],
+        "partition_id int, embedding array<double>",
+    )
+    out = {
+        r["partition_id"]: r
+        for r in embedding_drift_check(df, "embedding", anchors).collect()
+    }
+    assert out[0]["drifted"] is False and out[1]["drifted"] is False
+    assert out[2]["drifted"] is True and out[2]["statistic"] > 0.5
+    assert out[2]["test"] == "psi" and out[2]["column_name"] == "cluster"

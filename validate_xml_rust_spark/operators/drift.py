@@ -280,6 +280,39 @@ def psi_drift_check(
     )
 
 
+def embedding_drift_check(
+    df: DataFrame,
+    vec_col: str,
+    anchors,
+    baseline_counts: dict[str, int] | None = None,
+    partition_col: str = "partition_id",
+    **psi_kw,
+) -> DataFrame:
+    """Distribution drift of a VECTOR column (embedding space): assign
+    each vector to its nearest anchor (Arrow numpy argmin — one batch op
+    per Arrow batch), then run the PSI check over the per-partition
+    cluster distribution. Embedding drift is invisible to per-dimension
+    scalar checks (a rotated embedding model keeps every marginal
+    similar); cluster-occupancy shift is the standard detector.
+
+    ``anchors``: (k, dim) reference centroids — a tiny frozen model
+    (ivf_train output, or a handful of reference vectors). ``baseline_
+    counts``: reference cluster distribution; None = self-baseline
+    against the whole frame (flags partitions deviating from the global
+    mix). Everything after assignment is the zero-Python PSI plan.
+    """
+    from validate_xml_rust_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, anchors, vec_col=vec_col).withColumn(
+        "cluster", F.col("cluster_id").cast("string")
+    )
+    if baseline_counts is None:
+        baseline_counts = categorical_baseline(assigned, "cluster")
+    return psi_drift_check(
+        assigned, "cluster", baseline_counts, partition_col=partition_col, **psi_kw
+    )
+
+
 def drift_violations(drift_df: DataFrame) -> DataFrame:
     """Drifted partitions → violation rows in the engine contract."""
     return drift_df.filter(F.col("drifted")).select(

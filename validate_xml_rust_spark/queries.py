@@ -1432,6 +1432,69 @@ FROM terms GROUP BY pid
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space drift (operators/drift.py `embedding_drift_check`):
+    every vector assigned to its nearest of four anchor vectors (vec_id 0-3),
+    then per-partition PSI over the cluster distribution. The oracle
+    recomputes the argmin assignment (squared distance via list_zip) AND
+    the smoothed PSI entirely in SQL — both the Arrow assignment UDF and
+    the closed-form statistic are cross-engine verified."""
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.drift import embedding_drift_check
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = np.array(
+        [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+        ],
+        dtype="float64",
+    )
+    out = embedding_drift_check(
+        emb.withColumn("partition_id", (F.col("vec_id") % 4).cast("int")),
+        "embedding",
+        anchors,
+    )
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH anch AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 4),
+a AS (
+  SELECT e.vec_id, CAST(e.vec_id % 4 AS INT) AS pid,
+         CAST((SELECT aid FROM (
+             SELECT an.aid AS aid,
+                    list_sum(list_transform(list_zip(e.embedding, an.av),
+                      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+             FROM anch an) t ORDER BY d2, aid LIMIT 1) AS VARCHAR) AS cat
+  FROM embeddings e),
+base AS (SELECT cat, CAST(count(*) AS DOUBLE) AS b FROM a GROUP BY 1),
+cats AS (SELECT cat FROM base UNION ALL SELECT '__OTHER__'),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cats),
+mm AS (SELECT sum(b) AS m FROM base),
+obs AS (SELECT pid, cat, count(*) AS o FROM a GROUP BY 1, 2),
+pn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT pn.pid, pn.n,
+         CAST(coalesce(obs.o, 0) AS DOUBLE) AS o,
+         coalesce(base.b, 0.0) AS b
+  FROM pn CROSS JOIN cats
+  LEFT JOIN obs ON obs.pid = pn.pid AND obs.cat = cats.cat
+  LEFT JOIN base ON base.cat = cats.cat),
+terms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) - (b + 0.5) / (m + 0.5 * k))
+           * ln(((o + 0.5) / (n + 0.5 * k)) / ((b + 0.5) / (m + 0.5 * k))) AS t
+  FROM grid CROSS JOIN kk CROSS JOIN mm)
+SELECT CAST(pid AS INT) AS partition_id, 'cluster' AS column_name, 'psi' AS test,
+       CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic,
+       CAST(max(n) AS BIGINT) AS n
+FROM terms GROUP BY pid
+"""
+
+
 def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization → duplicate-group detection
     (functions/urlnorm.py): five deterministic raw spellings per logical
@@ -2221,6 +2284,7 @@ QUERIES = {
     "drift_chi2_lang": q_drift_chi2_lang,
     "drift_ks_nchars": q_drift_ks_nchars,
     "drift_psi_lang": q_drift_psi_lang,
+    "embedding_drift": q_embedding_drift,
     "url_canonical_dups": q_url_canonical_dups,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
@@ -2284,6 +2348,7 @@ ORACLES = {
     "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
     "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
     "drift_psi_lang": ORACLE_DRIFT_PSI_LANG,
+    "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
