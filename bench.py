@@ -26,6 +26,7 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "1000000"))
 
 
 _SPARK = None  # set in main(); used to isolate query timings
+_PROTECT: set[int] = set()  # RDD ids _sweep must keep (untimed setup state)
 
 
 def _force(df) -> None:
@@ -64,6 +65,9 @@ def _sweep() -> None:
         _SPARK.catalog.clearCache()
         jmap = _SPARK.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet().toArray()):
+            if int(rid) in _PROTECT:
+                continue  # untimed setup state a timed query reads (e.g.
+                # the incremental-validation prior snapshot)
             rdd = jmap.get(rid)
             if rdd is not None:
                 rdd.unpersist()
@@ -169,6 +173,63 @@ def main() -> None:
     from validate_xml_rust_spark.sources.pages import with_partition_id as _wpid
 
     pg = _wpid(_pages(spark, BENCH_PAGES, cpus * 2), 64)
+
+    # incremental snapshot-diff validation: a prior snapshot covers 75% of
+    # the corpus; only the 25% delta re-runs the constraint suite. Prior
+    # construction (one full validation of the 75%) is untimed setup — at
+    # scale it is yesterday's run. The timed pass = fingerprint scan +
+    # (id,fp) reuse join + constraint suite on the delta only.
+    # NOTE this entry reads SLOWER than validate_pages_full: THIS engine's
+    # constraint suite is a zero-shuffle expression scan, so trading 75%
+    # of it for two (id,fp) joins loses on a single box. The operator pays
+    # off when re-validation is genuinely expensive (pandas-check suites,
+    # remote-spec fetches) or on Iceberg, where the snapshot-diff scan
+    # hands over the delta and BOTH joins disappear. Timed anyway —
+    # honest numbers over flattering ones, and it guards the join shape.
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+    from validate_xml_rust_spark.operators.resume import (
+        content_fingerprint,
+        incremental_verdicts,
+    )
+    from validate_xml_rust_spark.operators.validate import validate as _validate
+    from validate_xml_rust_spark.sources.pages import LANGS as _LANGS
+    from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+    _reg = SpecRegistry().add(
+        Spec(
+            "webpage-v1",
+            (
+                Constraint("url_not_null", "url", "not_null"),
+                Constraint("url_format", "url", "regex", {"pattern": r"^https?://.*"}),
+                Constraint("html_utf8", "html", "utf8", severity="error"),
+                Constraint("lang_enum", "lang", "isin", {"values": _LANGS}),
+            ),
+        ),
+        route_keys=_LANGS,
+    )
+    _fcols = ["text", "lang"]
+    _prior_pages = pg.filter(F.coalesce(F.xxhash64("url") % 4, F.lit(0)) != 0)
+    _prior_v = _validate(_prior_pages, spark, _reg).verdicts.select(
+        F.col("url"), "spec_id", "status", "error_count"
+    )
+    _prior, _prior_ids = eager_checkpoint(
+        _prior_pages.select(
+            "url", content_fingerprint(_fcols).alias("content_fp")
+        )
+        .join(_prior_v, "url")
+        .dropDuplicates(["url"])  # pages plants dup urls; prior keys are unique
+    )
+    _PROTECT.update(_prior_ids)
+    timings["incremental_validate_pages"] = _time(
+        lambda: _force(
+            incremental_verdicts(pg, _prior, spark, _reg, _fcols).select(
+                "url", "status", "error_count", "revalidated"
+            )
+        )
+    )
+    _PROTECT.difference_update(_prior_ids)
+    release_blocks(spark.sparkContext, _prior_ids)
+
     timings["uniqueness_pages_salted"] = _time(
         lambda: _force(duplicate_keys(pg.filter(F.col("url").isNotNull()), ["url"], n_salts=16))
     )

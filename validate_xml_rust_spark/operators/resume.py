@@ -185,7 +185,10 @@ def incremental_verdicts(
     Scale shape: the reuse join and the anti-join both key on the uniform
     (id, fingerprint) pair — sort-merge over co-partitioned shuffles, no
     skew (ids are unique). The expensive constraint suite runs ONLY on
-    the delta. On Iceberg the anti-join disappears entirely: an
+    the delta. Break-even: the two joins must cost less than re-validating
+    the matched rows — true when validation is expensive (pandas-check
+    suites, per-row spec fetches), NOT for a pure expression suite on one
+    box (bench incremental_validate_pages shows that honestly). On Iceberg the anti-join disappears entirely: an
     incremental snapshot-diff scan hands over the delta directly and the
     prior join becomes a partition-pruned read — this function is the
     engine-agnostic fallback with the same contract (see module
