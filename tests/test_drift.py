@@ -143,3 +143,35 @@ def test_embedding_drift_detects_cluster_shift(spark):
     assert out[0]["drifted"] is False and out[1]["drifted"] is False
     assert out[2]["drifted"] is True and out[2]["statistic"] > 0.5
     assert out[2]["test"] == "psi" and out[2]["column_name"] == "cluster"
+
+
+def test_psi_numeric_binning_and_shift(spark):
+    from validate_xml_rust_spark.operators.drift import (
+        numeric_bin_col,
+        psi_numeric_drift_check,
+    )
+
+    # bin arithmetic: clamping, edges, nulls
+    df = spark.createDataFrame(
+        [(x,) for x in (-5.0, 0.0, 39.9, 40.0, 399.0, 400.0, 1e6, None)],
+        "x double",
+    )
+    bins = [r["b"] for r in df.select(numeric_bin_col("x", 0, 400, 10).alias("b")).collect()]
+    assert bins == ["0", "0", "0", "1", "9", "9", "9", None]
+
+    # planted location shift: partition 2 sits +200 from the others
+    rows = [(pid, float(v % 100)) for pid in (0, 1) for v in range(200)]
+    rows += [(2, float(v % 100) + 200.0) for v in range(200)]
+    d = spark.createDataFrame(rows, "partition_id int, x double")
+    # explicit reference baseline (bin counts from the clean snapshot):
+    # self-baselining would blend the drifted partition into the reference
+    base = {"0": 80, "1": 80, "2": 40}
+    out = {
+        r["partition_id"]: r
+        for r in psi_numeric_drift_check(
+            d, "x", lo=0, hi=400, n_bins=10, baseline_counts=base
+        ).collect()
+    }
+    assert out[0]["drifted"] is False and out[1]["drifted"] is False
+    assert out[2]["drifted"] is True and out[2]["statistic"] > 1.0
+    assert out[2]["column_name"] == "x" and out[2]["test"] == "psi"

@@ -280,6 +280,53 @@ def psi_drift_check(
     )
 
 
+def numeric_bin_col(
+    column: str, lo: float, hi: float, n_bins: int = 10
+) -> "F.Column":
+    """Fixed-width bin label for a numeric column: values clamp into
+    [0, n_bins-1] (under/overflow land in the edge bins, the standard
+    production binning — a shifted distribution piles up at an edge and
+    registers). NULL stays NULL (excluded from both distributions)."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(column).cast("double") - lo) / w)
+    return (
+        F.when(F.col(column).isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("string")
+        )
+    )
+
+
+def psi_numeric_drift_check(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    baseline_counts: dict[str, int] | None = None,
+    n_bins: int = 10,
+    partition_col: str = "partition_id",
+    **psi_kw,
+) -> DataFrame:
+    """PSI over a numeric column via fixed-width binning — the standard
+    production numeric-drift monitor (KS needs the value sample in the
+    task closure; binned PSI needs only bin COUNTS, so baselines are
+    O(n_bins) rows that live in a metrics table forever and the check
+    stays on the zero-Python PSI plan).
+
+    ``lo``/``hi`` come from the baseline snapshot's profile (fixed bin
+    edges — NEVER recompute them per run, or the comparison silently
+    re-anchors). ``baseline_counts``: bin→count from the reference
+    snapshot; None = self-baseline against the whole frame.
+    """
+    binned = df.withColumn("__bin", numeric_bin_col(column, lo, hi, n_bins))
+    if baseline_counts is None:
+        baseline_counts = categorical_baseline(binned, "__bin")
+    out = psi_drift_check(
+        binned, "__bin", baseline_counts, partition_col=partition_col, **psi_kw
+    )
+    return out.withColumn("column_name", F.lit(column))
+
+
 def embedding_drift_check(
     df: DataFrame,
     vec_col: str,

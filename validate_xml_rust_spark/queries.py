@@ -1432,6 +1432,53 @@ FROM terms GROUP BY pid
 """
 
 
+def q_drift_psi_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned numeric PSI (operators/drift.py `psi_numeric_drift_check`):
+    n_chars through fixed [0,400)/10 bins with edge clamping, then the
+    zero-Python PSI plan per partition. The oracle recomputes binning and
+    the smoothed statistic from scratch (bin labels never cross engines —
+    PSI is label-agnostic — but the bin PARTITIONING of values must agree
+    exactly, which the clamped floor arithmetic pins)."""
+    from validate_xml_rust_spark.operators.drift import psi_numeric_drift_check
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    out = psi_numeric_drift_check(docs, "n_chars", lo=0.0, hi=400.0, n_bins=10)
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_DRIFT_PSI_NCHARS = """
+WITH v AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid,
+         CAST(CAST(least(9, greatest(0,
+             floor(CAST(n_chars AS DOUBLE) / 40.0))) AS BIGINT) AS VARCHAR) AS cat
+  FROM documents WHERE n_chars IS NOT NULL),
+base AS (SELECT cat, CAST(count(*) AS DOUBLE) AS b FROM v GROUP BY 1),
+cats AS (SELECT cat FROM base UNION ALL SELECT '__OTHER__'),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cats),
+mm AS (SELECT sum(b) AS m FROM base),
+obs AS (SELECT pid, cat, count(*) AS o FROM v GROUP BY 1, 2),
+pn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT pn.pid, pn.n,
+         CAST(coalesce(obs.o, 0) AS DOUBLE) AS o,
+         coalesce(base.b, 0.0) AS b
+  FROM pn CROSS JOIN cats
+  LEFT JOIN obs ON obs.pid = pn.pid AND obs.cat = cats.cat
+  LEFT JOIN base ON base.cat = cats.cat),
+terms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) - (b + 0.5) / (m + 0.5 * k))
+           * ln(((o + 0.5) / (n + 0.5 * k)) / ((b + 0.5) / (m + 0.5 * k))) AS t
+  FROM grid CROSS JOIN kk CROSS JOIN mm)
+SELECT CAST(pid AS INT) AS partition_id, 'n_chars' AS column_name, 'psi' AS test,
+       CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic,
+       CAST(max(n) AS BIGINT) AS n
+FROM terms GROUP BY pid
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-space drift (operators/drift.py `embedding_drift_check`):
     every vector assigned to its nearest of four anchor vectors (vec_id 0-3),
@@ -2284,6 +2331,7 @@ QUERIES = {
     "drift_chi2_lang": q_drift_chi2_lang,
     "drift_ks_nchars": q_drift_ks_nchars,
     "drift_psi_lang": q_drift_psi_lang,
+    "drift_psi_nchars": q_drift_psi_nchars,
     "embedding_drift": q_embedding_drift,
     "url_canonical_dups": q_url_canonical_dups,
     "salted_event_stats": q_salted_event_stats,
@@ -2348,6 +2396,7 @@ ORACLES = {
     "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
     "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
     "drift_psi_lang": ORACLE_DRIFT_PSI_LANG,
+    "drift_psi_nchars": ORACLE_DRIFT_PSI_NCHARS,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
