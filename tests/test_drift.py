@@ -175,3 +175,33 @@ def test_psi_numeric_binning_and_shift(spark):
     assert out[0]["drifted"] is False and out[1]["drifted"] is False
     assert out[2]["drifted"] is True and out[2]["statistic"] > 1.0
     assert out[2]["column_name"] == "x" and out[2]["test"] == "psi"
+
+
+def test_numeric_bin_nan_excluded(spark):
+    from validate_xml_rust_spark.operators.drift import numeric_bin_col
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("-inf"),), (float("inf"),), (None,), (50.0,)],
+        "x double",
+    )
+    bins = [
+        r["b"] for r in df.select(numeric_bin_col("x", 0, 400, 10).alias("b")).collect()
+    ]
+    # NaN == NULL == excluded; infinities clamp to edge bins on BOTH engines
+    assert bins == [None, "0", "9", None, "1"]
+
+
+def test_embedding_drift_null_vectors_excluded(spark):
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.drift import embedding_drift_check
+
+    anchors = np.array([[10.0, 0.0], [0.0, 10.0]])
+    df = spark.createDataFrame(
+        [(0, [10.0, 0.1])] * 30 + [(0, [0.1, 10.0])] * 30 + [(0, None)] * 10,
+        "partition_id int, embedding array<double>",
+    )
+    out = embedding_drift_check(df, "embedding", anchors).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 60  # NULL vectors are not a cluster
+    assert out[0]["drifted"] is False

@@ -261,3 +261,67 @@ def test_content_fingerprint_null_tagging(spark):
     ]
     # NULL vs the literal string 'null', and NULL vs '' must all differ
     assert len(set(fps)) == 4
+
+
+def test_incremental_verdicts_null_and_duplicate_ids(spark):
+    """Review repros: NULL-id rows must still be verdicted (they can never
+    carry forward — no key — but dropping them loses exactly the
+    url-not-null violations a validator exists to report), and duplicate
+    ids with different contents must yield one verdict per input row, not
+    a cross-multiplied join-back."""
+    from validate_xml_rust_spark.operators.resume import (
+        content_fingerprint,
+        incremental_verdicts,
+    )
+
+    reg = _inc_registry()
+    fcols = ["text", "lang"]
+    docs = spark.createDataFrame(
+        [
+            (None, "null-id row with plenty of text", "en"),
+            ("d", "first content of duplicate id!!", "en"),
+            ("d", "second content of duplicate id!", "en"),
+            ("u", "a unique unchanged document row", "en"),
+        ],
+        "doc_key string, text string, lang string",
+    )
+    prior = (
+        docs.filter(F.col("doc_key") == "u")
+        .select(
+            "doc_key",
+            content_fingerprint(fcols).alias("content_fp"),
+            F.lit("doc-v1").alias("spec_id"),
+            F.lit("valid").alias("status"),
+            F.lit(0).alias("error_count"),
+        )
+    )
+    out = incremental_verdicts(
+        docs, prior, spark, reg, fcols, id_col="doc_key",
+        route_col="lang", partition_col=None,
+    ).collect()
+    assert len(out) == 4  # one verdict per input row — nothing dropped
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["doc_key"], []).append(r)
+    assert len(by_key[None]) == 1 and by_key[None][0]["revalidated"] is True
+    assert by_key[None][0]["status"] == "valid"
+    dups = by_key["d"]
+    assert len(dups) == 2 and {r["revalidated"] for r in dups} == {True}
+    assert len({r["content_fp"] for r in dups}) == 2  # each row its OWN fp
+    assert by_key["u"][0]["revalidated"] is False
+
+
+def test_content_fingerprint_separator_injection(spark):
+    """Length-prefixed encoding: values containing the old separator bytes
+    must not collide across column boundaries."""
+    from validate_xml_rust_spark.operators.resume import content_fingerprint
+
+    df = spark.createDataFrame(
+        [("a\x01b", "c"), ("a", "b\x01c"), ("ab", "c"), ("a", "bc")],
+        "c1 string, c2 string",
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(content_fingerprint(["c1", "c2"]).alias("fp")).collect()
+    ]
+    assert len(set(fps)) == 4

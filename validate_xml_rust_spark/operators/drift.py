@@ -223,14 +223,7 @@ def psi_drift_check(
     oracles can reach).
     """
     cats = sorted(baseline_counts)
-    all_cats = cats + ["__OTHER__"]
-    k = float(len(all_cats))
-    m = float(sum(baseline_counts.values())) or 1.0
-    base_map = F.create_map(
-        *[x for c in cats for x in (F.lit(c), F.lit(float(baseline_counts[c])))]
-    )
-
-    per_pid = (
+    counts = (
         df.filter(F.col(column).isNotNull())
         .groupBy(
             F.col(partition_col).cast("int").alias("__pid"),
@@ -239,7 +232,37 @@ def psi_drift_check(
             .alias("__cat"),
         )
         .agg(F.count(F.lit(1)).alias("__n"))
-        .groupBy("__pid")
+    )
+    return psi_from_counts(
+        counts, column, baseline_counts,
+        threshold=threshold, min_rows=min_rows, smooth=smooth,
+    )
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    column: str,
+    baseline_counts: dict[str, int],
+    threshold: float = 0.2,
+    min_rows: int = 20,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """PSI from a pre-aggregated ``(__pid, __cat, __n)`` counts frame —
+    the core of `psi_drift_check`, exposed so callers whose category
+    column is EXPENSIVE to derive (an Arrow UDF assignment, say) can
+    aggregate once and reuse the ≤ P·K-row counts for both the baseline
+    and the statistic instead of rescanning the raw frame. Categories not
+    in ``baseline_counts`` must already be folded into ``__OTHER__``."""
+    cats = sorted(baseline_counts)
+    all_cats = cats + ["__OTHER__"]
+    k = float(len(all_cats))
+    m = float(sum(baseline_counts.values())) or 1.0
+    base_map = F.create_map(
+        *[x for c in cats for x in (F.lit(c), F.lit(float(baseline_counts[c])))]
+    )
+
+    per_pid = (
+        counts.groupBy("__pid")
         .agg(
             F.map_from_entries(F.collect_list(F.struct("__cat", "__n"))).alias("__m"),
             F.sum("__n").cast("double").alias("__tot"),
@@ -286,11 +309,16 @@ def numeric_bin_col(
     """Fixed-width bin label for a numeric column: values clamp into
     [0, n_bins-1] (under/overflow land in the edge bins, the standard
     production binning — a shifted distribution piles up at an edge and
-    registers). NULL stays NULL (excluded from both distributions)."""
+    registers). NULL and NaN stay NULL (excluded from both
+    distributions — NaN is missing data, and engines disagree on where
+    NaN sorts: Spark's floor(NaN)→0 would bin it low while DuckDB's
+    NaN-above-everything bins it high; excluding it keeps the SQL
+    restatement exact)."""
     w = (hi - lo) / n_bins
-    raw = F.floor((F.col(column).cast("double") - lo) / w)
+    v = F.col(column).cast("double")
+    raw = F.floor((v - lo) / w)
     return (
-        F.when(F.col(column).isNull(), F.lit(None).cast("string"))
+        F.when(v.isNull() | F.isnan(v), F.lit(None).cast("string"))
         .otherwise(
             F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("string")
         )
@@ -347,17 +375,42 @@ def embedding_drift_check(
     counts``: reference cluster distribution; None = self-baseline
     against the whole frame (flags partitions deviating from the global
     mix). Everything after assignment is the zero-Python PSI plan.
+
+    NULL vectors are excluded (consistent with the scalar checks' NULL
+    rule — a missing embedding is missing data, not a cluster). The
+    expensive Arrow argmin runs ONCE: the (partition × cluster) counts
+    aggregate first, and both the self-baseline and the statistic read
+    the ≤ P·K-row counts frame (an eager collect of the tiny aggregate),
+    never rescanning the raw vectors.
     """
     from validate_xml_rust_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(df, anchors, vec_col=vec_col).withColumn(
-        "cluster", F.col("cluster_id").cast("string")
+    assigned = ivf_assign(
+        df.filter(F.col(vec_col).isNotNull()), anchors, vec_col=vec_col
+    ).withColumn("cluster", F.col("cluster_id").cast("string"))
+    counts_rows = (
+        assigned.groupBy(
+            F.col(partition_col).cast("int").alias("__pid"),
+            F.col("cluster").alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()  # ≤ partitions × n_anchors rows — the UDF scan runs once
     )
     if baseline_counts is None:
-        baseline_counts = categorical_baseline(assigned, "cluster")
-    return psi_drift_check(
-        assigned, "cluster", baseline_counts, partition_col=partition_col, **psi_kw
+        baseline_counts = {}
+        for r in counts_rows:
+            baseline_counts[r["__cat"]] = baseline_counts.get(r["__cat"], 0) + r["__n"]
+    # fold clusters outside the baseline into __OTHER__ (summing, so the
+    # downstream map_from_entries never sees duplicate keys)
+    folded: dict[tuple[int, str], int] = {}
+    for r in counts_rows:
+        cat = r["__cat"] if r["__cat"] in baseline_counts else "__OTHER__"
+        folded[(r["__pid"], cat)] = folded.get((r["__pid"], cat), 0) + r["__n"]
+    counts = assigned.sparkSession.createDataFrame(
+        [(p, c, n) for (p, c), n in sorted(folded.items())],
+        "__pid int, __cat string, __n long",
     )
+    return psi_from_counts(counts, "cluster", baseline_counts, **psi_kw)
 
 
 def drift_violations(drift_df: DataFrame) -> DataFrame:

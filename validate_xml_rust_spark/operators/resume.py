@@ -149,14 +149,22 @@ def run_with_resume(
 
 
 def content_fingerprint(cols: list[str]) -> "F.Column":
-    """Deterministic md5 content fingerprint over ``cols`` with null
-    tagging (NULL and the string 'null' hash differently). Restatable in
-    ANSI SQL, so incremental-validation gates can cross-verify it."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.concat(F.lit("\x00"), F.lit("null")))
-        for c in cols
-    ]
-    return F.md5(F.concat_ws("\x01", *parts).cast("binary"))
+    """Deterministic md5 content fingerprint over ``cols``. Each value is
+    LENGTH-PREFIXED (``v<len>:<value>``, NULL → ``n``) before joining, so
+    the encoding parses unambiguously left-to-right: no separator byte in
+    a value can make two different column tuples collide (plain
+    concat_ws would hash ('a\\x01b','c') and ('a','b\\x01c') the same),
+    and NULL never collides with any string. Restatable in ANSI SQL
+    (length() || ':' || value), so gates can cross-verify it."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.md5(F.concat(*parts).cast("binary"))
 
 
 def incremental_verdicts(
@@ -199,20 +207,52 @@ def incremental_verdicts(
 
     cur = new_df.withColumn(fp_col, content_fingerprint(fingerprint_cols))
     payload = [id_col, fp_col, "spec_id", "status", "error_count"]
+    # defensive dedupe: a prior with duplicate (id, fp) rows — e.g. the
+    # previous run's output over an input with planted duplicate ids —
+    # would multiply the reuse join (2 cur × 2 prior = 4). Same-key rows
+    # carry the same verdict by the invariant, so keeping one is lossless.
+    prior_u = prior.select(*payload).dropDuplicates([id_col, fp_col])
     reused = (
         cur.select(id_col, fp_col)
-        .join(prior.select(*payload), on=[id_col, fp_col], how="inner")
+        .join(prior_u, on=[id_col, fp_col], how="inner")
         .select(*payload)
         .withColumn("revalidated", F.lit(False))
     )
-    delta = cur.join(prior.select(id_col, fp_col), on=[id_col, fp_col], how="left_anti")
-    res = validate(delta, spark, registry, id_col=id_col, **validate_kw)
+    # NULL ids never match the reuse join (SQL equality), so they always
+    # land in the delta and re-validate — correct: an unidentifiable row
+    # has no carry-forward key, but it MUST still be verdicted (url
+    # not-null violations are exactly what a validator reports).
+    delta = cur.join(
+        prior_u.select(id_col, fp_col), on=[id_col, fp_col], how="left_anti"
+    )
+    # Thread (id, fp) THROUGH validate() as a composite surrogate key
+    # instead of joining verdicts back on id — an id-only join-back drops
+    # NULL-id verdicts (NULL != NULL) and cross-multiplies duplicate ids
+    # whose two contents both sit in the delta. The fp is a fixed 32-char
+    # hex suffix, so the split-back is position-based and immune to any
+    # bytes the id itself contains.
+    delta_k = delta.withColumn(
+        "__ikey",
+        F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("\x00")), F.col(fp_col)
+        ),
+    )
+    res = validate(delta_k, spark, registry, id_col="__ikey", **validate_kw)
+    raw_id = F.expr("substring(__ikey, 1, length(__ikey) - 32)")
     fresh = (
         res.verdicts.select(
-            F.col("url").alias(id_col), "spec_id", "status", "error_count"
+            F.col("url").alias("__ikey"), "spec_id", "status", "error_count"
         )
-        .join(delta.select(id_col, fp_col), on=id_col, how="inner")
+        .withColumn(
+            id_col,
+            F.when(raw_id == "\x00", F.lit(None).cast("string")).otherwise(raw_id),
+        )
+        .withColumn(fp_col, F.substring(F.col("__ikey"), -32, 32))
         .select(*payload)
         .withColumn("revalidated", F.lit(True))
     )
+    # ids pass through the composite key as strings; normalize the reused
+    # branch so both sides union with one id type (the contract key is a
+    # url/doc-key string anyway)
+    reused = reused.withColumn(id_col, F.col(id_col).cast("string"))
     return reused.unionByName(fresh)

@@ -1516,7 +1516,7 @@ a AS (
                       p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
              FROM anch an) t ORDER BY d2, aid LIMIT 1) AS VARCHAR) AS cat
-  FROM embeddings e),
+  FROM embeddings e WHERE e.embedding IS NOT NULL),
 base AS (SELECT cat, CAST(count(*) AS DOUBLE) AS b FROM a GROUP BY 1),
 cats AS (SELECT cat FROM base UNION ALL SELECT '__OTHER__'),
 kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cats),
