@@ -188,3 +188,36 @@ def test_broadcast_join_in_plan(spark):
     res = validate(df, spark, _registry())
     plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fd_violations_semantics(spark):
+    """X → Y check: NULL dependent is a real binding; NULL determinant is
+    excluded; satisfied keys don't report; examples are sorted+bounded."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("us-ca", "CA"), ("us-ca", "CA"),          # satisfied FD
+            ("us-ny", "NY"), ("us-ny", None),          # NULL is a 2nd binding
+            ("us-tx", "TX"), ("us-tx", "AZ"), ("us-tx", "NM"), ("us-tx", "OK"),
+            (None, "XX"), (None, "YY"),                # no key identity
+        ],
+        "zip string, state string",
+    )
+    rows = {r["zip"]: r for r in fd_violations(df, "zip", "state").collect()}
+    assert set(rows) == {"us-ny", "us-tx"}
+    ny = rows["us-ny"]
+    assert ny["n_dependent_values"] == 2 and ny["n_rows"] == 2
+    assert ny["example_values"] == ["<null>", "NY"]
+    tx = rows["us-tx"]
+    assert tx["n_dependent_values"] == 4 and tx["n_rows"] == 4
+    assert tx["example_values"] == ["AZ", "NM", "OK"]  # sorted, capped at 3
+    # multi-column determinant: any NULL part excludes the row
+    df2 = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", None, "z")],
+        "k1 string, k2 int, y string",
+    )
+    out2 = fd_violations(df2, ["k1", "k2"], "y").collect()
+    assert len(out2) == 1 and out2[0]["n_rows"] == 2

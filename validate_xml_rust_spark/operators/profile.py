@@ -137,3 +137,61 @@ def hll_baselines(
         aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx"))
         aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
     return df.groupBy(by).agg(*aggs)
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: list[str] | str,
+    dependent: str,
+    max_examples: int = 3,
+) -> DataFrame:
+    """Functional-dependency check (the Deequ/profiler classic): report
+    every determinant value that maps to MORE than one dependent value —
+    X → Y should hold (url → host, zip → state, spec_id → spec_version);
+    each violating key row carries the distinct-Y count, how many rows
+    sit under the key, and up to ``max_examples`` sorted example values
+    for the violation report.
+
+    NULL semantics: rows with a NULL in the determinant are excluded (no
+    key identity); a NULL dependent counts as a distinct value (a key
+    mapping to both 'x' and NULL IS two bindings — SQL count(distinct)
+    would hide it, so the implementation counts NULL explicitly).
+
+    Scale shape: one shuffle on the determinant key via Spark's two-phase
+    distinct aggregation — stage 1 partial-deduplicates (key, Y) pairs
+    map-side, so a hot key's rows spread over reducers; examples come
+    from a bounded slice of a sorted distinct array, never collect.
+    (The per-key example set is collected before slicing, so per-key
+    DISTINCT dependent cardinality is assumed bounded — true for any FD
+    worth checking; for an unbounded Y read only n_dependent_values.)
+    """
+    dets = [determinant] if isinstance(determinant, str) else list(determinant)
+    cond = F.col(dets[0]).isNotNull()
+    for c in dets[1:]:
+        cond = cond & F.col(c).isNotNull()
+    keyed = df.filter(cond)
+    # NULL dependent → sentinel so it participates in distinct counting;
+    # collision-proof tagging (values get a 'v' prefix, NULL the bare tag)
+    y = F.col(dependent).cast("string")
+    y_tag = F.when(y.isNull(), F.lit("\x00")).otherwise(F.concat(F.lit("v"), y))
+    return (
+        keyed.groupBy(*[F.col(c).alias(c) for c in dets])
+        .agg(
+            F.countDistinct(y_tag).alias("n_dependent_values"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.slice(
+                F.array_sort(F.collect_set(y_tag)), 1, max_examples
+            ).alias("__ex"),
+        )
+        .where(F.col("n_dependent_values") > 1)
+        .withColumn(
+            "example_values",
+            F.transform(
+                F.col("__ex"),
+                lambda t: F.when(t == "\x00", F.lit("<null>")).otherwise(
+                    F.substring(t, 2, 2_000_000)
+                ),
+            ),
+        )
+        .drop("__ex")
+    )

@@ -1295,6 +1295,41 @@ FROM orders GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (operators/profile.py
+    `fd_violations`): report every source mapping to more than one lang —
+    the Deequ-style X → Y check with NULL counted as a real dependent
+    binding. The oracle recomputes the tagged distinct counting, the
+    sorted example slice, and the NULL sentinel handling in SQL."""
+    from validate_xml_rust_spark.operators.profile import fd_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = fd_violations(docs, "source", "lang", max_examples=3)
+    return out.select(
+        "source",
+        F.col("n_dependent_values").cast("long").alias("n_dependent_values"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.concat_ws(",", "example_values").alias("example_values"),
+    )
+
+
+ORACLE_FD_VIOLATIONS = """
+WITH keyed AS (
+  SELECT source,
+         CASE WHEN lang IS NULL THEN chr(0) ELSE 'v' || lang END AS yt
+  FROM documents WHERE source IS NOT NULL),
+g AS (
+  SELECT source, count(DISTINCT yt) AS ndv, count(*) AS n_rows,
+         list_sort(list(DISTINCT yt)) AS ex
+  FROM keyed GROUP BY source)
+SELECT source, CAST(ndv AS BIGINT) AS n_dependent_values,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       array_to_string(list_transform(ex[1:3],
+         t -> CASE WHEN t = chr(0) THEN '<null>' ELSE t[2:] END), ',') AS example_values
+FROM g WHERE ndv > 1
+"""
+
+
 def q_drift_chi2_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition chi² drift of the lang distribution vs the global
     baseline (operators/drift.py): partition-level category counts are one
@@ -2328,6 +2363,7 @@ QUERIES = {
     "event_props_json": q_event_props_json,
     "cube_order_stats": q_cube_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
+    "fd_violations": q_fd_violations,
     "drift_chi2_lang": q_drift_chi2_lang,
     "drift_ks_nchars": q_drift_ks_nchars,
     "drift_psi_lang": q_drift_psi_lang,
@@ -2393,6 +2429,7 @@ ORACLES = {
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
+    "fd_violations": ORACLE_FD_VIOLATIONS,
     "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
     "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
     "drift_psi_lang": ORACLE_DRIFT_PSI_LANG,
