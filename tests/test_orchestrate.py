@@ -181,3 +181,45 @@ def test_repetition_row_constraint(spark):
     viol = res.violations().collect()
     assert len(viol) == 1 and viol[0]["constraint_id"] == "low_repetition"
     assert float(viol[0]["observed_value"]) > 0.2
+
+
+def test_validate_full_fd_and_psi_kinds(spark):
+    """Round-3 spec kinds: a declarative fd constraint reports determinant
+    keys with multiple dependent bindings; drift test='psi' runs the
+    closed-form check through the same baselines context."""
+    rows = []
+    for i in range(30):
+        rows.append((f"https://a.com/{i}", "a.com", "en", 0))
+    for i in range(30):
+        rows.append((f"https://b.com/{i}", "b.com", "en", 1))
+    # a.com maps to TWO countries -> fd violation; b.com to one
+    df = spark.createDataFrame(
+        [
+            (u, h, lang, p, ("US" if (p == 0 and int(u.rsplit("/", 1)[1]) % 2) else "DE"))
+            for (u, h, lang, p) in rows
+        ],
+        "url string, host string, lang string, partition_id int, country string",
+    )
+    spec = Spec(
+        "web-v1",
+        (
+            Constraint(
+                "host_country_fd", "host", "fd", {"dependent": "country"}
+            ),
+            Constraint(
+                "lang_psi", "lang", "drift", {"test": "psi", "threshold": 0.2}
+            ),
+        ),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    ctx = TableContext(baselines={"lang": categorical_baseline(df, "lang")})
+    res = validate_full(df, spark, reg, ctx)
+    v = res.all_violations().collect()
+    fd = [r for r in v if r["constraint_id"] == "host_country_fd"]
+    assert len(fd) == 1
+    assert fd[0]["url"] == "host=a.com"
+    assert fd[0]["observed_value"] == "DE,US"
+    assert "2 values across 30 rows" in fd[0]["message"]
+    # single-lang column matches its own global baseline -> no psi rows
+    assert not [r for r in v if r["constraint_id"] == "lang_psi"]
+    res.release()

@@ -18,7 +18,8 @@ Context objects supply what table checks need:
 Constraint params:
 - unique:      {"keys": [col, ...]}                  (default [column])
 - referential: {"ref_table": name, "parent_key": col, "key_expr": sql?}
-- drift:       {"test": "chi2"|"ks", "alpha": 0.05}
+- drift:       {"test": "chi2"|"ks"|"psi", "alpha": 0.05, "threshold": 0.2}
+- fd:          {"determinant": [col, ...], "dependent": col}
 """
 
 from __future__ import annotations
@@ -148,9 +149,38 @@ def _table_violations_for(
         baseline = ctx.baselines[c.column]
         if test == "ks":
             d = ks_drift_check(df, c.column, baseline, partition_col, alpha)
+        elif test == "psi":
+            from validate_xml_rust_spark.operators.drift import psi_drift_check
+
+            d = psi_drift_check(
+                df, c.column, baseline, partition_col,
+                threshold=c.params.get("threshold", 0.2),
+            )
         else:
             d = chi2_drift_check(df, c.column, baseline, partition_col, alpha)
         return drift_violations(d).select(*VIOLATION_COLS)
+    if c.kind == "fd":
+        from validate_xml_rust_spark.operators.profile import fd_violations
+
+        dep = c.params["dependent"]
+        dets = c.params.get("determinant", [c.column])
+        v = fd_violations(df, dets, dep)
+        det_cols = [dets] if isinstance(dets, str) else list(dets)
+        return v.select(
+            F.concat_ws("=", F.lit(",".join(det_cols)),
+                        F.concat_ws(",", *[F.col(x).cast("string") for x in det_cols])
+                        ).alias("url"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.concat_ws(",", "example_values").alias("observed_value"),
+            F.concat_ws(
+                " ",
+                F.lit(f"functional dependency violated: {dep} has"),
+                F.col("n_dependent_values").cast("string"),
+                F.lit("values across"),
+                F.col("n_rows").cast("string"),
+                F.lit("rows"),
+            ).alias("message"),
+        ).select(*VIOLATION_COLS)
     raise ValueError(f"not a table-scope kind: {c.kind}")
 
 

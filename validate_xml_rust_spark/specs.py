@@ -51,7 +51,9 @@ ROW_KINDS = frozenset(
     {"not_null", "regex", "range", "isin", "length", "utf8", "expr",
      "pandas_check", "repetition"}
 )
-TABLE_KINDS = frozenset({"unique", "referential", "drift", "contamination", "near_dup"})
+TABLE_KINDS = frozenset(
+    {"unique", "referential", "drift", "contamination", "near_dup", "fd"}
+)
 
 
 @dataclass(frozen=True)
