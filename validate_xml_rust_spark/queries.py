@@ -2282,6 +2282,54 @@ FROM h
 """
 
 
+def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring on a stream (§2.7 × drift): documents
+    replayed as an AvailableNow file-source stream, (partition, lang)
+    counts aggregated in complete mode into a memory sink, then the
+    zero-Python PSI core (`psi_from_counts`) over the accumulated counts
+    — the EXACT batch statistic from the SAME oracle as drift_psi_lang.
+    This is the production shape for per-ingest drift gating: the stream
+    maintains O(P·K) count state, the closed-form statistic reads it."""
+    import hashlib
+    import os
+    import uuid
+
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        psi_from_counts,
+    )
+
+    batch = _t(spark, sf_dir, "documents")
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    d = "/tmp/vxrs_stream_docs_" + hashlib.md5(src.encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    name = "q_stream_psi_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(d)
+        .filter(F.col("lang").isNotNull())
+        .groupBy(
+            (F.col("doc_id") % 8).cast("int").alias("__pid"),
+            F.col("lang").alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    baseline = categorical_baseline(batch, "lang")
+    out = psi_from_counts(spark.table(name), "lang", baseline)
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming replay equals batch SQL: the events table read
     as an AvailableNow file-source stream, tumbling 1-hour event-time
@@ -2377,6 +2425,7 @@ QUERIES = {
     "scan_url_filters": q_scan_url_filters,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "streaming_events_hourly": q_streaming_events_hourly,
+    "streaming_drift_psi": q_streaming_drift_psi,
     "multimodal_features": q_multimodal_features,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
@@ -2443,6 +2492,7 @@ ORACLES = {
     "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
     "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
     "streaming_events_hourly": ORACLE_EVENTS_HOURLY,  # stream == batch
+    "streaming_drift_psi": ORACLE_DRIFT_PSI_LANG,  # stream counts == batch PSI
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "hash_sample": ORACLE_HASH_SAMPLE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
