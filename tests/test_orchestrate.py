@@ -93,7 +93,7 @@ def test_validate_full_drift(spark):
     res = validate_full(df, spark, reg, ctx)
     v = res.table_violations.collect()
     assert len(v) == 1 and v[0]["url"] == "partition:1"
-    assert v[0]["constraint_id"] == "drift_chi2_cat"
+    assert v[0]["constraint_id"] == "cat_drift"  # the SPEC's id, not the derived one
 
 
 def test_validate_full_content_mode_scoping(spark):
@@ -207,12 +207,16 @@ def test_validate_full_fd_and_psi_kinds(spark):
                 "host_country_fd", "host", "fd", {"dependent": "country"}
             ),
             Constraint(
-                "lang_psi", "lang", "drift", {"test": "psi", "threshold": 0.2}
+                "country_psi", "country", "drift",
+                {"test": "psi", "threshold": 0.2},
             ),
         ),
     )
     reg = SpecRegistry().add(spec, route_keys=["en"])
-    ctx = TableContext(baselines={"lang": categorical_baseline(df, "lang")})
+    # explicit reference baseline = partition 0's 50/50 mix, so partition 0
+    # must NOT flag and the all-DE partition 1 MUST (self-baselining would
+    # blend the drifted partition into the reference)
+    ctx = TableContext(baselines={"country": {"US": 15, "DE": 15}})
     res = validate_full(df, spark, reg, ctx)
     v = res.all_violations().collect()
     fd = [r for r in v if r["constraint_id"] == "host_country_fd"]
@@ -220,6 +224,7 @@ def test_validate_full_fd_and_psi_kinds(spark):
     assert fd[0]["url"] == "host=a.com"
     assert fd[0]["observed_value"] == "DE,US"
     assert "2 values across 30 rows" in fd[0]["message"]
-    # single-lang column matches its own global baseline -> no psi rows
-    assert not [r for r in v if r["constraint_id"] == "lang_psi"]
+    # psi violations carry the SPEC's id; exactly the shifted partition fires
+    psi = [r for r in v if r["constraint_id"] == "country_psi"]
+    assert [r["url"] for r in psi] == ["partition:1"]
     res.release()

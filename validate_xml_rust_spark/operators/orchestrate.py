@@ -158,7 +158,14 @@ def _table_violations_for(
             )
         else:
             d = chi2_drift_check(df, c.column, baseline, partition_col, alpha)
-        return drift_violations(d).select(*VIOLATION_COLS)
+        # carry the SPEC's constraint id (like every other table kind) —
+        # drift_violations' derived drift_<test>_<col> id is for direct
+        # operator use, not for spec-declared constraints
+        return (
+            drift_violations(d)
+            .withColumn("constraint_id", F.lit(c.constraint_id))
+            .select(*VIOLATION_COLS)
+        )
     if c.kind == "fd":
         from validate_xml_rust_spark.operators.profile import fd_violations
 

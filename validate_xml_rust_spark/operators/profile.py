@@ -177,12 +177,17 @@ def fd_violations(
     return (
         keyed.groupBy(*[F.col(c).alias(c) for c in dets])
         .agg(
-            F.countDistinct(y_tag).alias("n_dependent_values"),
+            # size of the collected set, NOT countDistinct: a second
+            # distinct aggregate alongside collect_set forces Spark's
+            # two-exchange distinct rewrite; the set is already exact
+            # (y_tag is never NULL) and partial collect_set still dedups
+            # map-side, so this keeps the whole check to ONE shuffle
+            F.array_sort(F.collect_set(y_tag)).alias("__set"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.slice(
-                F.array_sort(F.collect_set(y_tag)), 1, max_examples
-            ).alias("__ex"),
         )
+        .withColumn("n_dependent_values", F.size("__set").cast("long"))
+        .withColumn("__ex", F.slice("__set", 1, max_examples))
+        .drop("__set")
         .where(F.col("n_dependent_values") > 1)
         .withColumn(
             "example_values",

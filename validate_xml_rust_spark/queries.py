@@ -2282,41 +2282,31 @@ FROM h
 """
 
 
-def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous drift monitoring on a stream (§2.7 × drift): documents
-    replayed as an AvailableNow file-source stream, (partition, lang)
-    counts aggregated in complete mode into a memory sink, then the
-    zero-Python PSI core (`psi_from_counts`) over the accumulated counts
-    — the EXACT batch statistic from the SAME oracle as drift_psi_lang.
-    This is the production shape for per-ingest drift gating: the stream
-    maintains O(P·K) count state, the closed-form statistic reads it."""
+def _replayed_stream(spark: SparkSession, sf_dir: str, table: str):
+    """File-source stream over one driver parquet table. The file-stream
+    source lists a DIRECTORY (CLAUDE.md gotcha), so the single parquet
+    file is exposed through a /tmp symlink dir — no data copied, testdata
+    untouched. Returns the readStream DataFrame (schema from the batch
+    read, since streams cannot infer)."""
     import hashlib
     import os
-    import uuid
 
-    from validate_xml_rust_spark.operators.drift import (
-        categorical_baseline,
-        psi_from_counts,
-    )
-
-    batch = _t(spark, sf_dir, "documents")
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    d = "/tmp/vxrs_stream_docs_" + hashlib.md5(src.encode()).hexdigest()[:10]
+    batch = _t(spark, sf_dir, table)
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    d = f"/tmp/vxrs_stream_{table}_" + hashlib.md5(src.encode()).hexdigest()[:10]
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "documents.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.lexists(link):
         os.symlink(src, link)
-    name = "q_stream_psi_" + uuid.uuid4().hex[:8]
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(d)
-        .filter(F.col("lang").isNotNull())
-        .groupBy(
-            (F.col("doc_id") % 8).cast("int").alias("__pid"),
-            F.col("lang").alias("__cat"),
-        )
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+    return spark.readStream.schema(batch.schema).parquet(d)
+
+
+def _run_to_memory(stream, prefix: str) -> str:
+    """Run a streaming aggregation to completion (AvailableNow) into a
+    complete-mode memory sink; returns the sink table name."""
+    import uuid
+
+    name = prefix + uuid.uuid4().hex[:8]
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -2325,7 +2315,33 @@ def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    baseline = categorical_baseline(batch, "lang")
+    return name
+
+
+def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring on a stream (§2.7 × drift): documents
+    replayed as an AvailableNow file-source stream, (partition, lang)
+    counts aggregated in complete mode into a memory sink, then the
+    zero-Python PSI core (`psi_from_counts`) over the accumulated counts
+    — the EXACT batch statistic from the SAME oracle as drift_psi_lang.
+    This is the production shape for per-ingest drift gating: the stream
+    maintains O(P·K) count state, the closed-form statistic reads it."""
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        psi_from_counts,
+    )
+
+    stream = (
+        _replayed_stream(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy(
+            (F.col("doc_id") % 8).cast("int").alias("__pid"),
+            F.col("lang").alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    name = _run_to_memory(stream, "q_stream_psi_")
+    baseline = categorical_baseline(_t(spark, sf_dir, "documents"), "lang")
     out = psi_from_counts(spark.table(name), "lang", baseline)
     return out.select("partition_id", "column_name", "test", "statistic", "n")
 
@@ -2336,37 +2352,15 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows aggregated into a memory sink — the SAME oracle as the batch
     events_hourly query. Proves the streaming engine extension (§2.7)
     computes identical verdict-style aggregates to the batch path."""
-    import hashlib
-    import os
-    import uuid
-
-    batch = _t(spark, sf_dir, "events")
-    # the file-stream source lists a DIRECTORY; expose the single parquet
-    # file through a symlink dir (no data copied, testdata untouched)
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = "/tmp/vxrs_stream_" + hashlib.md5(src.encode()).hexdigest()[:10]
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(src, link)
-    name = "q_stream_hourly_" + uuid.uuid4().hex[:8]
     stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(d)
+        _replayed_stream(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _run_to_memory(stream, "q_stream_hourly_")
     return spark.table(name).select(
         F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
     )

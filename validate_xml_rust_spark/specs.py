@@ -27,10 +27,12 @@ whole-stage-codegen'd, no Python in the hot path):
 - ``expr``           — arbitrary boolean SQL expression must hold
                        (params: ``predicate``; cross-column checks)
 
-Table-scope kinds (``unique``, ``referential``, ``drift``) need a shuffle or
-a join; they are handled by dedicated operators (operators/uniqueness.py,
-operators/referential.py, operators/drift.py) and declared here only so a
-spec can carry them end-to-end.
+Table-scope kinds (``unique``, ``referential``, ``drift`` [chi2|ks|psi],
+``contamination``, ``near_dup``, ``fd``) need a shuffle or a join; they are
+handled by dedicated operators (operators/uniqueness.py, referential.py,
+drift.py, curation.py, dedup.py, profile.py) dispatched from
+operators/orchestrate.py, and declared here only so a spec can carry them
+end-to-end.
 
 Severity: ``invalid`` (counted into ``Invalid{error_count}``) or ``error``
 (the row is *unreadable* — maps to the reference's ``Error{message}`` state,
