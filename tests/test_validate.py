@@ -221,3 +221,34 @@ def test_fd_violations_semantics(spark):
     )
     out2 = fd_violations(df2, ["k1", "k2"], "y").collect()
     assert len(out2) == 1 and out2[0]["n_rows"] == 2
+
+
+def test_profile_diff_flags_and_schema_evolution(spark):
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.profile import profile, profile_diff
+
+    old_df = spark.createDataFrame(
+        [(i, "x" if i % 10 else None) for i in range(100)], "a long, b string"
+    )
+    # new snapshot: b's null rate triples; column c appears, a disappears
+    new_df = spark.createDataFrame(
+        [(("x" if i % 10 >= 3 else None), float(i)) for i in range(100)],
+        "b string, c double",
+    )
+    d = {
+        (r["column_name"], r["metric"]): r
+        for r in profile_diff(
+            profile(old_df, exact=True), profile(new_df, exact=True)
+        ).collect()
+    }
+    nb = d[("b", "null_rate")]
+    assert nb["old_value"] == 0.1 and nb["new_value"] == 0.3
+    assert nb["rel_change"] == 2.0 and nb["flagged"] is True
+    assert d[("b", "n_distinct")]["flagged"] is False  # 1 == 1
+    # schema evolution: one-sided rows are always flagged, rel_change NULL
+    assert d[("a", "null_rate")]["new_value"] is None
+    assert d[("a", "null_rate")]["flagged"] is True
+    assert d[("c", "n_distinct")]["old_value"] is None
+    assert d[("c", "n_distinct")]["flagged"] is True
+    assert d[("c", "n_distinct")]["rel_change"] is None

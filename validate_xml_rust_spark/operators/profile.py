@@ -200,3 +200,62 @@ def fd_violations(
         )
         .drop("__ex")
     )
+
+
+def profile_diff(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    rel_threshold: float = 0.1,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Cross-snapshot profile comparison — the monitoring complement to
+    the drift checks: given two `profile()` outputs (yesterday's snapshot
+    vs today's), unpivot the numeric metrics (null_rate, n_distinct) and
+    flag relative changes above ``rel_threshold``. A column present in
+    only one snapshot (schema evolution) appears with the other side
+    NULL and is always flagged.
+
+    Profiles are O(columns) rows, so the whole comparison is driver-scale
+    regardless of the table sizes that produced them — store each run's
+    profile in a metrics table and diff any two snapshots for free.
+    """
+    def unpivot(p: DataFrame, tag: str) -> DataFrame:
+        return p.select(
+            "column_name",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("null_rate").alias("metric"),
+                        F.col("null_rate").cast("double").alias(tag),
+                    ),
+                    F.struct(
+                        F.lit("n_distinct").alias("metric"),
+                        F.col("n_distinct").cast("double").alias(tag),
+                    ),
+                )
+            ).alias("m"),
+        ).select("column_name", "m.metric", f"m.{tag}")
+
+    o = unpivot(old_profile, "old_value")
+    n = unpivot(new_profile, "new_value")
+    j = o.join(n, ["column_name", "metric"], "full_outer")
+    rel = F.abs(F.col("new_value") - F.col("old_value")) / F.greatest(
+        F.abs(F.col("old_value")), F.lit(float(eps))
+    )
+    return j.select(
+        "column_name",
+        "metric",
+        "old_value",
+        "new_value",
+        F.when(
+            F.col("old_value").isNull() | F.col("new_value").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(rel, 6))
+        .alias("rel_change"),
+        (
+            F.col("old_value").isNull()
+            | F.col("new_value").isNull()
+            | (rel > rel_threshold)
+        ).alias("flagged"),
+    )

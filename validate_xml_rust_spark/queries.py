@@ -1295,6 +1295,66 @@ FROM orders GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
+def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot profile comparison (operators/profile.py
+    `profile_diff`): yesterday's snapshot = the full documents table,
+    today's = the doc_id-even half; numeric metrics unpivot, full-outer
+    join, relative-change flagging. The oracle rebuilds BOTH profiles and
+    the comparison arithmetic in SQL."""
+    from validate_xml_rust_spark.operators.profile import profile, profile_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["lang", "source", "n_chars"]
+    old = profile(docs, cols, exact=True)
+    new = profile(docs.filter(F.col("doc_id") % 2 == 0), cols, exact=True)
+    return profile_diff(old, new, rel_threshold=0.1).select(
+        "column_name", "metric", "old_value", "new_value", "rel_change", "flagged"
+    )
+
+
+ORACLE_PROFILE_DIFF = """
+WITH oldp AS (
+  SELECT 'lang' AS column_name, 'null_rate' AS metric,
+         CAST(count(*) FILTER (WHERE lang IS NULL) AS DOUBLE)/count(*) AS v FROM documents
+  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+  UNION ALL SELECT 'source', 'null_rate',
+         CAST(count(*) FILTER (WHERE source IS NULL) AS DOUBLE)/count(*) FROM documents
+  UNION ALL SELECT 'source', 'n_distinct', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+  UNION ALL SELECT 'n_chars', 'null_rate',
+         CAST(count(*) FILTER (WHERE n_chars IS NULL) AS DOUBLE)/count(*) FROM documents
+  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents),
+newp AS (
+  SELECT 'lang' AS column_name, 'null_rate' AS metric,
+         CAST(count(*) FILTER (WHERE lang IS NULL) AS DOUBLE)/count(*) AS v
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS DOUBLE)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'source', 'null_rate',
+         CAST(count(*) FILTER (WHERE source IS NULL) AS DOUBLE)/count(*)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'source', 'n_distinct', CAST(count(DISTINCT source) AS DOUBLE)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'null_rate',
+         CAST(count(*) FILTER (WHERE n_chars IS NULL) AS DOUBLE)/count(*)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS DOUBLE)
+  FROM documents WHERE doc_id % 2 = 0),
+j AS (
+  SELECT coalesce(o.column_name, n.column_name) AS column_name,
+         coalesce(o.metric, n.metric) AS metric,
+         o.v AS old_value, n.v AS new_value
+  FROM oldp o FULL OUTER JOIN newp n
+    ON o.column_name = n.column_name AND o.metric = n.metric)
+SELECT column_name, metric, old_value, new_value,
+       CASE WHEN old_value IS NULL OR new_value IS NULL THEN NULL
+            ELSE round(abs(new_value - old_value)/greatest(abs(old_value), 1e-9), 6)
+       END AS rel_change,
+       (old_value IS NULL OR new_value IS NULL
+        OR abs(new_value - old_value)/greatest(abs(old_value), 1e-9) > 0.1) AS flagged
+FROM j
+"""
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency profiling (operators/profile.py
     `fd_violations`): report every source mapping to more than one lang —
@@ -2406,6 +2466,7 @@ QUERIES = {
     "cube_order_stats": q_cube_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "fd_violations": q_fd_violations,
+    "profile_diff": q_profile_diff,
     "drift_chi2_lang": q_drift_chi2_lang,
     "drift_ks_nchars": q_drift_ks_nchars,
     "drift_psi_lang": q_drift_psi_lang,
@@ -2473,6 +2534,7 @@ ORACLES = {
     "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
     "fd_violations": ORACLE_FD_VIOLATIONS,
+    "profile_diff": ORACLE_PROFILE_DIFF,
     "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
     "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
     "drift_psi_lang": ORACLE_DRIFT_PSI_LANG,
