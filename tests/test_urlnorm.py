@@ -31,6 +31,7 @@ def test_canonicalize_rules(spark):
             "  https://example.com/x  ",       # trims
             "https://example.com/x?utm_source=a&utm_medium=b&fbclid=1&gclid=2&ref=r",
             "https://sub.www.example.com/x",   # www. stripped only as prefix
+            "https://www.www.example.com/x",   # stacked prefixes collapse
             "ftp://example.com/file",          # other schemes pass through
             "not-a-url",
             None,
@@ -44,6 +45,7 @@ def test_canonicalize_rules(spark):
         "https://example.com/x",
         "https://example.com/x",
         "https://sub.www.example.com/x",
+        "https://example.com/x",
         "ftp://example.com/file",
         None,
         None,
@@ -75,7 +77,8 @@ def test_canonicalize_idempotent(spark):
     stored key on a later ingest never changes it). Checked over a grid
     of structured url parts in ONE Spark pass."""
     schemes = ["https", "HTTP", "ftp"]
-    hosts = ["www.a.com", "A.com:443", "a.com:80", "sub.www.b.org:8080"]
+    hosts = ["www.a.com", "www.www.a.com", "A.com:443", "a.com:80",
+             "sub.www.b.org:8080"]
     paths = ["", "/", "/x/", "/x/y"]
     queries = ["", "?b=2&a=1", "?utm_source=s", "?b=2&utm_medium=m&a=1&a=1"]
     frags = ["", "#f"]

@@ -224,8 +224,6 @@ def test_fd_violations_semantics(spark):
 
 
 def test_profile_diff_flags_and_schema_evolution(spark):
-    from pyspark.sql import functions as F
-
     from validate_xml_rust_spark.operators.profile import profile, profile_diff
 
     old_df = spark.createDataFrame(

@@ -51,7 +51,10 @@ def canonicalize_url(url: Column) -> Column:
     auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
     )
-    auth = F.regexp_replace(auth, r"^www\.", "")
+    # (www\.)+ not www\.: stacked prefixes (www.www.a.com) must collapse in
+    # ONE pass or canonicalize loses its fixed-point property (a stored key
+    # re-canonicalized on a later ingest would change)
+    auth = F.regexp_replace(auth, r"^(www\.)+", "")
     path = F.regexp_replace(F.regexp_extract(u, URL_PARTS_RE, 3), r"/+$", "")
     rawq = F.regexp_extract(u, URL_PARTS_RE, 4)  # '?a=1&b=2' or ''
     params = F.filter(

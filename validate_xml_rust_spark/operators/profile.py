@@ -219,22 +219,12 @@ def profile_diff(
     regardless of the table sizes that produced them — store each run's
     profile in a metrics table and diff any two snapshots for free.
     """
+    metrics = ["null_rate", "n_distinct"]
+
     def unpivot(p: DataFrame, tag: str) -> DataFrame:
         return p.select(
-            "column_name",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("null_rate").alias("metric"),
-                        F.col("null_rate").cast("double").alias(tag),
-                    ),
-                    F.struct(
-                        F.lit("n_distinct").alias("metric"),
-                        F.col("n_distinct").cast("double").alias(tag),
-                    ),
-                )
-            ).alias("m"),
-        ).select("column_name", "m.metric", f"m.{tag}")
+            "column_name", *[F.col(m).cast("double").alias(m) for m in metrics]
+        ).unpivot("column_name", metrics, "metric", tag)
 
     o = unpivot(old_profile, "old_value")
     n = unpivot(new_profile, "new_value")

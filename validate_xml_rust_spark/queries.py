@@ -1307,8 +1307,12 @@ def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["lang", "source", "n_chars"]
     old = profile(docs, cols, exact=True)
     new = profile(docs.filter(F.col("doc_id") % 2 == 0), cols, exact=True)
+    # flagged cast to BIGINT: the driver value hash canonicalizes native
+    # boolean objects differently across engines (CLAUDE.md gate rule:
+    # end in double/bigint/string/timestamp on BOTH sides)
     return profile_diff(old, new, rel_threshold=0.1).select(
-        "column_name", "metric", "old_value", "new_value", "rel_change", "flagged"
+        "column_name", "metric", "old_value", "new_value", "rel_change",
+        F.col("flagged").cast("long").alias("flagged"),
     )
 
 
@@ -1349,8 +1353,8 @@ SELECT column_name, metric, old_value, new_value,
        CASE WHEN old_value IS NULL OR new_value IS NULL THEN NULL
             ELSE round(abs(new_value - old_value)/greatest(abs(old_value), 1e-9), 6)
        END AS rel_change,
-       (old_value IS NULL OR new_value IS NULL
-        OR abs(new_value - old_value)/greatest(abs(old_value), 1e-9) > 0.1) AS flagged
+       CAST((old_value IS NULL OR new_value IS NULL
+        OR abs(new_value - old_value)/greatest(abs(old_value), 1e-9) > 0.1) AS BIGINT) AS flagged
 FROM j
 """
 
@@ -1699,7 +1703,7 @@ norm AS (
     regexp_replace(
       CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
            WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
-           ELSE auth0 END, '^www\\.', '') AS auth,
+           ELSE auth0 END, '^(www\\.)+', '') AS auth,
     regexp_replace(path0, '/+$', '') AS path,
     coalesce(array_to_string(list_sort(list_filter(
         string_split(regexp_replace(rawq, '^\\?', ''), '&'),
