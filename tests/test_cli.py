@@ -164,3 +164,29 @@ def test_cli_single_execution(tmp_path, spark, monkeypatch):
     assert acc.value <= int(1.5 * n), (
         f"url evaluated {acc.value} times for {n} rows — pipeline re-executed"
     )
+
+
+def test_cli_prior_snapshot_diff_roundtrip(tmp_path, capsys):
+    """--prior end-to-end: run 1 re-validates everything (empty store) and
+    writes the verdict store; the identical run 2 carries every row with a
+    usable (url, fingerprint) key forward — only the keyless null-url rows
+    re-validate — with identical totals and exit code."""
+    from validate_xml_rust_spark.sources.pages import py_row_kinds
+
+    prior = str(tmp_path / "prior")
+    n = 400
+    args = [f"synth:{n}", "--prior", prior, "--partitions", "8"]
+    code1 = main(args)
+    out1 = capsys.readouterr().out
+    assert f"Snapshot diff: {n} re-validated, 0 carried forward" in out1
+    assert f"Total: {n}" in out1
+    code2 = main(args)
+    out2 = capsys.readouterr().out
+    # null-url rows have no carry-forward key and re-validate every run
+    n_null = py_row_kinds(n)["null_url"]
+    assert (
+        f"Snapshot diff: {n_null} re-validated, {n - n_null} carried forward"
+        in out2
+    )
+    assert f"Total: {n}" in out2
+    assert code1 == code2 and code1 in (0, 2, 3)

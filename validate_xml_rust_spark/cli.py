@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--run-id",
         help="lineage run id recorded in the manifest (default: cli-<epoch>)",
     )
+    p.add_argument(
+        "--prior",
+        help="row-level snapshot-diff dir: carry forward verdicts for rows "
+             "whose (url, content-fingerprint) match this prior store; "
+             "re-validate only the delta, then replace the store with this "
+             "run's verdicts (the reference's mtime+hash cache skip, "
+             "src/cache.rs:139-316, at row granularity)",
+    )
     return p
 
 
@@ -69,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.threads is not None and args.threads <= 0:
         print("--threads must be > 0", file=sys.stderr)
         return 1
+
+    from pyspark.sql import functions as F
 
     from validate_xml_rust_spark import get_spark
     from validate_xml_rust_spark.operators.report import report
@@ -152,6 +162,59 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print("No documents found to validate")
         return 0
+
+    # --- row-level snapshot-diff mode: carry forward unchanged rows'
+    # verdicts from the --prior store, re-validate only the delta, and
+    # replace the store with this run's verdicts (chained runs)
+    if args.prior:
+        phases.start("validation")
+        from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+        from validate_xml_rust_spark.operators.resume import incremental_verdicts
+
+        fcols = [c for c in ("text", "lang") if c in df.columns] or ["url"]
+        try:
+            prior = spark.read.parquet(args.prior).select(
+                "url", "content_fp", "spec_id", "status", "error_count"
+            )
+        except Exception:
+            prior = spark.createDataFrame(
+                [], "url string, content_fp string, spec_id string, "
+                    "status string, error_count int",
+            )
+        inc = incremental_verdicts(
+            df, prior, spark, registry, fcols,
+            route_col=args.route_col, route_mode=args.route_mode,
+            override_spec_id=override_id,
+        )
+        ck, ck_ids = eager_checkpoint(inc)
+        phases.start("aggregation")
+        agg = ck.agg(
+            F.count(F.lit(1)).alias("total"),
+            *[
+                F.sum((F.col("status") == s).cast("long")).alias(s)
+                for s in ("valid", "invalid", "error", "skipped")
+            ],
+            F.sum(F.col("revalidated").cast("long")).alias("revalidated"),
+        ).collect()[0]
+        srow = agg.asDict()
+        phases.finish()
+        # checkpoint severed lineage, so overwriting the dir we read is safe
+        ck.select("url", "content_fp", "spec_id", "status", "error_count").write.mode(
+            "overwrite"
+        ).parquet(args.prior)
+        if not args.quiet:
+            carried = srow["total"] - srow["revalidated"]
+            print(
+                f"Snapshot diff: {srow['revalidated']} re-validated, "
+                f"{carried} carried forward (prior: {args.prior})"
+            )
+            print(
+                f"Total: {srow['total']}  Valid: {srow['valid']}  "
+                f"Invalid: {srow['invalid']}  Errors: {srow['error']}  "
+                f"Skipped: {srow['skipped']}"
+            )
+        release_blocks(spark.sparkContext, ck_ids)
+        return exit_code(srow, fail_fast=args.fail_fast)
 
     # --- validation + aggregation phases
     phases.start("validation")
