@@ -358,19 +358,46 @@ def main() -> None:
     for name, fn in QUERIES.items():
         timings[name] = _time(lambda fn=fn: _force(fn(spark, sf_dir)))
 
+    # Streaming replay entries are dominated by fixed trigger/state-store
+    # setup, not per-row cost — report docs/sec alongside wall time so
+    # round-over-round comparisons don't read replay overhead as regression.
+    n_docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    stream_rates = {
+        f"{name}_docs_per_sec": round(n_docs_sf / timings[name], 1)
+        for name in ("streaming_neardup", "streaming_first_seen")
+        if timings.get(name)
+    }
+
     total = round(sum(timings.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "validated_docs_per_sec": v_extra["docs_per_sec"],
         "bench_pages": v_extra["docs"],
+        "stream_rates": stream_rates,
         "cpus": cpus,
     }
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps(full))
+    # Compact headline LAST: the driver's output-capture window keeps the
+    # tail and parses the FINAL JSON line (r3's full line outgrew the
+    # window → "parsed": null). Top-10 timings only; everything else above.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "sf": sf_val,
+        "validated_docs_per_sec": v_extra["docs_per_sec"],
+        "bench_pages": v_extra["docs"],
+        "n_queries": len(timings),
+        "cpus": cpus,
+    }))
 
 
 if __name__ == "__main__":

@@ -179,7 +179,7 @@ def test_cli_prior_snapshot_diff_roundtrip(tmp_path, capsys):
     code1 = main(args)
     out1 = capsys.readouterr().out
     assert f"Snapshot diff: {n} re-validated, 0 carried forward" in out1
-    assert f"Total: {n}" in out1
+    assert f"Total:   {n}" in out1
     code2 = main(args)
     out2 = capsys.readouterr().out
     # null-url rows have no carry-forward key and re-validate every run
@@ -188,5 +188,62 @@ def test_cli_prior_snapshot_diff_roundtrip(tmp_path, capsys):
         f"Snapshot diff: {n_null} re-validated, {n - n_null} carried forward"
         in out2
     )
-    assert f"Total: {n}" in out2
+    assert f"Total:   {n}" in out2
     assert code1 == code2 and code1 in (0, 2, 3)
+
+
+def test_cli_prior_output_and_report(tmp_path, spark, capsys):
+    """--prior + --output + -v together: the snapshot-diff branch writes
+    verdicts/violations parquet and prints the standard report (pre-fix it
+    silently ignored both)."""
+    prior = str(tmp_path / "prior")
+    outdir = str(tmp_path / "out")
+    n = 1500  # large enough that synth plants invalid rows (violations > 0)
+    code = main([f"synth:{n}", "--prior", prior, "--output", outdir, "-v"])
+    out = capsys.readouterr().out
+    assert "Validation Results" in out and "Failures" in out
+    v = spark.read.parquet(f"{outdir}/verdicts")
+    assert v.count() == n
+    assert {"url", "status", "revalidated"} <= set(v.columns)
+    viol = spark.read.parquet(f"{outdir}/violations")
+    assert {"url", "constraint_id", "observed_value", "message"} <= set(viol.columns)
+    assert viol.count() > 0  # synth pages plant invalid rows
+    assert code in (0, 2, 3)
+
+
+def test_cli_prior_plus_manifest_compose(tmp_path, spark, capsys):
+    """--manifest (partition-level skip) and --prior (row-level
+    carry-forward) compose: run 1 commits all partitions and fills the
+    store; run 2 skips everything via the manifest AND the store still
+    holds run 1's rows (the subset rewrite must union absent prior rows
+    back, not shrink the store)."""
+    from pyspark.sql import functions as F
+
+    prior = str(tmp_path / "prior")
+    man = str(tmp_path / "m")
+    n = 300
+    args = [f"synth:{n}", "--prior", prior, "--manifest", man,
+            "--partitions", "8", "--run-id", "r1"]
+    code1 = main(args)
+    out1 = capsys.readouterr().out
+    assert "Committed snapshot 1" in out1
+    m = spark.read.parquet(man)
+    assert m.select("partition_id").distinct().count() == 8
+    assert m.agg(F.sum("n_rows").alias("s")).collect()[0]["s"] == n
+    store1 = spark.read.parquet(prior).count()
+    assert store1 > 0
+    # run 2: every partition already committed → nothing pending; the
+    # store must be untouched (not shrunk to the empty subset)
+    code2 = main(args[:-1] + ["r2"])
+    out2 = capsys.readouterr().out
+    assert "Nothing pending" in out2
+    assert spark.read.parquet(prior).count() == store1
+    assert code1 in (0, 2, 3) and code2 == 0
+    # run 3: a strict-subset input (first 100 synth docs) with --prior
+    # only — the store rewrite must carry the absent rows forward, not
+    # shrink to the subset
+    code3 = main([f"synth:{n // 3}", "--prior", prior])
+    out3 = capsys.readouterr().out
+    assert "carried forward" in out3
+    assert spark.read.parquet(prior).count() >= store1
+    assert code3 in (0, 2, 3)

@@ -163,7 +163,8 @@ def test_strip_boilerplate_order_and_structure(spark):
     rows.append((99, footer))  # every line boilerplate → doc vanishes
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate(df, max_doc_freq=10).collect()}
-    assert 99 not in out  # fully-boilerplate doc dropped
+    # per-document contract: the fully-boilerplate doc SURVIVES, emptied
+    assert out[99] == ""
     # footer stripped; empty line and indentation preserved, order intact
     assert out[3] == "line a 3\n\n  line b 3"
-    assert len(out) == 12
+    assert len(out) == 13

@@ -170,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         phases.start("validation")
         from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
         from validate_xml_rust_spark.operators.resume import incremental_verdicts
+        from validate_xml_rust_spark.operators.validate import ValidationResult
 
         fcols = [c for c in ("text", "lang") if c in df.columns] or ["url"]
         try:
@@ -181,8 +182,14 @@ def main(argv: list[str] | None = None) -> int:
                 [], "url string, content_fp string, spec_id string, "
                     "status string, error_count int",
             )
+        # full output (partition_id, details, violations) whenever a sink
+        # needs it: --output parquet, --manifest metrics, or a -v report.
+        # Carried-forward rows count toward statuses everywhere; violation
+        # payloads exist only for the re-validated delta (the prior store
+        # keeps the verdict triple, not the violation rows).
+        full = bool(args.output or args.manifest or args.verbosity)
         inc = incremental_verdicts(
-            df, prior, spark, registry, fcols,
+            df, prior, spark, registry, fcols, full_output=full,
             route_col=args.route_col, route_mode=args.route_mode,
             override_spec_id=override_id,
         )
@@ -197,22 +204,58 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.col("revalidated").cast("long")).alias("revalidated"),
         ).collect()[0]
         srow = agg.asDict()
+        if args.output:
+            ck.drop("violation_entries").write.mode("overwrite").parquet(
+                f"{args.output}/verdicts"
+            )
+            ValidationResult(ck.filter(F.col("revalidated"))).violations().write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/violations")
         phases.finish()
-        # checkpoint severed lineage, so overwriting the dir we read is safe
-        ck.select("url", "content_fp", "spec_id", "status", "error_count").write.mode(
-            "overwrite"
-        ).parquet(args.prior)
+        # commit this run's completed partitions (composes with the
+        # partition-level skip above: next --manifest run skips them,
+        # next --prior run carries their rows forward)
+        if args.manifest:
+            from validate_xml_rust_spark.operators.resume import (
+                partition_metrics,
+                write_manifest,
+            )
+
+            run_id = args.run_id or f"cli-{int(time.time())}"
+            sid = write_manifest(partition_metrics(ck, run_id), args.manifest)
+            if not args.quiet:
+                print(f"Committed snapshot {sid} (run {run_id}) to {args.manifest}")
+        # Replace the store with this run's verdicts, UNION the prior rows
+        # for ids absent from this run's input (a --manifest-filtered or
+        # partial-dir run must not shrink the store and defeat later
+        # carry-forward). Present-but-changed ids are superseded by ck.
+        # Both sides are materialized (ck is checkpointed; the union is
+        # eagerly checkpointed) before the overwrite of the dir prior reads.
+        keep_prior = prior.join(
+            df.select(F.col("url").cast("string").alias("url")).distinct(),
+            "url", "left_anti",
+        )
+        store, store_ids = eager_checkpoint(
+            ck.select("url", "content_fp", "spec_id", "status", "error_count")
+            .unionByName(keep_prior)
+            .dropDuplicates(["url", "content_fp"])
+        )
+        store.write.mode("overwrite").parquet(args.prior)
+        release_blocks(spark.sparkContext, store_ids)
+        wall_ms = (time.perf_counter() - t0) * 1000
         if not args.quiet:
             carried = srow["total"] - srow["revalidated"]
             print(
                 f"Snapshot diff: {srow['revalidated']} re-validated, "
                 f"{carried} carried forward (prior: {args.prior})"
             )
-            print(
-                f"Total: {srow['total']}  Valid: {srow['valid']}  "
-                f"Invalid: {srow['invalid']}  Errors: {srow['error']}  "
-                f"Skipped: {srow['skipped']}"
+            perf = run_metrics_row(
+                srow["total"], phases,
+                cache_stats=cache.stats() if cache else None,
+                concurrency=args.threads,
             )
+            # verbosity > 0 implies full output (error_details present)
+            print(report(ck, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf))
         release_blocks(spark.sparkContext, ck_ids)
         return exit_code(srow, fail_fast=args.fail_fast)
 

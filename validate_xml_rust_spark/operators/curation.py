@@ -119,6 +119,91 @@ def contamination_flags(
     )
 
 
+def contamination_sweep(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    primary_n: int = 13,
+    min_n: int = 5,
+    broadcast: bool = True,
+) -> DataFrame:
+    """N-gram-LENGTH-sweep decontamination — the public GPT-3/PaLM recipe:
+    long benchmark entries match by shared ``primary_n``-grams (13 is the
+    published default); entries SHORTER than ``primary_n`` tokens — quiz
+    questions, short answers — are matched as EXACT token-substring: the
+    document's ℓ-grams must contain the entry's whole ℓ-token string, one
+    pass per short length ℓ present in the benchmark. A fixed-n check
+    (``contamination_flags``) lets every sub-13-token question slip
+    through; the sweep closes that hole.
+
+    Output: ``id, n_contaminated_ngrams (distinct hits across all
+    passes), contaminated``.
+
+    Scale shape: the short lengths are read off the BENCHMARK (one
+    driver-side distinct over a small frame — benchmarks are 10^3-10^6
+    entries, never corpus-sized), so the corpus pays one extra
+    explode+broadcast-join pass per distinct short length actually
+    present (≤ primary_n - min_n passes, typically 2-4). Each pass is
+    narrow: explode streams through the broadcast probe, the only shuffle
+    is the per-doc count of the (tiny) hit stream. Entries below
+    ``min_n`` tokens are excluded — matching 1-2-token strings flags
+    everything and is noise, not contamination (same floor as the
+    published recipes)."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+
+    bn = benchmark.withColumn("__bn", F.size(tokens(F.col(bench_text_col))))
+    # distinct short lengths present in the benchmark: bounded driver round
+    short_lengths = sorted(
+        r["__bn"]
+        for r in bn.filter(
+            (F.col("__bn") >= min_n) & (F.col("__bn") < primary_n)
+        ).select("__bn").distinct().collect()
+    )
+    passes: list[tuple[int, DataFrame]] = []
+    # primary pass: entries with >= primary_n tokens, classic shared-gram
+    long_bench = bn.filter(F.col("__bn") >= primary_n)
+    passes.append((primary_n, long_bench))
+    # short passes: exactly-ℓ-token entries, whole-string gram (ℓ-gram of
+    # an ℓ-token text IS its full token string — substring semantics)
+    for ell in short_lengths:
+        passes.append((ell, bn.filter(F.col("__bn") == ell)))
+
+    hits = None
+    for n, bench_slice in passes:
+        bench_grams = bench_slice.select(
+            F.explode(shingle_hashes(F.col(bench_text_col), n)).alias("__g")
+        ).distinct()
+        if broadcast:
+            bench_grams = F.broadcast(bench_grams)
+        doc_grams = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("__g"),
+        )
+        h = doc_grams.join(bench_grams, "__g").groupBy("__id").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    agg = (
+        hits.groupBy("__id").agg(F.sum("__n").alias("n_contaminated_ngrams"))
+        if hits is not None
+        else None
+    )
+    base = df.select(F.col(id_col).alias("__id"))
+    if agg is not None:
+        base = base.join(agg, "__id", "left")
+    else:
+        base = base.withColumn("n_contaminated_ngrams", F.lit(None).cast("long"))
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("long").alias(
+            "n_contaminated_ngrams"
+        ),
+        (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 # PII patterns — Java∩RE2 common subset ONLY (no lookarounds, no \b
 # differences: \b is ASCII word boundary in both). Order matters: emails
 # before IPs before phones (an already-redacted token can't re-match).
@@ -245,6 +330,11 @@ def strip_boilerplate(
     own lines — partitioned by the uniform id key. Order is restored via
     ``array_sort`` on (idx, line) structs, NOT collect order, so the
     output is partitioning- and retry-invariant.
+
+    Per-document contract: EVERY input doc yields exactly one output row
+    ``(id_col, out_col)`` — a doc whose every line is boilerplate (and has
+    no empty lines) survives with ``out_col = ''`` via the left join back
+    to the id set, rather than vanishing from the rebuild groupBy.
     """
     bp = boilerplate_lines(df, text_col, id_col, max_doc_freq).select("line")
     lines = df.select(
@@ -269,4 +359,8 @@ def strip_boilerplate(
         )
         .select(F.col("__id").alias(id_col), out_col)
     )
-    return rebuilt
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )

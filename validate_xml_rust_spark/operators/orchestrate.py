@@ -20,6 +20,12 @@ Constraint params:
 - referential: {"ref_table": name, "parent_key": col, "key_expr": sql?}
 - drift:       {"test": "chi2"|"ks"|"psi", "alpha": 0.05, "threshold": 0.2}
 - fd:          {"determinant": [col, ...], "dependent": col}
+- contamination: {"benchmark": name, "n": 8, "max_hits": 0} — fixed-n;
+  add {"primary_n": 13, "min_n": 5} to run the GPT-3/PaLM n-gram-length
+  sweep instead (short benchmark entries matched as exact substrings)
+- host_quality: {"group_col": col?, "min_mean_quality": 0.5,
+  "min_docs": 1, "quality_col": col?} — per-host mean-quality keep/drop
+  via the salted aggregation (operators/hostquality.py)
 """
 
 from __future__ import annotations
@@ -75,16 +81,31 @@ def _table_violations_for(
         )
         return v.select(*VIOLATION_COLS)
     if c.kind == "contamination":
-        from validate_xml_rust_spark.operators.curation import contamination_flags
+        from validate_xml_rust_spark.operators.curation import (
+            contamination_flags,
+            contamination_sweep,
+        )
 
         bench = ctx.ref_tables[c.params["benchmark"]]
-        flags = contamination_flags(
-            df, bench,
-            id_col=id_col, text_col=c.column,
-            bench_text_col=c.params.get("bench_text_col", c.column),
-            n=int(c.params.get("n", 8)),
-            broadcast=c.params.get("broadcast", True),
-        )
+        if "primary_n" in c.params or c.params.get("sweep"):
+            flags = contamination_sweep(
+                df, bench,
+                id_col=id_col, text_col=c.column,
+                bench_text_col=c.params.get("bench_text_col", c.column),
+                primary_n=int(c.params.get("primary_n", 13)),
+                min_n=int(c.params.get("min_n", 5)),
+                broadcast=c.params.get("broadcast", True),
+            )
+            gram_desc = f"{c.params.get('primary_n', 13)}-gram-sweep"
+        else:
+            flags = contamination_flags(
+                df, bench,
+                id_col=id_col, text_col=c.column,
+                bench_text_col=c.params.get("bench_text_col", c.column),
+                n=int(c.params.get("n", 8)),
+                broadcast=c.params.get("broadcast", True),
+            )
+            gram_desc = f"{c.params.get('n', 8)}-grams"
         max_hits = int(c.params.get("max_hits", 0))
         return flags.filter(F.col("n_contaminated_ngrams") > max_hits).select(
             F.col(id_col).cast("string").alias("url"),
@@ -92,7 +113,7 @@ def _table_violations_for(
             F.col("n_contaminated_ngrams").cast("string").alias("observed_value"),
             F.concat(
                 F.lit("shares "), F.col("n_contaminated_ngrams").cast("string"),
-                F.lit(f" {c.params.get('n', 8)}-grams with benchmark "),
+                F.lit(f" {gram_desc} with benchmark "),
                 F.lit(c.params["benchmark"]),
             ).alias("message"),
         )
@@ -166,6 +187,20 @@ def _table_violations_for(
             .withColumn("constraint_id", F.lit(c.constraint_id))
             .select(*VIOLATION_COLS)
         )
+    if c.kind == "host_quality":
+        from validate_xml_rust_spark.operators.hostquality import (
+            host_quality_violations,
+        )
+
+        return host_quality_violations(
+            df,
+            group_col=c.params.get("group_col", c.column),
+            constraint_id=c.constraint_id,
+            min_mean_quality=float(c.params.get("min_mean_quality", 0.5)),
+            min_docs=int(c.params.get("min_docs", 1)),
+            text_col=c.params.get("text_col", "text"),
+            quality_col=c.params.get("quality_col"),
+        ).select(*VIOLATION_COLS)
     if c.kind == "fd":
         from validate_xml_rust_spark.operators.profile import fd_violations
 

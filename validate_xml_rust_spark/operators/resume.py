@@ -51,7 +51,16 @@ def next_snapshot_id(spark: SparkSession, manifest_dir: str) -> int:
     already committed (1 for a fresh manifest). With Iceberg this column
     is replaced by the table's own snapshot id at commit time — the
     manifest schema is deliberately shaped so that swap-in changes only
-    this function."""
+    this function.
+
+    Single-writer assumption (documented contract): the read-then-append
+    is not locked, so two CONCURRENT runs committing to one manifest dir
+    can allocate the same generation. The parquet fallback accepts this
+    (a duplicated snapshot_id degrades lineage granularity, never
+    correctness of the completed-partition set); Iceberg's atomic snapshot
+    commit removes the race outright. ``read_manifest`` distinguishes
+    missing-dir (fresh manifest → generation 1) from transient read
+    errors (re-raised), so numbering can't silently restart at 1."""
     m = read_manifest(spark, manifest_dir)
     if m is None or "snapshot_id" not in m.columns:
         return 1
@@ -82,8 +91,17 @@ def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame | None:
         # snapshot_id and max() skips them. The manifest is O(partitions)
         # files, so the footer sweep is cheap.
         return spark.read.option("mergeSchema", "true").parquet(manifest_dir)
-    except Exception:
-        return None  # no manifest yet → nothing completed
+    except Exception as e:
+        # ONLY missing-path/empty-dir (AnalysisException: PATH_NOT_FOUND /
+        # UNABLE_TO_INFER_SCHEMA) means "no manifest yet". A transient IO
+        # or permission error must NOT read as a fresh manifest — that
+        # would silently restart snapshot numbering at 1 AND re-validate
+        # completed partitions.
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            return None  # no manifest yet → nothing completed
+        raise
 
 
 def completed_partitions(spark: SparkSession, manifest_dir: str) -> DataFrame | None:
@@ -175,6 +193,7 @@ def incremental_verdicts(
     fingerprint_cols: list[str],
     id_col: str = "url",
     fp_col: str = "content_fp",
+    full_output: bool = False,
     **validate_kw,
 ) -> DataFrame:
     """Row-level snapshot-diff validation: rows whose (id, content
@@ -185,6 +204,14 @@ def incremental_verdicts(
     — the output of a previous call (or any verdicts frame joined with
     its fingerprints), so runs chain: today's output is tomorrow's prior.
     Output adds ``revalidated`` (false = carried forward).
+
+    ``full_output=True`` additionally carries ``partition_id`` (when
+    ``new_df`` has one), ``error_details`` and ``violation_entries`` —
+    what report sinks, per-partition manifest metrics, and verdict
+    parquet writes need. Re-validated rows carry their real details;
+    carried-forward rows get EMPTY details/violations (the prior store
+    keeps only the verdict triple — status counts stay exact, violation
+    payloads exist only for the delta).
 
     Invariant (gate-verified): carried-forward verdicts are IDENTICAL to
     what a full re-validation would produce — incremental is purely an
@@ -207,17 +234,25 @@ def incremental_verdicts(
 
     cur = new_df.withColumn(fp_col, content_fingerprint(fingerprint_cols))
     payload = [id_col, fp_col, "spec_id", "status", "error_count"]
+    has_pid = full_output and "partition_id" in new_df.columns
+    pid_cols = ["partition_id"] if has_pid else []
     # defensive dedupe: a prior with duplicate (id, fp) rows — e.g. the
     # previous run's output over an input with planted duplicate ids —
     # would multiply the reuse join (2 cur × 2 prior = 4). Same-key rows
     # carry the same verdict by the invariant, so keeping one is lossless.
     prior_u = prior.select(*payload).dropDuplicates([id_col, fp_col])
     reused = (
-        cur.select(id_col, fp_col)
+        cur.select(id_col, fp_col, *pid_cols)
         .join(prior_u, on=[id_col, fp_col], how="inner")
-        .select(*payload)
+        .select(*payload, *pid_cols)
         .withColumn("revalidated", F.lit(False))
     )
+    if full_output:
+        from validate_xml_rust_spark.operators.validate import _empty_violations
+
+        reused = reused.withColumn(
+            "error_details", F.array().cast("array<string>")
+        ).withColumn("violation_entries", _empty_violations())
     # NULL ids never match the reuse join (SQL equality), so they always
     # land in the delta and re-validate — correct: an unidentifiable row
     # has no carry-forward key, but it MUST still be verdicted (url
@@ -239,16 +274,20 @@ def incremental_verdicts(
     )
     res = validate(delta_k, spark, registry, id_col="__ikey", **validate_kw)
     raw_id = F.expr("substring(__ikey, 1, length(__ikey) - 32)")
+    full_cols = (
+        pid_cols + ["error_details", "violation_entries"] if full_output else []
+    )
     fresh = (
         res.verdicts.select(
-            F.col("url").alias("__ikey"), "spec_id", "status", "error_count"
+            F.col("url").alias("__ikey"), "spec_id", "status", "error_count",
+            *full_cols,
         )
         .withColumn(
             id_col,
             F.when(raw_id == "\x00", F.lit(None).cast("string")).otherwise(raw_id),
         )
         .withColumn(fp_col, F.substring(F.col("__ikey"), -32, 32))
-        .select(*payload)
+        .select(*payload, *full_cols)
         .withColumn("revalidated", F.lit(True))
     )
     # ids pass through the composite key as strings; normalize the reused

@@ -27,7 +27,8 @@ AggSpec = tuple  # (op, col?, alias)
 
 def _partial(op: str, col: str | None, alias: str):
     if op == "count":
-        return F.count(F.lit(1)).alias(alias)
+        # col=None → row count; col given → non-null count (SQL COUNT(col))
+        return (F.count(F.lit(1)) if col is None else F.count(col)).alias(alias)
     if op == "sum":
         return F.sum(col).alias(alias)
     if op == "min":

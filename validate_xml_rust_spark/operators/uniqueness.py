@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 # two independent 64-bit key hashes (JVM-side xxhash64) seed the k Bloom
 # probe positions via double hashing: idx_i = h1 + i*h2 (mod m)
 _BLOOM_SEED = 101
-_BLOOM_SCHEMA = "seen binary, dup binary"
+_BLOOM_SCHEMA = "seen binary, dup binary, n long"
 
 
 def _bit_positions(h1: np.ndarray, h2: np.ndarray, n_hashes: int, m: int) -> np.ndarray:
@@ -82,9 +82,16 @@ def bloom_suspects(
     ``bloom_bits`` must scale with TOTAL distinct keys (≈16 bits per key
     keeps the fold's per-bit collision rate ≈0.25 and the 4-hash FP rate
     ≈4e-7); practical to ~10^10 keys, beyond which shard the bloom by
-    key-hash range (SCALE.md §3). ``stats['suspected_rows']``/
-    ``stats['total_rows']`` report the pre-filter selectivity when a dict
-    is passed."""
+    key-hash range (SCALE.md §3).
+
+    Diagnostics (opt-in ``stats`` dict): ``total_rows`` rides the bloom
+    build's tree-reduce for free; ``suspected_rows`` costs ONE extra probe
+    pass over the scan (the only stats-induced action — exact selectivity
+    cannot be known without probing). ``stats['bloom_broadcast']`` exposes
+    the suspect-bloom Broadcast handle: the returned frame re-probes it on
+    every action, so the CALLER unpersists it once the frame is
+    materialized (long-lived sessions would otherwise accumulate one
+    2·m/8-byte executor block per call)."""
     if bloom_bits & (bloom_bits - 1):
         raise ValueError("bloom_bits must be a power of two")
     key_cols = [F.col(k) for k in keys]
@@ -97,11 +104,11 @@ def bloom_suspects(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = np.zeros(m >> 3, dtype=np.uint8)
         dup = np.zeros(m >> 3, dtype=np.uint8)
-        any_rows = False
+        n_rows = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            any_rows = True
+            n_rows += len(pdf)
             h1 = pdf["__h1"].to_numpy(dtype=np.int64)
             h2 = pdf["__h2"].to_numpy(dtype=np.int64)
             pos = _bit_positions(h1, h2, k, m)
@@ -116,28 +123,31 @@ def bloom_suspects(
             repeats = cnt[inv.reshape(-1)] > 1
             _set_bits(dup, pos[before | repeats])
             _set_bits(seen, pos)
-        if any_rows:
-            yield pd.DataFrame({"seen": [seen.tobytes()], "dup": [dup.tobytes()]})
+        if n_rows:
+            yield pd.DataFrame(
+                {"seen": [seen.tobytes()], "dup": [dup.tobytes()], "n": [n_rows]}
+            )
 
     def combine(a: tuple, b: tuple) -> tuple:
         sa = np.frombuffer(a[0], dtype=np.uint8)
         da = np.frombuffer(a[1], dtype=np.uint8)
         sb = np.frombuffer(b[0], dtype=np.uint8)
         db = np.frombuffer(b[1], dtype=np.uint8)
-        return ((sa | sb).tobytes(), (da | db | (sa & sb)).tobytes())
+        return ((sa | sb).tobytes(), (da | db | (sa & sb)).tobytes(), a[2] + b[2])
 
     bloom_rows = hashed.mapInPandas(build, _BLOOM_SCHEMA).rdd.map(
-        lambda r: (bytes(r["seen"]), bytes(r["dup"]))
+        lambda r: (bytes(r["seen"]), bytes(r["dup"]), int(r["n"]))
     )
     # no isEmpty() pre-probe (it would compute the first partition's whole
     # bloom build, then treeReduce recomputes it); no treeAggregate either
     # (its zeroValue ships 2·m/8 zero bytes into every task) — reduce and
     # catch the only-empty-input error instead.
     try:
-        _, dup_bytes = bloom_rows.treeReduce(combine, depth=2)
+        _, dup_bytes, total_rows = bloom_rows.treeReduce(combine, depth=2)
         merged = np.frombuffer(dup_bytes, dtype=np.uint8)
     except ValueError:  # "Cannot reduce() empty RDD": df had no rows
         merged = np.zeros(m >> 3, dtype=np.uint8)
+        total_rows = 0
     bc = df.sparkSession.sparkContext.broadcast(merged.tobytes())
 
     @F.pandas_udf("boolean")
@@ -154,8 +164,11 @@ def bloom_suspects(
         )
     )
     if stats is not None:
-        stats["total_rows"] = df.count()
+        # total_rows came off the build's own tree-reduce (no extra scan);
+        # the suspected count is the one stats-only action (a probe pass)
+        stats["total_rows"] = total_rows
         stats["suspected_rows"] = out.count()
+        stats["bloom_broadcast"] = bc
     return out
 
 

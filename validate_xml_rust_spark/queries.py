@@ -2162,10 +2162,13 @@ l AS (
 lt AS (SELECT doc_id, idx, raw, trim(raw) AS line FROM l),
 bp AS (
   SELECT line FROM lt WHERE line <> ''
-  GROUP BY line HAVING count(DISTINCT doc_id) > 10)
-SELECT doc_id, string_agg(raw, chr(10) ORDER BY idx) AS clean_text
-FROM lt WHERE line NOT IN (SELECT line FROM bp)
-GROUP BY doc_id
+  GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+sa AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY idx) AS clean_text
+  FROM lt WHERE line NOT IN (SELECT line FROM bp)
+  GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sa.clean_text, '') AS clean_text
+FROM d LEFT JOIN sa USING (doc_id)
 """
 
 
@@ -2430,72 +2433,371 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Consolidated gate suites. The driver's CORRECTNESS window records at most
+# 50 queries per round (VERDICT r3 "Next round #1"), so related gates that
+# share an output schema (or a join key) are registered as ONE suite entry:
+# every underlying operator still runs and is still cross-engine verified —
+# a `variant` label (or the join) keeps the sub-results distinguishable in
+# the hashed output. The fine-grained q_* functions above remain for tests
+# and ad-hoc use.
+# ---------------------------------------------------------------------------
+
+
+def _wrap_variant(label: str, sql: str) -> str:
+    """Wrap a full oracle statement (WITH/ORDER/LIMIT allowed) as a
+    variant-labeled subquery."""
+    return f"SELECT '{label}' AS variant, t.* FROM (\n{sql}\n) t"
+
+
+def q_duplicate_custkeys_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted uniqueness, plain + Bloom-pre-pass paths (A10). Both variants
+    must produce the IDENTICAL duplicate set — the oracle is the same
+    GROUP BY twice, proving the Bloom superset never drops a real dup."""
+    a = q_duplicate_custkeys(spark, sf_dir).withColumn("variant", F.lit("plain"))
+    b = q_duplicate_custkeys_bloom(spark, sf_dir).withColumn("variant", F.lit("bloom"))
+    return a.unionByName(b)
+
+
+ORACLE_DUPLICATE_CUSTKEYS_SUITE = (
+    _wrap_variant("plain", ORACLE_DUPLICATE_CUSTKEYS)
+    + "\nUNION ALL\n"
+    + _wrap_variant("bloom", ORACLE_DUPLICATE_CUSTKEYS)
+)
+
+
+def q_events_hourly_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation, batch + AvailableNow-stream replay (§2.7):
+    both variants against the same SQL — stream == batch, cross-engine."""
+    a = q_events_hourly(spark, sf_dir).withColumn("variant", F.lit("batch"))
+    b = q_streaming_events_hourly(spark, sf_dir).withColumn("variant", F.lit("stream"))
+    return a.unionByName(b)
+
+
+ORACLE_EVENTS_HOURLY_SUITE = (
+    _wrap_variant("batch", ORACLE_EVENTS_HOURLY)
+    + "\nUNION ALL\n"
+    + _wrap_variant("stream", ORACLE_EVENTS_HOURLY)
+)
+
+
+def q_profile_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler histogram family (A9): frequent-items top-k (salted
+    two-phase count + deterministic tie-break) and the fixed-width length
+    histogram, harmonized to one (variant, column_name, bucket, lo, hi,
+    n, rank) schema."""
+    freq = q_frequent_values(spark, sf_dir).select(
+        F.lit("frequent").alias("variant"),
+        "column_name",
+        F.col("value").alias("bucket"),
+        F.lit(None).cast("long").alias("lo"),
+        F.lit(None).cast("long").alias("hi"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    hist = q_length_histogram(spark, sf_dir).select(
+        F.lit("length_hist").alias("variant"),
+        F.lit("text").alias("column_name"),
+        F.col("bucket").cast("string").alias("bucket"),
+        F.col("bucket_lo").cast("long").alias("lo"),
+        F.col("bucket_hi").cast("long").alias("hi"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    return freq.unionByName(hist)
+
+
+ORACLE_PROFILE_HISTOGRAMS = f"""
+SELECT 'frequent' AS variant, column_name, value AS bucket,
+       CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi,
+       CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM ({ORACLE_FREQUENT_VALUES}) f
+UNION ALL
+SELECT 'length_hist', 'text', CAST(bucket AS VARCHAR),
+       CAST(bucket_lo AS BIGINT), CAST(bucket_hi AS BIGINT),
+       CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({ORACLE_LENGTH_HISTOGRAM}) h
+"""
+
+
+def q_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprints (F5): the per-doc md5 fingerprint
+    over the sf documents table plus the exact-dup groups over the planted
+    corpus, harmonized to (variant, doc_id, fp, n_dup) — dup-group rows
+    carry keep_id as doc_id."""
+    fp = q_doc_fingerprints(spark, sf_dir).select(
+        F.lit("doc_fp").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fp_md5").alias("fp"),
+        F.lit(None).cast("long").alias("n_dup"),
+    )
+    grp = q_exact_dup_groups(spark, sf_dir).select(
+        F.lit("dup_group").alias("variant"),
+        F.col("keep_id").cast("long").alias("doc_id"),
+        F.col("fingerprint").alias("fp"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+    )
+    return fp.unionByName(grp)
+
+
+ORACLE_FINGERPRINT_SUITE = f"""
+SELECT 'doc_fp' AS variant, CAST(doc_id AS BIGINT) AS doc_id, fp_md5 AS fp,
+       CAST(NULL AS BIGINT) AS n_dup
+FROM ({ORACLE_DOC_FINGERPRINTS}) f
+UNION ALL
+SELECT 'dup_group', CAST(keep_id AS BIGINT), fingerprint, CAST(n_dup AS BIGINT)
+FROM ({ORACLE_EXACT_DUP_GROUPS}) g
+"""
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one row (F2/quality/Gopher-repetition):
+    token counts ⋈ heuristic quality components ⋈ repetition ratios on
+    doc_id. Each sub-operator keeps its own Arrow/expression path; the
+    oracle joins three independent SQL restatements."""
+    tok = q_token_stats(spark, sf_dir)
+    qual = q_quality_scores(spark, sf_dir)
+    rep = q_repetition_stats(spark, sf_dir)
+    return tok.join(qual, "doc_id").join(rep, "doc_id")
+
+
+ORACLE_TEXT_METRICS = f"""
+SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
+       q.quality, r.unigram_rep, r.bigram_rep, r.repetitive
+FROM ({ORACLE_TOKEN_STATS}) t
+JOIN ({ORACLE_QUALITY_SCORES}) q USING (doc_id)
+JOIN ({ORACLE_REPETITION_STATS}) r USING (doc_id)
+"""
+
+
+def q_langid_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification per document, with the labeled lang carried
+    alongside — strictly stronger than the aggregated confusion matrix
+    (which is one GROUP BY over these rows)."""
+    from validate_xml_rust_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs).select(
+        "doc_id", F.col("lang").alias("labeled"),
+        F.col("detected_lang").alias("detected"),
+    )
+
+
+ORACLE_LANGID_LABELED = (
+    "WITH d AS (" + ORACLE_LANGID + ") "
+    "SELECT d.doc_id, documents.lang AS labeled, d.detected_lang AS detected "
+    "FROM documents JOIN d USING (doc_id)"
+)
+
+
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, all three retrieval paths (L1/similarity): brute-force
+    cosine (the exactness baseline), IVF probe (nprobe=3/8 — equality with
+    the brute-force oracle asserts exact recall@10), and sign-LSH bucketed
+    search over the planted vectors (exact recall@3)."""
+    a = q_ann_topk(spark, sf_dir).withColumn("variant", F.lit("brute"))
+    b = q_ivf_ann_topk(spark, sf_dir).withColumn("variant", F.lit("ivf"))
+    c = q_ann_topk_lsh(spark, sf_dir).withColumn("variant", F.lit("lsh"))
+    return a.unionByName(b).unionByName(c)
+
+
+ORACLE_ANN_SUITE = (
+    _wrap_variant("brute", ORACLE_ANN_TOPK)
+    + "\nUNION ALL\n"
+    + _wrap_variant("ivf", ORACLE_ANN_TOPK)
+    + "\nUNION ALL\n"
+    + _wrap_variant("lsh", ORACLE_ANN_TOPK_LSH)
+)
+
+
+def q_embedding_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, brute-force block scan (exact) + banded sign-LSH
+    over the planted vectors (recall 1.0 at the gate threshold)."""
+    a = q_embedding_neardup_exact(spark, sf_dir).withColumn("variant", F.lit("exact"))
+    b = q_embedding_neardup_lsh(spark, sf_dir).withColumn("variant", F.lit("lsh"))
+    return a.unionByName(b)
+
+
+ORACLE_EMBEDDING_NEARDUP_SUITE = (
+    _wrap_variant("exact", ORACLE_EMBEDDING_NEARDUP_EXACT)
+    + "\nUNION ALL\n"
+    + _wrap_variant("lsh", ORACLE_EMBEDDING_NEARDUP_LSH)
+)
+
+
+def q_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pair generation, all three families: MinHash-LSH
+    (banded Jaccard), exact n-gram Jaccard (lang-blocked O(block²)
+    baseline), SimHash (pigeonhole chunk banding, score = Hamming
+    distance). Harmonized to (variant, id_a, id_b, score)."""
+    mh = q_minhash_neardups(spark, sf_dir).select(
+        F.lit("minhash").alias("variant"), "id_a", "id_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    ng = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("variant"), "id_a", "id_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    sh = q_simhash_neardups(spark, sf_dir).select(
+        F.lit("simhash").alias("variant"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(ng).unionByName(sh)
+
+
+ORACLE_NEARDUP_PAIRS_SUITE = f"""
+SELECT 'minhash' AS variant, id_a, id_b, CAST(jaccard AS DOUBLE) AS score
+FROM ({ORACLE_MINHASH_NEARDUPS}) m
+UNION ALL
+SELECT 'ngram', id_a, id_b, CAST(jaccard AS DOUBLE)
+FROM ({ORACLE_NGRAM_JACCARD}) n
+UNION ALL
+SELECT 'simhash', id_a, id_b, CAST(hamming AS DOUBLE)
+FROM ({ORACLE_SIMHASH_NEARDUPS}) s
+"""
+
+
+def q_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift checks, all five families in one gate (§2.8c):
+    per-partition chi² (lang), two-sample KS (n_chars), categorical PSI
+    (lang), binned numeric PSI (n_chars), and embedding cluster-occupancy
+    PSI — identical (partition_id, column_name, test, statistic, n)
+    schema; (column_name, test) disambiguates the rows."""
+    return (
+        q_drift_chi2_lang(spark, sf_dir)
+        .unionByName(q_drift_ks_nchars(spark, sf_dir))
+        .unionByName(q_drift_psi_lang(spark, sf_dir))
+        .unionByName(q_drift_psi_nchars(spark, sf_dir))
+        .unionByName(q_embedding_drift(spark, sf_dir))
+    )
+
+
+ORACLE_DRIFT_SUITE = "\nUNION ALL\n".join(
+    f"SELECT * FROM (\n{sql}\n) d{i}"
+    for i, sql in enumerate(
+        (
+            ORACLE_DRIFT_CHI2_LANG,
+            ORACLE_DRIFT_KS_NCHARS,
+            ORACLE_DRIFT_PSI_LANG,
+            ORACLE_DRIFT_PSI_NCHARS,
+            ORACLE_EMBEDDING_DRIFT,
+        )
+    )
+)
+
+
+def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two join families Spark lacks natively, one gate: as-of join
+    (last purchase at-or-before each click) and bucketized range join
+    (clicks in the hour before each error), harmonized to
+    (variant, event_id, user_id, ts, val)."""
+    asof = q_asof_click_purchase(spark, sf_dir).select(
+        F.lit("asof").alias("variant"), "event_id", "user_id",
+        F.col("asof_ts").alias("ts"),
+        F.col("asof_value").cast("double").alias("val"),
+    )
+    rng = q_range_join_clicks_before_error(spark, sf_dir).select(
+        F.lit("range").alias("variant"), "event_id", "user_id", "ts",
+        F.col("clicks_prev_hour").cast("double").alias("val"),
+    )
+    return asof.unionByName(rng)
+
+
+ORACLE_TEMPORAL_JOIN_SUITE = f"""
+SELECT 'asof' AS variant, event_id, user_id, asof_ts AS ts,
+       CAST(asof_value AS DOUBLE) AS val
+FROM ({ORACLE_ASOF_CLICK_PURCHASE}) a
+UNION ALL
+SELECT 'range', event_id, user_id, ts, CAST(clicks_prev_hour AS DOUBLE)
+FROM ({ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR}) r
+"""
+
+
+def q_source_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-discovery predicates (S2-S4) + byte-identical text
+    extraction (north-rule invariant), harmonized to
+    (variant, doc_id, payload)."""
+    scan = q_scan_url_filters(spark, sf_dir).select(
+        F.lit("scan").alias("variant"), "doc_id", F.col("url").alias("payload")
+    )
+    rt = q_extract_text_roundtrip(spark, sf_dir).select(
+        F.lit("extract").alias("variant"), "doc_id",
+        F.col("extracted").alias("payload"),
+    )
+    return scan.unionByName(rt)
+
+
+ORACLE_SOURCE_PLUMBING = f"""
+SELECT 'scan' AS variant, doc_id, url AS payload
+FROM ({ORACLE_SCAN_URL_FILTERS}) s
+UNION ALL
+SELECT 'extract', doc_id, extracted
+FROM ({ORACLE_EXTRACT_TEXT_ROUNDTRIP}) e
+"""
+
+
+def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling, flat 25% + per-lang
+    stratified rates, one gate (variant, doc_id, lang)."""
+    a = q_hash_sample(spark, sf_dir).withColumn("variant", F.lit("flat"))
+    b = q_stratified_sample(spark, sf_dir).withColumn("variant", F.lit("stratified"))
+    return a.unionByName(b)
+
+
+ORACLE_CONTENT_SAMPLE = (
+    _wrap_variant("flat", ORACLE_HASH_SAMPLE)
+    + "\nUNION ALL\n"
+    + _wrap_variant("stratified", ORACLE_STRATIFIED_SAMPLE)
+)
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
     "validate_summary": q_validate_summary,
     "profile_documents": q_profile_documents,
-    "frequent_values": q_frequent_values,
-    "length_histogram": q_length_histogram,
-    "duplicate_custkeys": q_duplicate_custkeys,
-    "duplicate_custkeys_bloom": q_duplicate_custkeys_bloom,
+    "profile_histograms": q_profile_histograms,
+    "duplicate_custkeys": q_duplicate_custkeys_suite,
     "referential_orders": q_referential_orders,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "events_hourly": q_events_hourly,
-    "doc_fingerprints": q_doc_fingerprints,
-    "exact_dup_groups": q_exact_dup_groups,
-    "token_stats": q_token_stats,
-    "quality_scores": q_quality_scores,
+    "events_hourly": q_events_hourly_suite,
+    "fingerprints": q_fingerprint_suite,
+    "text_metrics": q_text_metrics,
     "model_quality": q_model_quality,
-    "langid": q_langid,
-    "ann_topk": q_ann_topk,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "embedding_neardup_exact": q_embedding_neardup_exact,
-    "minhash_neardups": q_minhash_neardups,
+    "langid": q_langid_labeled,
+    "ann_topk": q_ann_suite,
+    "embedding_neardup": q_embedding_neardup_suite,
+    "neardup_pairs": q_neardup_pairs_suite,
     "incremental_dedup": q_incremental_dedup,
     "streaming_neardup": q_streaming_neardup,
     "streaming_first_seen": q_streaming_first_seen,
-    "simhash_neardups": q_simhash_neardups,
-    "ngram_jaccard": q_ngram_jaccard,
+    "streaming_drift_psi": q_streaming_drift_psi,
     "top_orders_per_nation": q_top_orders_per_nation,
     "sessionization": q_sessionization,
     "rollup_order_priority": q_rollup_order_priority,
     "active_inactive_customers": q_active_inactive_customers,
-    "lang_confusion": q_lang_confusion,
-    "asof_click_purchase": q_asof_click_purchase,
+    "temporal_joins": q_temporal_join_suite,
     "value_percentiles": q_value_percentiles,
-    "range_join_clicks_before_error": q_range_join_clicks_before_error,
     "event_props_json": q_event_props_json,
     "cube_order_stats": q_cube_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "fd_violations": q_fd_violations,
     "profile_diff": q_profile_diff,
-    "drift_chi2_lang": q_drift_chi2_lang,
-    "drift_ks_nchars": q_drift_ks_nchars,
-    "drift_psi_lang": q_drift_psi_lang,
-    "drift_psi_nchars": q_drift_psi_nchars,
-    "embedding_drift": q_embedding_drift,
+    "drift_suite": q_drift_suite,
     "url_canonical_dups": q_url_canonical_dups,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
     "incremental_validate": q_incremental_validate,
     "exit_codes": q_exit_codes,
-    "scan_url_filters": q_scan_url_filters,
-    "extract_text_roundtrip": q_extract_text_roundtrip,
-    "streaming_events_hourly": q_streaming_events_hourly,
-    "streaming_drift_psi": q_streaming_drift_psi,
+    "source_plumbing": q_source_plumbing,
     "multimodal_features": q_multimodal_features,
-    "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
+    "content_sample": q_content_sample,
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
     "strip_boilerplate": q_strip_boilerplate,
     "pack_sequences": q_pack_sequences,
     "curate_lineage": q_curate_lineage,
-    "repetition_stats": q_repetition_stats,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "ann_topk_lsh": q_ann_topk_lsh,
 }
 
 ORACLES = {
@@ -2503,65 +2805,46 @@ ORACLES = {
     "validate_violations": ORACLE_VALIDATE_VIOLATIONS,
     "validate_summary": ORACLE_VALIDATE_SUMMARY,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
-    "frequent_values": ORACLE_FREQUENT_VALUES,
-    "length_histogram": ORACLE_LENGTH_HISTOGRAM,
-    "duplicate_custkeys": ORACLE_DUPLICATE_CUSTKEYS,
-    "duplicate_custkeys_bloom": ORACLE_DUPLICATE_CUSTKEYS,
+    "profile_histograms": ORACLE_PROFILE_HISTOGRAMS,
+    "duplicate_custkeys": ORACLE_DUPLICATE_CUSTKEYS_SUITE,
     "referential_orders": ORACLE_REFERENTIAL_ORDERS,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
-    "events_hourly": ORACLE_EVENTS_HOURLY,
-    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
-    "exact_dup_groups": ORACLE_EXACT_DUP_GROUPS,
-    "token_stats": ORACLE_TOKEN_STATS,
-    "quality_scores": ORACLE_QUALITY_SCORES,
+    "events_hourly": ORACLE_EVENTS_HOURLY_SUITE,
+    "fingerprints": ORACLE_FINGERPRINT_SUITE,
+    "text_metrics": ORACLE_TEXT_METRICS,
     "model_quality": ORACLE_MODEL_QUALITY,
-    "langid": ORACLE_LANGID,
-    "ann_topk": ORACLE_ANN_TOPK,
-    "ivf_ann_topk": ORACLE_ANN_TOPK,  # exact-recall assertion (see q_ivf_ann_topk)
-    "embedding_neardup_exact": ORACLE_EMBEDDING_NEARDUP_EXACT,
-    "minhash_neardups": ORACLE_MINHASH_NEARDUPS,
+    "langid": ORACLE_LANGID_LABELED,
+    "ann_topk": ORACLE_ANN_SUITE,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP_SUITE,
+    "neardup_pairs": ORACLE_NEARDUP_PAIRS_SUITE,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "streaming_neardup": ORACLE_STREAMING_NEARDUP,
     "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
-    "simhash_neardups": ORACLE_SIMHASH_NEARDUPS,
-    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "streaming_drift_psi": ORACLE_DRIFT_PSI_LANG,  # stream counts == batch PSI
     "top_orders_per_nation": ORACLE_TOP_ORDERS_PER_NATION,
     "sessionization": ORACLE_SESSIONIZATION,
     "rollup_order_priority": ORACLE_ROLLUP_ORDER_PRIORITY,
     "active_inactive_customers": ORACLE_ACTIVE_INACTIVE_CUSTOMERS,
-    "lang_confusion": ORACLE_LANG_CONFUSION,
-    "asof_click_purchase": ORACLE_ASOF_CLICK_PURCHASE,
+    "temporal_joins": ORACLE_TEMPORAL_JOIN_SUITE,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
-    "range_join_clicks_before_error": ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR,
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
     "fd_violations": ORACLE_FD_VIOLATIONS,
     "profile_diff": ORACLE_PROFILE_DIFF,
-    "drift_chi2_lang": ORACLE_DRIFT_CHI2_LANG,
-    "drift_ks_nchars": ORACLE_DRIFT_KS_NCHARS,
-    "drift_psi_lang": ORACLE_DRIFT_PSI_LANG,
-    "drift_psi_nchars": ORACLE_DRIFT_PSI_NCHARS,
-    "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+    "drift_suite": ORACLE_DRIFT_SUITE,
     "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
     "incremental_validate": ORACLE_INCREMENTAL_VALIDATE,
     "exit_codes": ORACLE_EXIT_CODES,
-    "scan_url_filters": ORACLE_SCAN_URL_FILTERS,
-    "extract_text_roundtrip": ORACLE_EXTRACT_TEXT_ROUNDTRIP,
-    "streaming_events_hourly": ORACLE_EVENTS_HOURLY,  # stream == batch
-    "streaming_drift_psi": ORACLE_DRIFT_PSI_LANG,  # stream counts == batch PSI
+    "source_plumbing": ORACLE_SOURCE_PLUMBING,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-    "hash_sample": ORACLE_HASH_SAMPLE,
-    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "content_sample": ORACLE_CONTENT_SAMPLE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "redact_pii": ORACLE_REDACT_PII,
     "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "curate_lineage": ORACLE_CURATE_LINEAGE,
-    "repetition_stats": ORACLE_REPETITION_STATS,
-    "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
-    "ann_topk_lsh": ORACLE_ANN_TOPK_LSH,
 }

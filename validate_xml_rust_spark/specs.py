@@ -54,7 +54,8 @@ ROW_KINDS = frozenset(
      "pandas_check", "repetition"}
 )
 TABLE_KINDS = frozenset(
-    {"unique", "referential", "drift", "contamination", "near_dup", "fd"}
+    {"unique", "referential", "drift", "contamination", "near_dup", "fd",
+     "host_quality"}
 )
 
 
