@@ -228,3 +228,117 @@ def test_validate_full_fd_and_psi_kinds(spark):
     psi = [r for r in v if r["constraint_id"] == "country_psi"]
     assert [r["url"] for r in psi] == ["partition:1"]
     res.release()
+
+
+def test_validate_full_host_quality_kind(spark):
+    """host_quality table kind: per-group mean quality below the spec
+    threshold flags the GROUP (one violation row per bad host), min_docs
+    suppresses tiny groups, and scoping applies (only routed rows count)."""
+    good = "The report and the analysis of the data were clear and useful."
+    bad = "zzzz!!!! ???? ;;;; xxxx!!!! ???? ;;;; qqqq!!!! ????"
+    rows = (
+        [(f"u{i}", "good.com", "en", good, 0) for i in range(6)]
+        + [(f"b{i}", "spam.io", "en", bad, 0) for i in range(6)]
+        + [(f"t{i}", "tiny.net", "en", bad, 0) for i in range(2)]  # < min_docs
+        + [(f"z{i}", "spam.io", "zz", bad, 0) for i in range(9)]  # unrouted
+    )
+    df = spark.createDataFrame(
+        rows, "url string, host string, lang string, text string, partition_id int"
+    )
+    spec = Spec(
+        "hq-v1",
+        (
+            Constraint(
+                "hq", "host", "host_quality",
+                {"min_mean_quality": 0.4, "min_docs": 5},
+            ),
+        ),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    res = validate_full(df, spark, reg)
+    v = res.all_violations().collect()
+    assert [r["url"] for r in v] == ["spam.io"]
+    assert "host mean quality" in v[0]["message"]
+    res.release()
+
+
+def test_group_quality_stats_decimal_exact_and_null_group(spark):
+    from validate_xml_rust_spark.operators.hostquality import group_quality_stats
+
+    df = spark.createDataFrame(
+        [("a", "the cat and the dog of the house."),
+         ("a", "the sun and the moon of the sky."),
+         (None, "never counted — null group")],
+        "src string, text string",
+    )
+    out = group_quality_stats(df, group_col="src").collect()
+    assert len(out) == 1 and out[0]["src"] == "a" and out[0]["n_docs"] == 2
+    # mean equals the DECIMAL-exact average of the per-doc 6dp scores
+    from validate_xml_rust_spark.operators.textstats import quality_score
+    from decimal import Decimal
+
+    qs = [
+        Decimal(str(round(r["quality"], 6)))
+        for r in quality_score(df.filter(F.col("src").isNotNull())).collect()
+    ]
+    expect = round(float(sum(qs)) / len(qs), 6)
+    assert out[0]["mean_quality"] == expect
+
+
+def test_contamination_sweep_short_question(spark):
+    """A 6-token benchmark question inside a long document is INVISIBLE to
+    the fixed-13-gram check and CAUGHT by the length sweep."""
+    from validate_xml_rust_spark.operators.curation import (
+        contamination_flags,
+        contamination_sweep,
+    )
+
+    q6 = "what is the capital of france"
+    long_doc = (
+        "many words precede the planted question here now listen "
+        + q6
+        + " and many words follow it afterwards in this long document body"
+    )
+    clean = "a completely unrelated document about gardening and soil quality " \
+            "with enough words to form thirteen gram windows easily in text"
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(q6,)], "text string")
+    fixed = {r["doc_id"]: r["contaminated"]
+             for r in contamination_flags(docs, bench, n=13).collect()}
+    swept = {r["doc_id"]: r["contaminated"]
+             for r in contamination_sweep(docs, bench, primary_n=13, min_n=5).collect()}
+    assert fixed == {1: False, 2: False}  # the hole
+    assert swept == {1: True, 2: False}  # the sweep closes it
+
+
+def test_contamination_sweep_long_entries_match_13grams(spark):
+    from validate_xml_rust_spark.operators.curation import contamination_sweep
+
+    entry = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron")  # 15 tokens
+    doc_hit = "prefix words here " + entry + " suffix words there"
+    doc_miss = ("alpha beta gamma delta epsilon zeta eta theta iota unrelated "
+                "tail words continue onward beyond the window boundary now")
+    docs = spark.createDataFrame(
+        [(1, doc_hit), (2, doc_miss)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(entry,)], "text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in contamination_sweep(docs, bench).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_contamination_sweep_min_n_floor(spark):
+    """Benchmark entries below min_n tokens are excluded — a 2-token entry
+    must not flag every doc containing a common bigram."""
+    from validate_xml_rust_spark.operators.curation import contamination_sweep
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat beside the old garden wall today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("the cat",)], "text string")
+    out = contamination_sweep(docs, bench, min_n=5).collect()
+    assert out[0]["contaminated"] is False

@@ -61,7 +61,9 @@ def _table_violations_for(
         )
 
         keys = c.params.get("keys", [c.column])
-        v = uniqueness_violations(df, keys, constraint_id=c.constraint_id)
+        v = uniqueness_violations(
+            df, keys, constraint_id=c.constraint_id, id_col=id_col
+        )
         return v.select(*VIOLATION_COLS)
     if c.kind == "referential":
         from validate_xml_rust_spark.operators.referential import (

@@ -209,10 +209,13 @@ def uniqueness_violations(
     constraint_id: str = "unique",
     n_salts: int = 16,
     broadcast: bool = True,
+    id_col: str = "url",
 ) -> DataFrame:
     """Violation rows in the engine contract ``(url, constraint_id,
-    observed_value)`` for duplicated keys. Null keys are not duplicates
-    (SQL UNIQUE semantics — handled by ``not_null`` separately).
+    observed_value)`` for duplicated keys (``id_col`` names the row
+    identifier column; it lands in the contract's ``url`` slot). Null
+    keys are not duplicates (SQL UNIQUE semantics — handled by
+    ``not_null`` separately).
 
     ``broadcast=False`` for corpora where the duplicate-key set itself can
     exceed the broadcast ceiling (e.g. a crawl where most urls repeat):
@@ -221,11 +224,11 @@ def uniqueness_violations(
     for k in keys:
         nn = nn.filter(F.col(k).isNotNull())
     dups = duplicate_keys(nn, keys, n_salts=n_salts)
-    # Join back to recover the url of each offending row. The dup set is
+    # Join back to recover the id of each offending row. The dup set is
     # usually tiny vs the table → broadcast it (escape hatch above).
     joined = nn.join(F.broadcast(dups) if broadcast else dups, on=keys, how="inner")
     return joined.select(
-        F.col("url").alias("url"),
+        F.col(id_col).cast("string").alias("url"),
         F.lit(constraint_id).alias("constraint_id"),
         F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias(
             "observed_value"

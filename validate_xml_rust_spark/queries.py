@@ -2751,6 +2751,219 @@ ORACLE_CONTENT_SAMPLE = (
 )
 
 
+def q_decontaminate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-length-sweep decontamination (curation.contamination_sweep,
+    the GPT-3/PaLM 13-gram recipe): benchmark = full texts of the
+    ``doc_id % 100 == 7`` docs (long entries, 13-gram pass) PLUS planted
+    SHORT questions — the first 6 tokens of every ``doc_id % 50 == 11``
+    doc — which a fixed-13-gram check cannot see. Each short entry is
+    matched as an exact token-substring via the per-length pass, so every
+    planted source doc must be flagged. The oracle restates the whole
+    sweep in SQL over string grams keyed by (gram_length, gram)."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+    from validate_xml_rust_spark.operators.curation import contamination_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    short = (
+        docs.filter(F.col("doc_id") % 50 == 11)
+        .withColumn("__w", tokens(F.col("text")))
+        .filter(F.size("__w") >= 6)
+        .select(F.concat_ws(" ", F.slice("__w", 1, 6)).alias("text"))
+    )
+    bench = docs.filter(F.col("doc_id") % 100 == 7).select("text").unionByName(short)
+    return contamination_sweep(docs, bench, primary_n=13, min_n=5)
+
+
+ORACLE_DECONTAMINATE_SWEEP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+bench_entries AS (
+  -- long benchmark entries: whole docs, matched at gram length 13 when
+  -- they have >= 13 tokens, at their own length when 5..12 (the sweep's
+  -- per-length routing), excluded below 5
+  SELECT w, CASE WHEN len(w) >= 13 THEN 13 ELSE len(w) END AS gl
+  FROM toks WHERE doc_id % 100 = 7 AND len(w) >= 5
+  UNION ALL
+  -- planted short questions: first 6 tokens of every doc_id%50==11 doc
+  SELECT w[1:6] AS w, 6 AS gl FROM toks WHERE doc_id % 50 = 11 AND len(w) >= 6),
+bu AS (
+  SELECT DISTINCT gl, gram FROM (
+    SELECT gl, unnest(
+      CASE WHEN len(w) = 0 THEN []
+           WHEN len(w) >= gl THEN
+             list_distinct(list_transform(range(1, len(w) - gl + 2),
+                           i -> array_to_string(w[i:i+gl-1], ' ')))
+           ELSE [array_to_string(w, ' ')] END) AS gram
+    FROM bench_entries) q),
+gls AS (SELECT DISTINCT gl FROM bu),
+du AS (
+  SELECT t.doc_id, g.gl, unnest(
+      CASE WHEN len(t.w) = 0 THEN []
+           WHEN len(t.w) >= g.gl THEN
+             list_distinct(list_transform(range(1, len(t.w) - g.gl + 2),
+                           i -> array_to_string(t.w[i:i+g.gl-1], ' ')))
+           ELSE [array_to_string(t.w, ' ')] END) AS gram
+  FROM toks t CROSS JOIN gls g),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM (SELECT DISTINCT doc_id, gl, gram FROM du) d
+  JOIN bu USING (gl, gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
+def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's top-level declarative API (orchestrate.validate_full):
+    ONE spec declares row checks (not_null, range) plus five table-scope
+    constraint kinds — uniqueness, referential, functional dependency,
+    host-quality keep/drop, and PSI drift — routed by lang (en/de/fr
+    govern the spec; es/zh rows are out of scope for the table checks).
+    Output: violation count per constraint over row+table violations
+    unioned. The oracle re-derives every count from scratch, including
+    the spec routing/scoping, the salted-agg host means (DECIMAL-exact),
+    and the per-partition PSI statistic vs the scoped-corpus baseline."""
+    from validate_xml_rust_spark.operators.drift import categorical_baseline
+    from validate_xml_rust_spark.operators.orchestrate import (
+        TableContext,
+        validate_full,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    ).withColumn("doc_key", F.col("doc_id").cast("string"))
+    routed = ["en", "de", "fr"]
+    scoped = docs.filter(F.col("lang").isin(routed))
+    spec = Spec(
+        "doc-orch-v1",
+        (
+            Constraint("text_not_null", "text", "not_null"),
+            Constraint("n_chars_range", "n_chars", "range",
+                       {"lo": N_CHARS_LO, "hi": N_CHARS_HI}),
+            Constraint("uq_lang_nchars", "lang", "unique",
+                       {"keys": ["lang", "n_chars"]}),
+            Constraint("ref_source", "source", "referential",
+                       {"ref_table": "sources", "parent_key": "source"}),
+            Constraint("fd_source_lang", "source", "fd",
+                       {"determinant": ["source"], "dependent": "lang"}),
+            Constraint("hq_source", "source", "host_quality",
+                       {"min_mean_quality": 0.67, "min_docs": 5}),
+            Constraint("drift_lang", "lang", "drift",
+                       {"test": "psi", "threshold": 0.0}),
+        ),
+    )
+    registry = SpecRegistry().add(spec, route_keys=routed)
+    ctx = TableContext(
+        # parent registry missing src3 → every scoped src3 row violates
+        ref_tables={
+            "sources": docs.select("source")
+            .filter(F.col("source") != "src3").distinct()
+        },
+        baselines={"lang": categorical_baseline(scoped, "lang")},
+    )
+    res = validate_full(
+        docs, spark, registry, context=ctx, route_col="lang",
+        route_mode="column", id_col="doc_key",
+    )
+    out = (
+        res.all_violations()
+        .groupBy("constraint_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    return out
+
+
+ORACLE_ORCHESTRATE_FULL = f"""
+WITH scoped AS (
+  SELECT * FROM documents WHERE lang IN ('en','de','fr')),
+row_v AS (
+  SELECT 'text_not_null' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM scoped WHERE text IS NULL
+  UNION ALL
+  SELECT 'n_chars_range', CAST(count(*) AS BIGINT)
+  FROM scoped
+  WHERE n_chars IS NOT NULL AND (n_chars < {N_CHARS_LO} OR n_chars > {N_CHARS_HI})),
+uq AS (
+  SELECT 'uq_lang_nchars' AS constraint_id, CAST(coalesce(sum(n), 0) AS BIGINT) AS n_violations
+  FROM (SELECT count(*) AS n FROM scoped
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY lang, n_chars HAVING count(*) > 1) g),
+refv AS (
+  SELECT 'ref_source' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM scoped
+  WHERE source IS NOT NULL
+    AND source NOT IN (SELECT source FROM documents
+                       WHERE source IS NOT NULL AND source <> 'src3')),
+fd AS (
+  SELECT 'fd_source_lang' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM (SELECT source,
+               count(DISTINCT lang)
+             + max(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_dep
+        FROM scoped WHERE source IS NOT NULL
+        GROUP BY source HAVING n_dep > 1) g),
+hqq AS (
+  SELECT source,
+         count(*) AS n_docs,
+         round(CAST(sum(CAST(round(least(greatest(
+             CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(coalesce(text,'')), 1) * 0.5
+           + least(((length(' ' || lower(coalesce(text,'')) || ' ') - length(replace(' ' || lower(coalesce(text,'')) || ' ', ' the ', ''))) / 5.0
+                  + (length(' ' || lower(coalesce(text,'')) || ' ') - length(replace(' ' || lower(coalesce(text,'')) || ' ', ' and ', ''))) / 5.0
+                  + (length(' ' || lower(coalesce(text,'')) || ' ') - length(replace(' ' || lower(coalesce(text,'')) || ' ', ' of ', ''))) / 4.0)
+                 / greatest(len(list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'), x -> length(x) > 0)), 1) * 2.0, 0.3)
+           + (CASE WHEN CAST(length(coalesce(text,'')) AS DOUBLE)
+                        / greatest(len(list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'), x -> length(x) > 0)), 1)
+                   BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+           - (CASE WHEN CAST(length(regexp_replace(coalesce(text,''), '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                        / greatest(length(coalesce(text,'')), 1) > 0.1 THEN 0.2 ELSE 0.0 END),
+           0.0), 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mean_quality
+  FROM scoped WHERE source IS NOT NULL GROUP BY source),
+hq AS (
+  SELECT 'hq_source' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM hqq WHERE n_docs >= 5 AND mean_quality < 0.67),
+pbase AS (
+  SELECT lang AS cat, CAST(count(*) AS DOUBLE) AS b
+  FROM scoped WHERE lang IS NOT NULL GROUP BY 1),
+pcats AS (SELECT cat FROM pbase UNION ALL SELECT '__OTHER__'),
+pkk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM pcats),
+pmm AS (SELECT sum(b) AS m FROM pbase),
+pobs AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid, lang AS cat, count(*) AS o
+  FROM scoped WHERE lang IS NOT NULL GROUP BY 1, 2),
+ppn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM pobs GROUP BY 1),
+pgrid AS (
+  SELECT ppn.pid, ppn.n,
+         CAST(coalesce(pobs.o, 0) AS DOUBLE) AS o,
+         coalesce(pbase.b, 0.0) AS b
+  FROM ppn CROSS JOIN pcats
+  LEFT JOIN pobs ON pobs.pid = ppn.pid AND pobs.cat = pcats.cat
+  LEFT JOIN pbase ON pbase.cat = pcats.cat),
+pterms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) - (b + 0.5) / (m + 0.5 * k))
+           * ln(((o + 0.5) / (n + 0.5 * k)) / ((b + 0.5) / (m + 0.5 * k))) AS t
+  FROM pgrid CROSS JOIN pkk CROSS JOIN pmm),
+pstat AS (
+  SELECT pid,
+         CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic
+  FROM pterms GROUP BY pid),
+psi AS (
+  SELECT 'drift_lang' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM pstat WHERE statistic > 0.0)
+SELECT * FROM (
+  SELECT * FROM row_v UNION ALL SELECT * FROM uq UNION ALL
+  SELECT * FROM refv UNION ALL SELECT * FROM fd UNION ALL
+  SELECT * FROM hq UNION ALL SELECT * FROM psi) all_v
+WHERE n_violations > 0
+"""
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -2794,10 +3007,12 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "content_sample": q_content_sample,
     "decontaminate": q_decontaminate,
+    "decontaminate_sweep": q_decontaminate_sweep,
     "redact_pii": q_redact_pii,
     "strip_boilerplate": q_strip_boilerplate,
     "pack_sequences": q_pack_sequences,
     "curate_lineage": q_curate_lineage,
+    "orchestrate_full": q_orchestrate_full,
 }
 
 ORACLES = {
@@ -2843,8 +3058,10 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "content_sample": ORACLE_CONTENT_SAMPLE,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "decontaminate_sweep": ORACLE_DECONTAMINATE_SWEEP,
     "redact_pii": ORACLE_REDACT_PII,
     "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "curate_lineage": ORACLE_CURATE_LINEAGE,
+    "orchestrate_full": ORACLE_ORCHESTRATE_FULL,
 }
