@@ -185,6 +185,67 @@ def content_fingerprint(cols: list[str]) -> "F.Column":
     return F.md5(F.concat(*parts).cast("binary"))
 
 
+class SnapshotSource:
+    """The snapshot-diff seam: given the CURRENT corpus (already
+    fingerprinted), split it into (matched, delta) —
+
+    - ``matched``: current rows whose (id, fingerprint) pair exists in the
+      prior snapshot, each carrying the prior verdict payload columns
+      (``spec_id, status, error_count``) plus any requested
+      ``carry_cols`` from the current row;
+    - ``delta``: the remaining current rows, untouched (full schema).
+
+    ``ParquetSnapshotSource`` below is the engine-agnostic sandbox
+    implementation (two joins on the uniform (id, fp) key). An Iceberg
+    implementation of this same interface replaces the anti-join with the
+    table's incremental snapshot-diff scan (`incremental read between
+    prior and current snapshot ids): the delta arrives directly from
+    changed data files and the matched side becomes a partition-pruned
+    read — ``incremental_verdicts`` and its gate are unchanged because
+    they consume only this (matched, delta) contract. Reference analog:
+    the two-tier cache get that skips files whose mtime+hash match
+    (src/cache.rs:403-421)."""
+
+    def split(
+        self, cur: DataFrame, carry_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        raise NotImplementedError
+
+
+class ParquetSnapshotSource(SnapshotSource):
+    """Join-based snapshot diff over a prior verdict store frame with
+    schema ``(id_col, fp_col, spec_id, status, error_count)``."""
+
+    def __init__(
+        self, prior: DataFrame, id_col: str = "url", fp_col: str = "content_fp"
+    ) -> None:
+        self.id_col, self.fp_col = id_col, fp_col
+        payload = [id_col, fp_col, "spec_id", "status", "error_count"]
+        # defensive dedupe: a prior with duplicate (id, fp) rows — e.g. the
+        # previous run's output over an input with planted duplicate ids —
+        # would multiply the reuse join (2 cur × 2 prior = 4). Same-key rows
+        # carry the same verdict by the invariant, so keeping one is lossless.
+        self.prior_u = prior.select(*payload).dropDuplicates([id_col, fp_col])
+
+    def split(
+        self, cur: DataFrame, carry_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        id_col, fp_col = self.id_col, self.fp_col
+        matched = (
+            cur.select(id_col, fp_col, *carry_cols)
+            .join(self.prior_u, on=[id_col, fp_col], how="inner")
+        )
+        # NULL ids never match the reuse join (SQL equality), so they always
+        # land in the delta and re-validate — correct: an unidentifiable row
+        # has no carry-forward key, but it MUST still be verdicted (url
+        # not-null violations are exactly what a validator reports).
+        delta = cur.join(
+            self.prior_u.select(id_col, fp_col),
+            on=[id_col, fp_col], how="left_anti",
+        )
+        return matched, delta
+
+
 def incremental_verdicts(
     new_df: DataFrame,
     prior: DataFrame,
@@ -194,6 +255,7 @@ def incremental_verdicts(
     id_col: str = "url",
     fp_col: str = "content_fp",
     full_output: bool = False,
+    source: SnapshotSource | None = None,
     **validate_kw,
 ) -> DataFrame:
     """Row-level snapshot-diff validation: rows whose (id, content
@@ -223,12 +285,16 @@ def incremental_verdicts(
     the delta. Break-even: the two joins must cost less than re-validating
     the matched rows — true when validation is expensive (pandas-check
     suites, per-row spec fetches), NOT for a pure expression suite on one
-    box (bench incremental_validate_pages shows that honestly). On Iceberg the anti-join disappears entirely: an
-    incremental snapshot-diff scan hands over the delta directly and the
-    prior join becomes a partition-pruned read — this function is the
-    engine-agnostic fallback with the same contract (see module
-    docstring; reference analog src/cache.rs:139-316, which skips
-    re-validating files whose mtime+hash match the cache).
+    box (bench incremental_validate_pages shows that honestly).
+
+    The snapshot diff itself goes through the ``SnapshotSource`` seam:
+    ``source=None`` uses ``ParquetSnapshotSource`` (two joins); an
+    Iceberg deployment passes a source whose ``split`` reads the table's
+    incremental snapshot-diff scan — the delta arrives directly from
+    changed data files, the anti-join disappears — and everything
+    downstream (carry-forward, surrogate-key validation, the gate
+    oracle) is untouched (reference analog src/cache.rs:139-316, which
+    skips re-validating files whose mtime+hash match the cache).
     """
     from validate_xml_rust_spark.operators.validate import validate
 
@@ -236,16 +302,11 @@ def incremental_verdicts(
     payload = [id_col, fp_col, "spec_id", "status", "error_count"]
     has_pid = full_output and "partition_id" in new_df.columns
     pid_cols = ["partition_id"] if has_pid else []
-    # defensive dedupe: a prior with duplicate (id, fp) rows — e.g. the
-    # previous run's output over an input with planted duplicate ids —
-    # would multiply the reuse join (2 cur × 2 prior = 4). Same-key rows
-    # carry the same verdict by the invariant, so keeping one is lossless.
-    prior_u = prior.select(*payload).dropDuplicates([id_col, fp_col])
-    reused = (
-        cur.select(id_col, fp_col, *pid_cols)
-        .join(prior_u, on=[id_col, fp_col], how="inner")
-        .select(*payload, *pid_cols)
-        .withColumn("revalidated", F.lit(False))
+    if source is None:
+        source = ParquetSnapshotSource(prior, id_col=id_col, fp_col=fp_col)
+    matched, delta = source.split(cur, carry_cols=pid_cols)
+    reused = matched.select(*payload, *pid_cols).withColumn(
+        "revalidated", F.lit(False)
     )
     if full_output:
         from validate_xml_rust_spark.operators.validate import _empty_violations
@@ -253,13 +314,6 @@ def incremental_verdicts(
         reused = reused.withColumn(
             "error_details", F.array().cast("array<string>")
         ).withColumn("violation_entries", _empty_violations())
-    # NULL ids never match the reuse join (SQL equality), so they always
-    # land in the delta and re-validate — correct: an unidentifiable row
-    # has no carry-forward key, but it MUST still be verdicted (url
-    # not-null violations are exactly what a validator reports).
-    delta = cur.join(
-        prior_u.select(id_col, fp_col), on=[id_col, fp_col], how="left_anti"
-    )
     # Thread (id, fp) THROUGH validate() as a composite surrogate key
     # instead of joining verdicts back on id — an id-only join-back drops
     # NULL-id verdicts (NULL != NULL) and cross-multiplies duplicate ids
