@@ -2964,6 +2964,132 @@ WHERE n_violations > 0
 """
 
 
+def q_pandas_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched named-validator path (§2.8 UDF surface,
+    specs kind ``pandas_check``) driven end-to-end through validate():
+    three checkers over the events table with DETERMINISTIC planted
+    corruption — ``valid_json`` (every 97th props gets a dangling brace),
+    ``ascii_printable`` (every 101st event_type gets a BEL byte), and
+    ``balanced_tags`` (every 89th row gets an unclosed div). The oracle
+    re-derives each per-row verdict: json_valid / an ASCII character-class
+    regex / the planted-unbalanced rule."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.withColumn(
+            "props2",
+            F.when(F.col("event_id") % 97 == 3, F.concat("props", F.lit("{")))
+            .otherwise(F.col("props")),
+        )
+        .withColumn(
+            "etype2",
+            F.when(
+                F.col("event_id") % 101 == 5,
+                F.concat("event_type", F.lit("\x07")),
+            ).otherwise(F.col("event_type")),
+        )
+        .withColumn(
+            "html2",
+            F.when(F.col("event_id") % 89 == 7, F.lit("<div><p>x</p>"))
+            .otherwise(F.lit("<div><p>x</p></div>")),
+        )
+        .withColumn("event_key", F.col("event_id").cast("string"))
+    )
+    spec = Spec(
+        "ev-pandas-v1",
+        (
+            Constraint("props_json", "props2", "pandas_check",
+                       {"checker": "valid_json"}),
+            Constraint("etype_ascii", "etype2", "pandas_check",
+                       {"checker": "ascii_printable"}),
+            Constraint("html_balanced", "html2", "pandas_check",
+                       {"checker": "balanced_tags"}),
+        ),
+    )
+    reg = SpecRegistry().add(spec)
+    res = validate(
+        d, spark, reg, override_spec_id="ev-pandas-v1", id_col="event_key",
+        partition_col=None,
+    )
+    return res.verdicts.select(
+        F.col("url").alias("event_key"), "status",
+        F.col("error_count").cast("int").alias("error_count"),
+    )
+
+
+ORACLE_PANDAS_CHECKS = r"""
+WITH d AS (
+  SELECT CAST(event_id AS VARCHAR) AS event_key,
+         CASE WHEN event_id % 97 = 3 THEN props || '{' ELSE props END AS props2,
+         CASE WHEN event_id % 101 = 5 THEN event_type || chr(7) ELSE event_type END AS etype2,
+         (event_id % 89 = 7) AS html_bad
+  FROM events),
+f AS (
+  SELECT event_key,
+         (CASE WHEN props2 IS NOT NULL AND NOT json_valid(props2) THEN 1 ELSE 0 END)
+       + (CASE WHEN etype2 IS NOT NULL
+               AND NOT regexp_matches(etype2, '^[\t\n\r -~]*$') THEN 1 ELSE 0 END)
+       + (CASE WHEN html_bad THEN 1 ELSE 0 END) AS fails
+  FROM d)
+SELECT event_key,
+       CASE WHEN fails > 0 THEN 'invalid' ELSE 'valid' END AS status,
+       CAST(CASE WHEN fails > 0 THEN fails ELSE 0 END AS INT) AS error_count
+FROM f
+"""
+
+
+def q_near_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph
+    (dedup.connected_components — min-label propagation + pointer
+    jumping): components over the planted 600-doc corpus must equal a
+    from-scratch DuckDB derivation — brute-force O(n²) exact Jaccard
+    pairs on the committed snapshot of the same rows, then the transitive
+    closure via WITH RECURSIVE, component = min reachable id. Equality
+    gates BOTH the LSH pair recall (1.0 on this corpus, as in the
+    minhash gate) and the iterative component labeling."""
+    from validate_xml_rust_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    pairs = minhash_near_duplicates(docs, threshold=0.6, eager=True)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+ORACLE_NEAR_DEDUP_COMPONENTS = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) >= 3 THEN
+                list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.6),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+SELECT s AS id, CAST(least(s, min(d)) AS BIGINT) AS component
+FROM reach GROUP BY s
+"""
+
+
 QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
@@ -3013,6 +3139,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "curate_lineage": q_curate_lineage,
     "orchestrate_full": q_orchestrate_full,
+    "pandas_checks": q_pandas_checks,
+    "near_dedup_components": q_near_dedup_components,
 }
 
 ORACLES = {
@@ -3064,4 +3192,6 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "curate_lineage": ORACLE_CURATE_LINEAGE,
     "orchestrate_full": ORACLE_ORCHESTRATE_FULL,
+    "pandas_checks": ORACLE_PANDAS_CHECKS,
+    "near_dedup_components": ORACLE_NEAR_DEDUP_COMPONENTS,
 }
