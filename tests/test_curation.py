@@ -168,3 +168,35 @@ def test_strip_boilerplate_order_and_structure(spark):
     # footer stripped; empty line and indentation preserved, order intact
     assert out[3] == "line a 3\n\n  line b 3"
     assert len(out) == 13
+
+
+def test_chunk_documents_stride_and_edges(spark):
+    from validate_xml_rust_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens
+            (2, "x y"),                  # shorter than one chunk
+            (3, ""),                     # zero tokens → no chunks
+            (4, None),                   # null → no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    )
+    # stride 3: starts 0,3,6,9 — last chunk is the single trailing token
+    assert rows == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),
+        (1, 2, "g h i j", 4),
+        (1, 3, "j", 1),
+        (2, 0, "x y", 2),
+    ]
+    # overlap bound enforced
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -214,6 +214,66 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token windowing for pretraining: each document's token
+    sequence is split into chunks of ``chunk_tokens`` tokens, consecutive
+    chunks overlapping by ``overlap`` (stride = chunk_tokens − overlap,
+    the standard sliding-window recipe). Chunk starts are 0, stride,
+    2·stride, … while start < n_tokens; the final chunk may be short.
+    Zero-token docs emit no chunks. Chunks are token-domain (joined with
+    single spaces via the engine's shared tokenizer) — the downstream
+    consumers (dedup shingles, packing budgets, quality scores) all
+    operate on tokens, so chunking in the same domain keeps the pipeline
+    closed under composition.
+
+    Output: ``(id_col, chunk_idx, chunk_text, n_tokens)``.
+
+    Scale shape: pure Column expressions (tokenize → sequence →
+    transform → posexplode) — a NARROW op, zero shuffle, streaming
+    through the scan; per-doc work is O(n_tokens · chunks_per_doc) and
+    chunk counts are small, so the interpreted higher-order functions
+    stay off the hot path (no Arrow batch needed). Restatable in ANSI
+    SQL for the gate oracle."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    from validate_xml_rust_spark.functions.texthash import tokens
+
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(F.floor((n - F.lit(1)) / stride) + F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(w, i * stride + F.lit(1), chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("int").alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.when(n > 0, chunks).alias("__c"))
+        .select(id_col, F.explode("__c").alias("__e"))
+        .select(
+            id_col,
+            F.col("__e.chunk_idx").alias("chunk_idx"),
+            F.col("__e.chunk_text").alias("chunk_text"),
+            F.col("__e.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 PACK_SCHEMA = "doc_id long, partition_id int, pack_id long, n_tokens int"
 
 

@@ -2964,6 +2964,50 @@ WHERE n_violations > 0
 """
 
 
+def q_decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both decontamination modes, one gate: the fixed-8-gram intersection
+    and the 13-gram + short-substring length sweep (variant column)."""
+    a = q_decontaminate(spark, sf_dir).withColumn("variant", F.lit("fixed8"))
+    b = q_decontaminate_sweep(spark, sf_dir).withColumn("variant", F.lit("sweep"))
+    return a.unionByName(b)
+
+
+ORACLE_DECONTAMINATE_SUITE = (
+    _wrap_variant("fixed8", ORACLE_DECONTAMINATE)
+    + "\nUNION ALL\n"
+    + _wrap_variant("sweep", ORACLE_DECONTAMINATE_SWEEP)
+)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (curation.chunk_documents): 40-token
+    chunks with 8-token overlap over every document — zero-shuffle narrow
+    expressions; the oracle re-derives every chunk string and length from
+    the same stride arithmetic in SQL."""
+    from validate_xml_rust_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+c AS (
+  SELECT doc_id, len(w) AS n, w,
+         CAST(floor((len(w) - 1) / 32) + 1 AS INT) AS n_chunks
+  FROM toks WHERE len(w) > 0)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(w[i*32+1 : i*32+40], ' ') AS chunk_text,
+       CAST(least(n - i*32, 40) AS INT) AS n_tokens
+FROM c, unnest(range(0, n_chunks)) AS t(i)
+"""
+
+
 def q_pandas_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched named-validator path (§2.8 UDF surface,
     specs kind ``pandas_check``) driven end-to-end through validate():
@@ -3132,8 +3176,8 @@ QUERIES = {
     "source_plumbing": q_source_plumbing,
     "multimodal_features": q_multimodal_features,
     "content_sample": q_content_sample,
-    "decontaminate": q_decontaminate,
-    "decontaminate_sweep": q_decontaminate_sweep,
+    "decontaminate": q_decontaminate_suite,
+    "chunk_documents": q_chunk_documents,
     "redact_pii": q_redact_pii,
     "strip_boilerplate": q_strip_boilerplate,
     "pack_sequences": q_pack_sequences,
@@ -3185,8 +3229,8 @@ ORACLES = {
     "source_plumbing": ORACLE_SOURCE_PLUMBING,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "content_sample": ORACLE_CONTENT_SAMPLE,
-    "decontaminate": ORACLE_DECONTAMINATE,
-    "decontaminate_sweep": ORACLE_DECONTAMINATE_SWEEP,
+    "decontaminate": ORACLE_DECONTAMINATE_SUITE,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "redact_pii": ORACLE_REDACT_PII,
     "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
