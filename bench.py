@@ -271,6 +271,18 @@ def main() -> None:
     timings["length_histogram_pages"] = _time(
         lambda: length_histogram(pg, "text", lo=0, hi=400, n_buckets=20).collect()
     )
+    # exact (sort-based) vs GK-sketch percentiles over the same 1M-page
+    # numeric column: the measured trade behind profile.numeric_percentiles'
+    # scale default (sketch partials merge map-side — no full value shuffle)
+    from validate_xml_rust_spark.operators.profile import numeric_percentiles
+
+    pg_num = pg.select(F.length("text").cast("double").alias("text_len"))
+    timings["percentiles_exact_pages"] = _time(
+        lambda: numeric_percentiles(pg_num, ["text_len"], exact=True).collect()
+    )
+    timings["percentiles_sketch_pages"] = _time(
+        lambda: numeric_percentiles(pg_num, ["text_len"]).collect()
+    )
     base = categorical_baseline(pg.filter(F.col("partition_id") < 8), "lang")
     timings["drift_chi2_pages"] = _time(
         lambda: chi2_drift_check(pg, "lang", base).collect()

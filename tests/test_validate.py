@@ -250,3 +250,49 @@ def test_profile_diff_flags_and_schema_evolution(spark):
     assert d[("c", "n_distinct")]["old_value"] is None
     assert d[("c", "n_distinct")]["flagged"] is True
     assert d[("c", "n_distinct")]["rel_change"] is None
+
+
+def test_referential_composite_keys(spark):
+    from validate_xml_rust_spark.operators.referential import (
+        referential_violations,
+    )
+
+    child = spark.createDataFrame(
+        [("r1", "a", 1), ("r2", "a", 2), ("r3", "b", 1),
+         ("r4", None, 1), ("r5", "a", None)],
+        "url string, k1 string, k2 int",
+    )
+    parent = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "p1 string, p2 int"
+    )
+    v = referential_violations(
+        child, parent, ["k1", "k2"], ["p1", "p2"], "fk", broadcast=True
+    ).collect()
+    # only ("a",2) violates; any-null component rows are not checkable
+    assert [(r["url"], r["observed_value"]) for r in v] == [("r2", "a|2")]
+    assert "k1|k2 not found in parent p1|p2" in v[0]["message"]
+
+
+def test_numeric_percentiles_sketch_vs_exact(spark):
+    from validate_xml_rust_spark.operators.profile import numeric_percentiles
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 1000).cast("double").alias("v"),
+        (F.col("id") * 7 % 113).cast("double").alias("w"),
+    )
+    exact = {
+        (r["column_name"], r["p"]): r["value"]
+        for r in numeric_percentiles(df, ["v", "w"], exact=True).collect()
+    }
+    approx = {
+        (r["column_name"], r["p"]): r["value"]
+        for r in numeric_percentiles(df, ["v", "w"]).collect()
+    }
+    assert set(exact) == set(approx) == {
+        (c, p) for c in ("v", "w") for p in (0.5, 0.9, 0.99)
+    }
+    # GK sketch at accuracy=10k over 20k rows: within ~2 ranks of exact
+    for k, ev in exact.items():
+        col = k[0]
+        spread = 1000 if col == "v" else 113
+        assert abs(approx[k] - ev) <= spread * 0.005 + 2, (k, ev, approx[k])

@@ -72,7 +72,8 @@ def _table_violations_for(
 
         parent = ctx.ref_tables[c.params["ref_table"]]
         child = df
-        child_key = c.column
+        # composite keys: {"child_keys": [...], "parent_key": [...]}
+        child_key = c.params.get("child_keys", c.column)
         if "key_expr" in c.params:
             child = df.withColumn("__refkey", F.expr(c.params["key_expr"]))
             child_key = "__refkey"

@@ -123,6 +123,50 @@ def frequent_values(
     )
 
 
+def numeric_percentiles(
+    df: DataFrame,
+    columns: list[str],
+    probabilities: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-column quantiles, long format ``(column_name, p, value)``.
+
+    ``exact=False`` (the 100-TB default) uses ``approx_percentile`` —
+    Spark's mergeable Greenwald-Khanna sketch: each task keeps an
+    O(accuracy·log n) summary, partials combine map-side, and ONE sketch
+    per column reaches the driver — no global sort, error ≤ 1/accuracy
+    in rank. ``exact=True`` is the audit path (``percentile`` — a
+    sort-based aggregation whose cost at corpus scale is the full value
+    shuffle; fine per-group, wrong corpus-wide). The bench pairs both at
+    identical probabilities so the trade is measured, not asserted; the
+    pytest pins the sketch within rank tolerance of exact."""
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    aggs = []
+    for c in columns:
+        arr = ", ".join(str(p) for p in probabilities)
+        aggs.append(
+            F.expr(f"{fn}({c}, array({arr}){acc})").alias(f"{c}__q")
+        )
+    row = df.agg(*aggs)
+    out = None
+    for c in columns:
+        part = row.select(
+            F.lit(c).alias("column_name"),
+            F.posexplode(f"{c}__q").alias("__i", "value"),
+        ).select(
+            "column_name",
+            F.element_at(
+                F.array(*[F.lit(float(p)) for p in probabilities]),
+                F.col("__i") + 1,
+            ).alias("p"),
+            F.col("value").cast("double").alias("value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def hll_baselines(
     df: DataFrame, columns: list[str], by: str = "partition_id"
 ) -> DataFrame:

@@ -17,35 +17,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_keys(key: "str | list[str]") -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
 def referential_violating_rows(
     child: DataFrame,
     parent: DataFrame,
-    child_key: str,
-    parent_key: str,
+    child_key: "str | list[str]",
+    parent_key: "str | list[str]",
     broadcast: bool = True,
 ) -> DataFrame:
-    """Child rows whose non-null key is absent from the parent."""
-    parent_keys = parent.select(F.col(parent_key).alias("__pk")).dropDuplicates()
+    """Child rows whose non-null key is absent from the parent.
+
+    ``child_key``/``parent_key`` accept a single column or a COMPOSITE
+    key (list of columns, positionally paired). NULL semantics follow
+    SQL's simple match rule: a child row with ANY null key component is
+    not checkable and never violates (``not_null`` owns null-ness)."""
+    cks, pks = _as_keys(child_key), _as_keys(parent_key)
+    if len(cks) != len(pks):
+        raise ValueError("child_key and parent_key arity must match")
+    parent_keys = parent.select(
+        *[F.col(p).alias(f"__pk{i}") for i, p in enumerate(pks)]
+    ).dropDuplicates()
     if broadcast:
         parent_keys = F.broadcast(parent_keys)
-    nn = child.filter(F.col(child_key).isNotNull())
-    return nn.join(parent_keys, nn[child_key] == F.col("__pk"), "left_anti")
+    nn = child
+    for c in cks:
+        nn = nn.filter(F.col(c).isNotNull())
+    cond = None
+    for i, c in enumerate(cks):
+        eq = nn[c] == F.col(f"__pk{i}")
+        cond = eq if cond is None else cond & eq
+    return nn.join(parent_keys, cond, "left_anti")
 
 
 def referential_violations(
     child: DataFrame,
     parent: DataFrame,
-    child_key: str,
-    parent_key: str,
+    child_key: "str | list[str]",
+    parent_key: "str | list[str]",
     constraint_id: str,
     id_col: str = "url",
     broadcast: bool = True,
 ) -> DataFrame:
-    """Violation rows ``(url, constraint_id, observed_value, message)``."""
-    bad = referential_violating_rows(child, parent, child_key, parent_key, broadcast)
+    """Violation rows ``(url, constraint_id, observed_value, message)``;
+    composite keys report the components pipe-joined."""
+    cks, pks = _as_keys(child_key), _as_keys(parent_key)
+    bad = referential_violating_rows(child, parent, cks, pks, broadcast)
     return bad.select(
         F.col(id_col).cast("string").alias("url"),
         F.lit(constraint_id).alias("constraint_id"),
-        F.col(child_key).cast("string").alias("observed_value"),
-        F.lit(f"{child_key} not found in parent {parent_key}").alias("message"),
+        F.concat_ws("|", *[F.col(c).cast("string") for c in cks]).alias(
+            "observed_value"
+        ),
+        F.lit(
+            f"{'|'.join(cks)} not found in parent {'|'.join(pks)}"
+        ).alias("message"),
     )
