@@ -100,12 +100,16 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
     registry = SpecRegistry().add(spec, route_keys=LANGS)
 
     # JIT warmup: C2 compilation of the generated validation code dominates
-    # a cold first run (measured 27s cold vs 5s steady at 32 threads); a
-    # full-size pass (fresh plan, so no shuffle reuse) warms the code cache
-    # so the measurement reflects steady-state throughput (what a long
-    # cluster job sees).
-    warm = with_partition_id(pages(spark, n_docs, n_partitions), 64)
-    validate(warm, spark, registry).verdicts.groupBy("status").count().collect()
+    # a cold first run (measured 27s cold vs 5s steady at 32 threads), and
+    # tiered compilation keeps improving for several executions past the
+    # first (measured 0.87-1.15s spread across consecutive full-size reps
+    # after ONE warmup) — two full-size passes (fresh plans, so no shuffle
+    # reuse) pin the code cache at steady state so the measurement reflects
+    # what a long cluster job sees, not the JIT tier the round happened to
+    # land on.
+    for _ in range(2):
+        warm = with_partition_id(pages(spark, n_docs, n_partitions), 64)
+        validate(warm, spark, registry).verdicts.groupBy("status").count().collect()
 
     def run_once() -> tuple[float, list]:
         # fresh plan per run (no shuffle reuse); ONE action: per-partition
@@ -373,10 +377,14 @@ def main() -> None:
     # Streaming replay entries are dominated by fixed trigger/state-store
     # setup, not per-row cost — report docs/sec alongside wall time so
     # round-over-round comparisons don't read replay overhead as regression.
+    # Each entry's rate uses ITS OWN replayed row count: streaming_neardup
+    # replays the fixed 600-doc planted corpus, streaming_first_seen
+    # replays the sf documents table.
     n_docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    stream_docs = {"streaming_neardup": 600, "streaming_first_seen": n_docs_sf}
     stream_rates = {
-        f"{name}_docs_per_sec": round(n_docs_sf / timings[name], 1)
-        for name in ("streaming_neardup", "streaming_first_seen")
+        f"{name}_docs_per_sec": round(n / timings[name], 1)
+        for name, n in stream_docs.items()
         if timings.get(name)
     }
 

@@ -229,9 +229,13 @@ def main(argv: list[str] | None = None) -> int:
         # for ids absent from this run's input (a --manifest-filtered or
         # partial-dir run must not shrink the store and defeat later
         # carry-forward). Present-but-changed ids are superseded by ck.
+        # NULL-url prior rows are dropped outright: they can never match a
+        # future reuse join (SQL equality), and the anti-join below can
+        # never retire them (NULL matches nothing) — keeping them would
+        # accumulate one dead row per changed NULL-url doc per run.
         # Both sides are materialized (ck is checkpointed; the union is
         # eagerly checkpointed) before the overwrite of the dir prior reads.
-        keep_prior = prior.join(
+        keep_prior = prior.filter(F.col("url").isNotNull()).join(
             df.select(F.col("url").cast("string").alias("url")).distinct(),
             "url", "left_anti",
         )
@@ -254,8 +258,17 @@ def main(argv: list[str] | None = None) -> int:
                 cache_stats=cache.stats() if cache else None,
                 concurrency=args.threads,
             )
-            # verbosity > 0 implies full output (error_details present)
-            print(report(ck, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf))
+            # verbosity > 0 implies full output (error_details present);
+            # the already-collected counts feed the report (one agg job,
+            # not two) — derive the rate fields summarize() would add
+            srow.setdefault(
+                "success_rate",
+                (srow["valid"] / srow["total"] * 100.0) if srow["total"] else 0.0,
+            )
+            print(report(
+                ck, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf,
+                summary=srow,
+            ))
         release_blocks(spark.sparkContext, ck_ids)
         return exit_code(srow, fail_fast=args.fail_fast)
 
@@ -309,7 +322,10 @@ def main(argv: list[str] | None = None) -> int:
             cache_stats=cache.stats() if cache else None,
             concurrency=args.threads,
         )
-        print(report(res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf))
+        print(report(
+            res.verdicts, verbosity=args.verbosity, wall_ms=wall_ms, perf=perf,
+            summary=srow,
+        ))
     release_blocks(spark.sparkContext, ck_ids)
     return exit_code(srow, fail_fast=args.fail_fast)
 

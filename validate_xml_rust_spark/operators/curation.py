@@ -185,16 +185,9 @@ def contamination_sweep(
             F.count(F.lit(1)).alias("__n")
         )
         hits = h if hits is None else hits.unionByName(h)
-    agg = (
-        hits.groupBy("__id").agg(F.sum("__n").alias("n_contaminated_ngrams"))
-        if hits is not None
-        else None
-    )
-    base = df.select(F.col(id_col).alias("__id"))
-    if agg is not None:
-        base = base.join(agg, "__id", "left")
-    else:
-        base = base.withColumn("n_contaminated_ngrams", F.lit(None).cast("long"))
+    # the primary pass always runs, so hits is never None here
+    agg = hits.groupBy("__id").agg(F.sum("__n").alias("n_contaminated_ngrams"))
+    base = df.select(F.col(id_col).alias("__id")).join(agg, "__id", "left")
     return base.select(
         F.col("__id").alias(id_col),
         F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("long").alias(

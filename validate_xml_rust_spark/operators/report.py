@@ -93,10 +93,16 @@ def report(
     wall_ms: float | None = None,
     perf: dict | None = None,
     color: bool | None = None,
+    summary: dict | None = None,
 ) -> str:
-    from validate_xml_rust_spark.operators.summary import summarize
+    """``summary``: a precomputed ``summarize()`` row (dict) — callers
+    that already aggregated (the CLI collects counts for the exit code)
+    pass it to avoid re-running the aggregation job over ``verdicts``."""
+    if summary is None:
+        from validate_xml_rust_spark.operators.summary import summarize
 
-    srow = summarize(verdicts).collect()[0].asDict()
+        summary = summarize(verdicts).collect()[0].asDict()
+    srow = summary
     parts = [format_summary(srow, wall_ms, color=color)]
     if verbosity >= 1:
         failures = format_failures(verdicts, color=color)

@@ -87,11 +87,15 @@ def bloom_suspects(
     Diagnostics (opt-in ``stats`` dict): ``total_rows`` rides the bloom
     build's tree-reduce for free; ``suspected_rows`` costs ONE extra probe
     pass over the scan (the only stats-induced action — exact selectivity
-    cannot be known without probing). ``stats['bloom_broadcast']`` exposes
-    the suspect-bloom Broadcast handle: the returned frame re-probes it on
-    every action, so the CALLER unpersists it once the frame is
-    materialized (long-lived sessions would otherwise accumulate one
-    2·m/8-byte executor block per call)."""
+    cannot be known without probing).
+
+    Broadcast lifetime: the suspect-bloom Broadcast handle rides on the
+    returned frame as ``_bloom_broadcast`` (and in
+    ``stats['bloom_broadcast']`` when a dict is passed) — the frame
+    re-probes it on every action, so a caller done with the frame may
+    ``unpersist()`` it eagerly; otherwise Spark's ContextCleaner reclaims
+    the m/8-byte executor block once the frame's UDF closure (the last
+    driver reference) is garbage-collected."""
     if bloom_bits & (bloom_bits - 1):
         raise ValueError("bloom_bits must be a power of two")
     key_cols = [F.col(k) for k in keys]
@@ -169,6 +173,11 @@ def bloom_suspects(
         stats["total_rows"] = total_rows
         stats["suspected_rows"] = out.count()
         stats["bloom_broadcast"] = bc
+    # the handle rides on the frame too, so EVERY caller (not just stats
+    # users) can release it; when neither does, Spark's ContextCleaner
+    # reclaims the executor blocks once the frame (whose UDF closure holds
+    # the last driver reference) is garbage-collected
+    out._bloom_broadcast = bc
     return out
 
 
@@ -188,8 +197,10 @@ def duplicate_keys(
     pre-pass (``bloom_suspects``): only rows whose key might repeat reach
     the groupBy shuffle — same exact result (the pre-pass is a guaranteed
     superset), a fraction of the shuffle bytes on low-dup corpora."""
+    bloom_bc = None
     if bloom:
         df = bloom_suspects(df, keys, bloom_bits=bloom_bits, stats=stats)
+        bloom_bc = df._bloom_broadcast
     key_cols = [F.col(k) for k in keys]
     nn = df
     if salted:
@@ -200,7 +211,13 @@ def duplicate_keys(
         counts = partial.groupBy(*keys).agg(F.sum("__partial").alias("n_dup"))
     else:
         counts = nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dup"))
-    return counts.filter(F.col("n_dup") > 1)
+    out = counts.filter(F.col("n_dup") > 1)
+    if bloom_bc is not None:
+        # carry the suspect-bloom Broadcast handle (see bloom_suspects
+        # docstring: eager release is the caller's option, ContextCleaner
+        # is the backstop)
+        out._bloom_broadcast = bloom_bc
+    return out
 
 
 def uniqueness_violations(

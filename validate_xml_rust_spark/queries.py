@@ -3096,13 +3096,28 @@ def q_near_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from validate_xml_rust_spark.sources.corpus import synthetic_documents
 
+    from validate_xml_rust_spark.ckpt import (
+        block_ids_of,
+        eager_checkpoint,
+        release_blocks,
+    )
+
     docs = synthetic_documents(spark, 600, n_partitions=8)
     pairs = minhash_near_duplicates(docs, threshold=0.6, eager=True)
     comp = connected_components(pairs)
-    return comp.select(
-        F.col("id").cast("long").alias("id"),
-        F.col("component").cast("long").alias("component"),
+    # materialize the (tiny) label rows, then free the pairs/labels
+    # checkpoints (DataFrame.unpersist can't reach them — CLAUDE.md);
+    # only the O(components)-row result block outlives the call
+    out, _ = eager_checkpoint(
+        comp.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("component").cast("long").alias("component"),
+        )
     )
+    release_blocks(
+        spark.sparkContext, block_ids_of(pairs) | block_ids_of(comp)
+    )
+    return out
 
 
 ORACLE_NEAR_DEDUP_COMPONENTS = rf"""
