@@ -187,12 +187,12 @@ def test_chunk_documents_stride_and_edges(spark):
         (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
         for r in out.collect()
     )
-    # stride 3: starts 0,3,6,9 — last chunk is the single trailing token
+    # stride 3: starts 0,3,6 — the window starting at 6 reaches the end,
+    # so no redundant trailing fragment is emitted
     assert rows == [
         (1, 0, "a b c d", 4),
         (1, 1, "d e f g", 4),
         (1, 2, "g h i j", 4),
-        (1, 3, "j", 1),
         (2, 0, "x y", 2),
     ]
     # overlap bound enforced

@@ -168,3 +168,69 @@ def test_bloom_prepass_never_loses_a_duplicate(spark_prop, keys, bits_pow):
     }
     want = {(r["k"], r["n_dup"]) for r in duplicate_keys(df, ["k"]).collect()}
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz019", min_size=1, max_size=6),
+        min_size=0, max_size=80,
+    ),
+    size=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_documents_covers_and_reconstructs(spark_prop, words, size, overlap_frac):
+    """Chunking properties on arbitrary token sequences: (a) with
+    overlap=0 the chunks PARTITION the token sequence exactly (concat
+    reconstructs it); (b) with any overlap, dropping the first `overlap`
+    tokens of every chunk but the first also reconstructs it; (c) every
+    chunk except the last has exactly `size` tokens."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.functions.texthash import tokens as tok_expr
+    from validate_xml_rust_spark.operators.curation import chunk_documents
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    text = " ".join(words)
+    df = spark_prop.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = [t for t in " ".join(words).lower().split() if t]
+    # engine tokenizer (alnum runs) — derive the reference from Spark once
+    ref = df.select(tok_expr(F.col("text")).alias("w")).collect()[0]["w"]
+    chunks = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, size, overlap).collect()
+    )
+    if not ref:
+        assert chunks == []
+        return
+    rebuilt = []
+    for idx, ctext, n in chunks:
+        ct = ctext.split(" ") if ctext else []
+        assert len(ct) == n
+        if idx < len(chunks) - 1:
+            assert n == size
+        rebuilt.extend(ct if idx == 0 else ct[overlap:])
+    assert rebuilt == ref
+
+
+@given(
+    q_len=st.integers(min_value=5, max_value=12),
+    pad=st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=8, deadline=None)
+def test_contamination_sweep_catches_any_short_length(spark_prop, q_len, pad):
+    """Any benchmark entry of length min_n..primary_n-1 embedded verbatim
+    in a longer doc is caught by the sweep (the per-length passes cover
+    every short length present)."""
+    from validate_xml_rust_spark.operators.curation import contamination_sweep
+
+    q = " ".join(f"q{i}" for i in range(q_len))
+    doc = " ".join(f"p{i}" for i in range(pad)) + " " + q + " tail words here"
+    docs = spark_prop.createDataFrame(
+        [(1, doc), (2, "completely unrelated filler text body")],
+        "doc_id long, text string",
+    )
+    bench = spark_prop.createDataFrame([(q,)], "text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in contamination_sweep(docs, bench, primary_n=13, min_n=5).collect()}
+    assert out == {1: True, 2: False}

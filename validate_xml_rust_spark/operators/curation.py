@@ -218,8 +218,11 @@ def chunk_documents(
     sequence is split into chunks of ``chunk_tokens`` tokens, consecutive
     chunks overlapping by ``overlap`` (stride = chunk_tokens − overlap,
     the standard sliding-window recipe). Chunk starts are 0, stride,
-    2·stride, … while start < n_tokens; the final chunk may be short.
-    Zero-token docs emit no chunks. Chunks are token-domain (joined with
+    2·stride, …, stopping once a window REACHES the end of the sequence
+    (a doc no longer than one chunk yields exactly one chunk — never a
+    trailing fragment already contained in the previous window; the
+    hypothesis property test pins full coverage + exact reconstruction).
+    The final chunk may be short. Zero-token docs emit no chunks. Chunks are token-domain (joined with
     single spaces via the engine's shared tokenizer) — the downstream
     consumers (dedup shingles, packing budgets, quality scores) all
     operate on tokens, so chunking in the same domain keeps the pipeline
@@ -240,9 +243,15 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     w = tokens(F.col(text_col))
     n = F.size(w)
-    n_chunks = F.when(
-        n <= 0, F.lit(0)
-    ).otherwise(F.floor((n - F.lit(1)) / stride) + F.lit(1)).cast("int")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / stride)
+            + F.lit(1)
+        )
+        .cast("int")
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.struct(

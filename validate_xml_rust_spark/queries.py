@@ -2998,7 +2998,8 @@ WITH toks AS (
   FROM documents),
 c AS (
   SELECT doc_id, len(w) AS n, w,
-         CAST(floor((len(w) - 1) / 32) + 1 AS INT) AS n_chunks
+         CASE WHEN len(w) <= 40 THEN 1
+              ELSE CAST(floor((len(w) - 40 + 31) / 32) + 1 AS INT) END AS n_chunks
   FROM toks WHERE len(w) > 0)
 SELECT doc_id,
        CAST(i AS INT) AS chunk_idx,
