@@ -19,6 +19,14 @@ the first execution — measured 27s first vs 5s steady-state) + 3 measured
 reps; steady-state = best rep. Writes BENCH/BASELINE.md.
 
 Usage: python scaling_bench.py [n_docs]
+
+Input-size note: each rep carries a ~1-1.5s FIXED driver cost (fresh plan
+build + codegen + task scheduling) that does not shrink with cores; at
+4M docs that term is ~25-30% of the 8-core runtime and drags the
+measured 2→8 ratio below the true compute scaling (Amdahl on driver
+overhead a real multi-node job amortizes over far longer runs). Size
+n_docs so the 8-core level runs ≥8s (8M+ on this box) before reading the
+efficiency as a statement about the ENGINE.
 """
 
 from __future__ import annotations
