@@ -306,6 +306,45 @@ def main() -> None:
     timings["host_stats_salted_pages"] = _time(
         lambda: _force(host_stats_salted(pg))
     )
+    # host-level quality keep/drop over the same 1M pages: codegen'd score
+    # + salted DECIMAL mean — the Gopher/RefinedWeb-style domain filter
+    from validate_xml_rust_spark.operators.hostquality import (
+        host_quality_violations,
+    )
+
+    pg_host = pg.withColumn("__host", F.parse_url(F.col("url"), F.lit("HOST")))
+    timings["host_quality_pages"] = _time(
+        lambda: _force(
+            host_quality_violations(
+                pg_host, group_col="__host", min_mean_quality=0.6, min_docs=10,
+            )
+        )
+    )
+
+    # declarative one-pass at pages scale: ONE spec carrying row checks +
+    # two table-scope kinds (salted uniqueness on url, host-quality
+    # keep/drop), executed through orchestrate.validate_full — the
+    # engine's top-level API at 1M-page volume
+    from validate_xml_rust_spark.operators.orchestrate import validate_full
+
+    _ospec = Spec(
+        "pages-orch-v1",
+        (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("lang_enum", "lang", "isin", {"values": _LANGS}),
+            Constraint("uq_url", "url", "unique"),
+            Constraint("hq_host", "__host", "host_quality",
+                       {"min_mean_quality": 0.6, "min_docs": 10}),
+        ),
+    )
+    _oreg = SpecRegistry().add(_ospec, route_keys=_LANGS)
+
+    def _run_orch() -> None:
+        res = validate_full(pg_host, spark, _oreg, route_col="lang")
+        _force(res.all_violations())
+        res.release()
+
+    timings["orchestrate_pages"] = _time(_run_orch)
 
     # LSH dedup at volume: 100k synthetic docs with planted near-dups
     from validate_xml_rust_spark.operators.dedup import minhash_near_duplicates
