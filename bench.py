@@ -419,8 +419,13 @@ def main() -> None:
     # Each entry's rate uses ITS OWN replayed row count: streaming_neardup
     # replays the fixed 600-doc planted corpus, streaming_first_seen
     # replays the sf documents table.
+    from validate_xml_rust_spark.queries import STREAM_NEARDUP_DOCS
+
     n_docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    stream_docs = {"streaming_neardup": 600, "streaming_first_seen": n_docs_sf}
+    stream_docs = {
+        "streaming_neardup": STREAM_NEARDUP_DOCS,
+        "streaming_first_seen": n_docs_sf,
+    }
     stream_rates = {
         f"{name}_docs_per_sec": round(n / timings[name], 1)
         for name, n in stream_docs.items()

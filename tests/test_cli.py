@@ -202,6 +202,9 @@ def test_cli_prior_output_and_report(tmp_path, spark, capsys):
     code = main([f"synth:{n}", "--prior", prior, "--output", outdir, "-v"])
     out = capsys.readouterr().out
     assert "Validation Results" in out and "Failures" in out
+    # schemas ride the count agg (planted error rows add ghost-spec-v9)
+    specs_line = out.split("Specs used:")[1].splitlines()[0]
+    assert "webpage-v1" in specs_line
     v = spark.read.parquet(f"{outdir}/verdicts")
     assert v.count() == n
     assert {"url", "status", "revalidated"} <= set(v.columns)

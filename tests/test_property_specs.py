@@ -193,7 +193,6 @@ def test_chunk_documents_covers_and_reconstructs(spark_prop, words, size, overla
     overlap = min(int(size * overlap_frac), size - 1)
     text = " ".join(words)
     df = spark_prop.createDataFrame([(1, text)], "doc_id long, text string")
-    toks = [t for t in " ".join(words).lower().split() if t]
     # engine tokenizer (alnum runs) — derive the reference from Spark once
     ref = df.select(tok_expr(F.col("text")).alias("w")).collect()[0]["w"]
     chunks = sorted(

@@ -202,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
                 for s in ("valid", "invalid", "error", "skipped")
             ],
             F.sum(F.col("revalidated").cast("long")).alias("revalidated"),
+            # carried into the report's "Specs used" line (summarize()
+            # would have collected it; this agg replaces that job)
+            F.sort_array(
+                F.filter(F.collect_set("spec_id"), lambda x: x.isNotNull())
+            ).alias("schemas_used"),
         ).collect()[0]
         srow = agg.asDict()
         if args.output:

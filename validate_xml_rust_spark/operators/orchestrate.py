@@ -17,7 +17,10 @@ Context objects supply what table checks need:
 
 Constraint params:
 - unique:      {"keys": [col, ...]}                  (default [column])
-- referential: {"ref_table": name, "parent_key": col, "key_expr": sql?}
+- referential: {"ref_table": name, "parent_key": col | [col, ...],
+  "key_expr": sql?, "child_keys": [col, ...]?} — composite keys pair
+  child_keys/parent_key positionally; key_expr (a derived single key)
+  and child_keys are mutually exclusive
 - drift:       {"test": "chi2"|"ks"|"psi", "alpha": 0.05, "threshold": 0.2}
 - fd:          {"determinant": [col, ...], "dependent": col}
 - contamination: {"benchmark": name, "n": 8, "max_hits": 0} — fixed-n;
@@ -73,6 +76,11 @@ def _table_violations_for(
         parent = ctx.ref_tables[c.params["ref_table"]]
         child = df
         # composite keys: {"child_keys": [...], "parent_key": [...]}
+        if "key_expr" in c.params and "child_keys" in c.params:
+            raise ValueError(
+                f"{c.constraint_id}: key_expr and child_keys are mutually "
+                "exclusive (key_expr derives a single child key)"
+            )
         child_key = c.params.get("child_keys", c.column)
         if "key_expr" in c.params:
             child = df.withColumn("__refkey", F.expr(c.params["key_expr"]))

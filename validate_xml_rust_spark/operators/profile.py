@@ -141,6 +141,10 @@ def numeric_percentiles(
     shuffle; fine per-group, wrong corpus-wide). The bench pairs both at
     identical probabilities so the trade is measured, not asserted; the
     pytest pins the sketch within rank tolerance of exact."""
+    if not columns:
+        return df.sparkSession.createDataFrame(
+            [], "column_name string, p double, value double"
+        )
     fn = "percentile" if exact else "approx_percentile"
     acc = "" if exact else f", {accuracy}"
     aggs = []
@@ -150,11 +154,19 @@ def numeric_percentiles(
             F.expr(f"{fn}({c}, array({arr}){acc})").alias(f"{c}__q")
         )
     row = df.agg(*aggs)
+    # an all-NULL (or zero-row) column aggregates to a NULL array;
+    # coalesce to NULL VALUES so the column keeps its (c, p) rows in the
+    # output instead of silently vanishing through posexplode
+    null_arr = F.array(
+        *[F.lit(None).cast("double") for _ in probabilities]
+    )
     out = None
     for c in columns:
         part = row.select(
             F.lit(c).alias("column_name"),
-            F.posexplode(f"{c}__q").alias("__i", "value"),
+            F.posexplode(F.coalesce(F.col(f"{c}__q"), null_arr)).alias(
+                "__i", "value"
+            ),
         ).select(
             "column_name",
             F.element_at(

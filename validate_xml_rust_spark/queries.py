@@ -701,6 +701,11 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MINHASH_NEARDUPS = _oracle_jaccard_pairs("", 0.5)
 
 
+# streaming_neardup's replayed corpus size — bench.py reads this for its
+# docs/sec rate, so the two stay in sync by construction
+STREAM_NEARDUP_DOCS = 600
+
+
 def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-BATCH streaming near-dedup == batch brute force: the planted
     corpus replays as 6 micro-batches (consecutive ids land in different
@@ -722,7 +727,7 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_near_dedup,
     )
 
-    docs = synthetic_documents(spark, 600, n_partitions=8)
+    docs = synthetic_documents(spark, STREAM_NEARDUP_DOCS, n_partitions=8)
     td = tempfile.mkdtemp(prefix="vxrs_stream_neardup_")
     in_dir, out_dir, ckpt = f"{td}/in", f"{td}/out", f"{td}/ckpt"
     for b in range(6):
