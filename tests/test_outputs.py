@@ -68,3 +68,46 @@ def test_run_with_progress(spark):
             lambda: spark.sql("SELECT assert_true(false)").collect(),
             lambda d, t: None,
         )
+
+
+def test_quarantine_split_routes_and_writes(spark, tmp_path):
+    """quarantine_split: clean rows keep payload and continue; bad rows
+    (including NULL-id rows — no join-back) land in the quarantine dir
+    partitioned by status with their reasons."""
+    from validate_xml_rust_spark.operators.outputs import quarantine_split
+    from validate_xml_rust_spark.operators.validate import validate
+    from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+    rows = [
+        ("https://a.com/1", "en", "good text"),
+        (None, "en", "null id row"),            # url_not_null -> invalid
+        ("https://a.com/3", "zz", "unrouted"),  # skipped
+        ("https://a.com/4", "en", None),        # text_not_null -> invalid
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    reg = SpecRegistry().add(
+        Spec("q-v1", (
+            Constraint("url_not_null", "url", "not_null"),
+            Constraint("text_not_null", "text", "not_null"),
+        )),
+        route_keys=["en"],
+    )
+    res = validate(df, spark, reg, partition_col=None, keep_cols=["lang", "text"])
+    qdir = str(tmp_path / "quarantine")
+    clean, bad = quarantine_split(res.verdicts, quarantine_dir=qdir)
+    clean_rows = clean.collect()
+    # clean = the valid row + the skipped row, payload intact
+    assert sorted((r["url"], r["lang"]) for r in clean_rows) == [
+        ("https://a.com/1", "en"), ("https://a.com/3", "zz"),
+    ]
+    assert all(r["text"] is not None or r["status"] == "skipped" for r in clean_rows)
+    got = spark.read.parquet(qdir)
+    bad_rows = got.collect()
+    assert len(bad_rows) == 2
+    # the NULL-id row is quarantined (a join-back design would lose it)
+    assert any(r["url"] is None for r in bad_rows)
+    assert all(r["status"] == "invalid" for r in bad_rows)
+    assert any("url_not_null" in (r["error_details"] or "") for r in bad_rows)
+    # partitioned by status -> pruned read path
+    import os
+    assert any(d.startswith("status=") for d in os.listdir(qdir))

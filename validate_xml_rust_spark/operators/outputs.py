@@ -51,3 +51,40 @@ def read_violations_for(
     return spark.read.parquet(f"{out_dir}/violations").filter(
         F.col("constraint_id") == constraint_id
     )
+
+
+def quarantine_split(
+    verdicts: DataFrame,
+    keep_statuses: tuple[str, ...] = ("valid", "skipped"),
+    quarantine_dir: str | None = None,
+    mode: str = "overwrite",
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows by verdict — the standard validation-sink pattern: rows
+    whose status is in ``keep_statuses`` continue down the pipeline
+    (``clean``); the rest (``quarantined``) carry their full verdict
+    (status, error_count, error_details) for inspection, repair, and
+    replay, optionally written to ``quarantine_dir`` partitioned by
+    status (pruned reads per failure class).
+
+    Input is a verdicts frame from ``validate(..., keep_cols=[...])`` so
+    payload columns ride ALONGSIDE the verdict — no join back to the
+    source (a join-back by id drops NULL-id rows, which are precisely the
+    rows most likely to be quarantined, and cross-multiplies duplicate
+    ids). One narrow filter each side; the quarantine write is the only
+    materialization.
+
+    Scale shape: at 10^12 rows with a healthy corpus the quarantine side
+    is the tiny fraction — the clean side never shuffles or materializes
+    here, it simply continues as a filtered scan."""
+    keep = F.col("status").isin(list(keep_statuses))
+    clean = verdicts.filter(keep)
+    quarantined = verdicts.filter(~keep)
+    if quarantine_dir is not None:
+        (
+            quarantined.drop("violation_entries")
+            .withColumn("error_details", F.concat_ws("; ", "error_details"))
+            .write.mode(mode)
+            .partitionBy("status")
+            .parquet(quarantine_dir)
+        )
+    return clean, quarantined

@@ -134,11 +134,15 @@ def validate(
     partition_col: str | None = "partition_id",
     route_mode: str = "column",
     html_col: str = "html",
+    keep_cols: list[str] | None = None,
 ) -> ValidationResult:
     """Run every compiled row-scope check; emit the verdict DataFrame:
 
     ``url, partition_id, spec_id, status, error_count, error_details,
-    violation_entries``.
+    violation_entries`` (+ any ``keep_cols`` passed through verbatim —
+    payload columns a downstream sink needs alongside the verdict, e.g.
+    quarantine routing, with no join-back and therefore no NULL-id or
+    duplicate-id hazards).
 
     ``route_mode``:
     - ``"column"``  — spec resolved by joining ``route_col`` against the
@@ -215,5 +219,7 @@ def validate(
         error_count.cast("int").alias("error_count"),
         error_details.alias("error_details"),
         violation_entries.alias("violation_entries"),
+        *[F.col(c) for c in (keep_cols or []) if c not in
+          (id_col, partition_col)],
     )
     return ValidationResult(verdicts=verdicts)
