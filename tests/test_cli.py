@@ -250,3 +250,17 @@ def test_cli_prior_plus_manifest_compose(tmp_path, spark, capsys):
     assert "carried forward" in out3
     assert spark.read.parquet(prior).count() >= store1
     assert code3 in (0, 2, 3)
+
+
+def test_cli_quarantine(tmp_path, spark, capsys):
+    """--quarantine writes non-valid rows with payload, partitioned by
+    status; exit code and summary unchanged."""
+    qdir = str(tmp_path / "q")
+    code = main(["synth:1500", "--quarantine", qdir, "-q"])
+    assert code in (2, 3)  # synth plants invalid + error rows at 1500
+    got = spark.read.parquet(qdir)
+    assert got.count() > 0
+    assert {"url", "status", "error_details", "lang"} <= set(got.columns)
+    assert "html" in got.columns  # payload travels for repair/replay
+    statuses = {r["status"] for r in got.select("status").distinct().collect()}
+    assert statuses <= {"invalid", "error", "skipped"} and statuses

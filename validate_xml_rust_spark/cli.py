@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbosity", "-v", action="count", default=0)
     p.add_argument("--quiet", "-q", action="store_true")
     p.add_argument("--output", help="write verdicts+violations parquet under this dir")
+    p.add_argument(
+        "--quarantine",
+        help="write non-valid rows (verdict + full payload — repair/replay "
+             "ready) to this dir, partitioned by status",
+    )
     p.add_argument("--cache-dir", help="spec cache dir (TTL disk cache)")
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument(
@@ -279,11 +284,18 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- validation + aggregation phases
     phases.start("validation")
+    # --quarantine needs the payload alongside the verdict (repair/replay)
+    qcols = (
+        [c for c in ("html", "text", "lang", "warc_ts") if c in df.columns]
+        if args.quarantine
+        else None
+    )
     res = validate(
         df, spark, registry,
         route_col=args.route_col,
         route_mode=args.route_mode,
         override_spec_id=override_id,
+        keep_cols=qcols,
     )
     # The verdicts frame feeds up to four consumers (parquet writes,
     # summary, manifest metrics, report) — checkpoint once so the
@@ -293,9 +305,20 @@ def main(argv: list[str] | None = None) -> int:
     from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
     from validate_xml_rust_spark.operators.validate import ValidationResult
 
+    # (with --quarantine the checkpoint carries the payload columns too —
+    # the one-pass rule is kept at the cost of larger blocks; a cluster
+    # run swaps in a reliable checkpoint dir)
     ck_verdicts, ck_ids = eager_checkpoint(res.verdicts)
     res = ValidationResult(verdicts=ck_verdicts)
     verdicts = res.verdicts
+    if args.quarantine:
+        from validate_xml_rust_spark.operators.outputs import quarantine_split
+
+        _, bad = quarantine_split(verdicts, quarantine_dir=args.quarantine)
+        if not args.quiet:
+            print(f"Quarantined rows written to {args.quarantine}")
+        verdicts = verdicts.drop(*(qcols or []))
+        res = ValidationResult(verdicts=verdicts)
     if args.output:
         verdicts.drop("violation_entries").write.mode("overwrite").parquet(
             f"{args.output}/verdicts"
