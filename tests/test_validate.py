@@ -296,3 +296,29 @@ def test_numeric_percentiles_sketch_vs_exact(spark):
         col = k[0]
         spread = 1000 if col == "v" else 113
         assert abs(approx[k] - ev) <= spread * 0.005 + 2, (k, ev, approx[k])
+
+
+def test_verdict_diff_transitions(spark):
+    from validate_xml_rust_spark.operators.summary import verdict_diff
+
+    old = spark.createDataFrame(
+        [("a", "valid"), ("b", "invalid"), ("c", "valid"), ("d", "error"),
+         ("gone", "valid"), (None, "invalid")],
+        "url string, status string",
+    )
+    new = spark.createDataFrame(
+        [("a", "valid"),            # unchanged → dropped
+         ("b", "valid"),            # fixed
+         ("c", "invalid"),          # regressed
+         ("d", "skipped"),          # changed (non-valid → non-valid)
+         ("fresh", "valid"),        # added
+         (None, "error")],          # NULL id → excluded both sides
+        "url string, status string",
+    )
+    got = {r["url"]: r["transition"] for r in verdict_diff(old, new).collect()}
+    assert got == {
+        "b": "fixed", "c": "regressed", "d": "changed",
+        "fresh": "added", "gone": "removed",
+    }
+    # identity: diff of a run against itself is empty
+    assert verdict_diff(new, new).count() == 0

@@ -74,3 +74,64 @@ def exit_code(summary_row: dict, fail_fast: bool = False) -> int:
     if summary_row["invalid"] > 0:
         return 3
     return 0
+
+
+def verdict_diff(
+    old_verdicts: DataFrame,
+    new_verdicts: DataFrame,
+    id_col: str = "url",
+) -> DataFrame:
+    """Row-level verdict regression diff between two validation runs over
+    overlapping ids — the continuous-validation complement to
+    ``profile_diff`` (metric drift) and ``incremental_verdicts``
+    (carry-forward): which rows CHANGED status, which are new, which
+    disappeared.
+
+    Output per changed row: ``(id, old_status, new_status, transition)``
+    where transition is ``regressed`` (valid → non-valid), ``fixed``
+    (non-valid → valid), ``changed`` (non-valid → different non-valid),
+    ``added`` (id only in the new run), ``removed`` (id only in the
+    old run). Unchanged rows are dropped — on a healthy corpus the diff
+    is tiny next to the runs.
+
+    NULL-id rows carry no stable identity across runs and are excluded
+    (SQL equality can't match them; the snapshot-diff machinery treats
+    them the same way).
+
+    Scale shape: one full-outer sort-merge join on the uniform id key —
+    co-partitioned shuffles, no skew (ids are unique per run); the
+    output is filtered to changes before anything downstream runs.
+    """
+    o = (
+        old_verdicts.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col("status").alias("old_status"))
+        .dropDuplicates(["__id"])
+    )
+    n = (
+        new_verdicts.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col("status").alias("new_status"))
+        .dropDuplicates(["__id"])
+    )
+    j = o.join(n, "__id", "full_outer")
+    old_ok = F.col("old_status") == "valid"
+    new_ok = F.col("new_status") == "valid"
+    transition = (
+        F.when(F.col("old_status").isNull(), "added")
+        .when(F.col("new_status").isNull(), "removed")
+        .when(old_ok & ~new_ok, "regressed")
+        .when(~old_ok & new_ok, "fixed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(
+            F.col("old_status").isNull()
+            | F.col("new_status").isNull()
+            | (F.col("old_status") != F.col("new_status"))
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "old_status",
+            "new_status",
+            transition.alias("transition"),
+        )
+    )
