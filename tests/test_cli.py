@@ -264,3 +264,20 @@ def test_cli_quarantine(tmp_path, spark, capsys):
     assert "html" in got.columns  # payload travels for repair/replay
     statuses = {r["status"] for r in got.select("status").distinct().collect()}
     assert statuses <= {"invalid", "error", "skipped"} and statuses
+
+
+def test_cli_prior_plus_quarantine(tmp_path, spark, capsys):
+    """--prior + --quarantine: carried-forward AND re-validated non-valid
+    rows land in the quarantine dir, payload included for the delta and
+    for carried rows (taken off the current input via the seam)."""
+    prior = str(tmp_path / "prior")
+    n = 1500
+    code1 = main([f"synth:{n}", "--prior", prior, "-q"])
+    qdir = str(tmp_path / "q")
+    code2 = main([f"synth:{n}", "--prior", prior, "--quarantine", qdir, "-q"])
+    got = spark.read.parquet(qdir)
+    assert got.count() > 0
+    assert {"status", "lang", "html", "revalidated"} <= set(got.columns)
+    # carried-forward bad rows are quarantined too, not just the delta
+    assert got.filter("NOT revalidated").count() > 0
+    assert code1 == code2 and code1 in (2, 3)

@@ -192,9 +192,17 @@ def main(argv: list[str] | None = None) -> int:
         # Carried-forward rows count toward statuses everywhere; violation
         # payloads exist only for the re-validated delta (the prior store
         # keeps the verdict triple, not the violation rows).
-        full = bool(args.output or args.manifest or args.verbosity)
+        full = bool(
+            args.output or args.manifest or args.verbosity or args.quarantine
+        )
+        qcols = (
+            [c for c in ("html", "text", "lang", "warc_ts") if c in df.columns]
+            if args.quarantine
+            else None
+        )
         inc = incremental_verdicts(
             df, prior, spark, registry, fcols, full_output=full,
+            keep_cols=qcols,
             route_col=args.route_col, route_mode=args.route_mode,
             override_spec_id=override_id,
         )
@@ -214,10 +222,16 @@ def main(argv: list[str] | None = None) -> int:
             ).alias("schemas_used"),
         ).collect()[0]
         srow = agg.asDict()
+        if args.quarantine:
+            from validate_xml_rust_spark.operators.outputs import quarantine_split
+
+            quarantine_split(ck, quarantine_dir=args.quarantine)
+            if not args.quiet:
+                print(f"Quarantined rows written to {args.quarantine}")
         if args.output:
-            ck.drop("violation_entries").write.mode("overwrite").parquet(
-                f"{args.output}/verdicts"
-            )
+            ck.drop("violation_entries", *(qcols or [])).write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/verdicts")
             ValidationResult(ck.filter(F.col("revalidated"))).violations().write.mode(
                 "overwrite"
             ).parquet(f"{args.output}/violations")

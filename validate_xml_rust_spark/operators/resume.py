@@ -256,6 +256,7 @@ def incremental_verdicts(
     fp_col: str = "content_fp",
     full_output: bool = False,
     source: SnapshotSource | None = None,
+    keep_cols: list[str] | None = None,
     **validate_kw,
 ) -> DataFrame:
     """Row-level snapshot-diff validation: rows whose (id, content
@@ -302,10 +303,14 @@ def incremental_verdicts(
     payload = [id_col, fp_col, "spec_id", "status", "error_count"]
     has_pid = full_output and "partition_id" in new_df.columns
     pid_cols = ["partition_id"] if has_pid else []
+    # keep_cols: payload columns carried through BOTH branches verbatim
+    # (carried rows take them off cur via the seam; fresh rows ride
+    # validate()'s keep_cols passthrough) — quarantine sinks need them
+    keep = [c for c in (keep_cols or []) if c not in (id_col, fp_col)]
     if source is None:
         source = ParquetSnapshotSource(prior, id_col=id_col, fp_col=fp_col)
-    matched, delta = source.split(cur, carry_cols=pid_cols)
-    reused = matched.select(*payload, *pid_cols).withColumn(
+    matched, delta = source.split(cur, carry_cols=pid_cols + keep)
+    reused = matched.select(*payload, *pid_cols, *keep).withColumn(
         "revalidated", F.lit(False)
     )
     if full_output:
@@ -326,11 +331,14 @@ def incremental_verdicts(
             F.coalesce(F.col(id_col).cast("string"), F.lit("\x00")), F.col(fp_col)
         ),
     )
-    res = validate(delta_k, spark, registry, id_col="__ikey", **validate_kw)
+    res = validate(
+        delta_k, spark, registry, id_col="__ikey", keep_cols=keep or None,
+        **validate_kw,
+    )
     raw_id = F.expr("substring(__ikey, 1, length(__ikey) - 32)")
     full_cols = (
         pid_cols + ["error_details", "violation_entries"] if full_output else []
-    )
+    ) + keep
     fresh = (
         res.verdicts.select(
             F.col("url").alias("__ikey"), "spec_id", "status", "error_count",
