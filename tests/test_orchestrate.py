@@ -342,3 +342,51 @@ def test_contamination_sweep_min_n_floor(spark):
     bench = spark.createDataFrame([("the cat",)], "text string")
     out = contamination_sweep(docs, bench, min_n=5).collect()
     assert out[0]["contaminated"] is False
+
+
+def test_spec_json_roundtrip_new_table_kinds(spark, tmp_path):
+    """A JSON spec declaring the round-4 table kinds (host_quality,
+    contamination sweep params) loads through the spec loader and executes
+    through validate_full — the whole curation policy stays declarative."""
+    import json
+
+    from validate_xml_rust_spark.sources.spec_loader import load_spec
+
+    spec_doc = {
+        "spec_id": "policy-v2",
+        "constraints": [
+            {"constraint_id": "t_nn", "column": "text", "kind": "not_null"},
+            {"constraint_id": "hq", "column": "host", "kind": "host_quality",
+             "params": {"min_mean_quality": 0.4, "min_docs": 3}},
+            {"constraint_id": "decon", "column": "text", "kind": "contamination",
+             "params": {"benchmark": "bench", "primary_n": 13, "min_n": 5}},
+        ],
+    }
+    p = tmp_path / "policy.json"
+    p.write_text(json.dumps(spec_doc))
+    spec = load_spec(str(p))
+    assert {c.kind for c in spec.table_constraints()} == {
+        "host_quality", "contamination"
+    }
+    good = "the report and the analysis of the data were clear and useful today"
+    bad = "zzzz!!!! ???? ;;;; xxxx!!!! ???? ;;;; qqqq!!!! ????"
+    q6 = "what is the capital of france"
+    rows = (
+        [(f"u{i}", "ok.com", "en", good) for i in range(4)]
+        + [(f"b{i}", "junk.io", "en", bad) for i in range(4)]
+        + [("leak", "ok.com", "en", "padding words then " + q6 + " more text")]
+    )
+    df = spark.createDataFrame(
+        rows, "url string, host string, lang string, text string"
+    ).withColumn("partition_id", F.lit(0))
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    bench = spark.createDataFrame([(q6,)], "text string")
+    res = validate_full(
+        df, spark, reg, TableContext(ref_tables={"bench": bench}),
+        route_col="lang",
+    )
+    v = {(r["constraint_id"], r["url"]) for r in res.all_violations().collect()}
+    assert ("hq", "junk.io") in v           # host-level keep/drop fired
+    assert ("decon", "leak") in v           # short-question sweep fired
+    assert not any(c == "hq" and u == "ok.com" for c, u in v)
+    res.release()
