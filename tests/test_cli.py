@@ -281,3 +281,25 @@ def test_cli_prior_plus_quarantine(tmp_path, spark, capsys):
     # carried-forward bad rows are quarantined too, not just the delta
     assert got.filter("NOT revalidated").count() > 0
     assert code1 == code2 and code1 in (2, 3)
+
+
+def test_cli_quarantine_empty_skips_write(tmp_path, capsys):
+    """A fully-valid run writes NO quarantine dir (an empty partitioned
+    dir has no parquet footers and breaks readers)."""
+    import json, os
+
+    spec = {
+        "spec_id": "permissive-v1",
+        "constraints": [
+            {"constraint_id": "ok", "column": "url", "kind": "expr",
+             "params": {"predicate": "1 = 1"}},
+        ],
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    qdir = str(tmp_path / "q")
+    code = main(["synth:200", "--spec", str(p), "--quarantine", qdir])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "No rows to quarantine" in out
+    assert not os.path.exists(qdir)

@@ -41,7 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--quarantine",
         help="write non-valid rows (verdict + full payload — repair/replay "
-             "ready) to this dir, partitioned by status",
+             "ready) to this dir, partitioned by status; nothing is "
+             "written when no rows fail. With --prior, carried-forward "
+             "rows keep their status but not detail strings (the store "
+             "holds the verdict triple) — full error_details appear only "
+             "for the re-validated delta",
     )
     p.add_argument("--cache-dir", help="spec cache dir (TTL disk cache)")
     p.add_argument("--partitions", type=int, default=32)
@@ -168,6 +172,29 @@ def main(argv: list[str] | None = None) -> int:
                 print("No documents found to validate")
         return 0
 
+    # --quarantine payload columns + write (shared by both modes; the
+    # input frame must already be materialized/checkpointed so the
+    # emptiness probe and the write don't re-execute the pipeline)
+    qcols = (
+        [c for c in ("html", "text", "lang", "warc_ts") if c in df.columns]
+        if args.quarantine
+        else None
+    )
+
+    def write_quarantine(verdict_frame) -> None:
+        from validate_xml_rust_spark.operators.outputs import quarantine_split
+
+        _, bad = quarantine_split(verdict_frame)
+        # skip the write entirely when nothing failed — an empty
+        # partitioned dir has no parquet footers and breaks readers
+        if bad.limit(1).count() == 0:
+            if not args.quiet:
+                print(f"No rows to quarantine — {args.quarantine} not written")
+            return
+        quarantine_split(verdict_frame, quarantine_dir=args.quarantine)
+        if not args.quiet:
+            print(f"Quarantined rows written to {args.quarantine}")
+
     # --- row-level snapshot-diff mode: carry forward unchanged rows'
     # verdicts from the --prior store, re-validate only the delta, and
     # replace the store with this run's verdicts (chained runs)
@@ -195,11 +222,6 @@ def main(argv: list[str] | None = None) -> int:
         full = bool(
             args.output or args.manifest or args.verbosity or args.quarantine
         )
-        qcols = (
-            [c for c in ("html", "text", "lang", "warc_ts") if c in df.columns]
-            if args.quarantine
-            else None
-        )
         inc = incremental_verdicts(
             df, prior, spark, registry, fcols, full_output=full,
             keep_cols=qcols,
@@ -223,11 +245,7 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         srow = agg.asDict()
         if args.quarantine:
-            from validate_xml_rust_spark.operators.outputs import quarantine_split
-
-            quarantine_split(ck, quarantine_dir=args.quarantine)
-            if not args.quiet:
-                print(f"Quarantined rows written to {args.quarantine}")
+            write_quarantine(ck)
         if args.output:
             ck.drop("violation_entries", *(qcols or [])).write.mode(
                 "overwrite"
@@ -298,12 +316,6 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- validation + aggregation phases
     phases.start("validation")
-    # --quarantine needs the payload alongside the verdict (repair/replay)
-    qcols = (
-        [c for c in ("html", "text", "lang", "warc_ts") if c in df.columns]
-        if args.quarantine
-        else None
-    )
     res = validate(
         df, spark, registry,
         route_col=args.route_col,
@@ -326,11 +338,7 @@ def main(argv: list[str] | None = None) -> int:
     res = ValidationResult(verdicts=ck_verdicts)
     verdicts = res.verdicts
     if args.quarantine:
-        from validate_xml_rust_spark.operators.outputs import quarantine_split
-
-        _, bad = quarantine_split(verdicts, quarantine_dir=args.quarantine)
-        if not args.quiet:
-            print(f"Quarantined rows written to {args.quarantine}")
+        write_quarantine(verdicts)
         verdicts = verdicts.drop(*(qcols or []))
         res = ValidationResult(verdicts=verdicts)
     if args.output:

@@ -96,22 +96,34 @@ def verdict_diff(
 
     NULL-id rows carry no stable identity across runs and are excluded
     (SQL equality can't match them; the snapshot-diff machinery treats
-    them the same way).
+    them the same way). Duplicate ids (planted dup urls are part of the
+    corpus model) reduce DETERMINISTICALLY to their worst status
+    (error > invalid > skipped > valid) — an arbitrary pick would make
+    transitions flap across executions and break diff(x, x) == empty.
 
     Scale shape: one full-outer sort-merge join on the uniform id key —
-    co-partitioned shuffles, no skew (ids are unique per run); the
-    output is filtered to changes before anything downstream runs.
+    co-partitioned shuffles, no skew (ids reduce to one row per run);
+    the output is filtered to changes before anything downstream runs.
     """
-    o = (
-        old_verdicts.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), F.col("status").alias("old_status"))
-        .dropDuplicates(["__id"])
-    )
-    n = (
-        new_verdicts.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), F.col("status").alias("new_status"))
-        .dropDuplicates(["__id"])
-    )
+    sev = ["valid", "skipped", "invalid", "error"]  # ascending badness
+    rank = F.array_position(F.array(*[F.lit(x) for x in sev]), F.col("status"))
+
+    def one_per_id(v: DataFrame, alias: str) -> DataFrame:
+        return (
+            v.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"), rank.alias("__r"))
+            .groupBy("__id")
+            .agg(F.max("__r").alias("__r"))
+            .select(
+                "__id",
+                F.element_at(
+                    F.array(*[F.lit(x) for x in sev]), F.col("__r").cast("int")
+                ).alias(alias),
+            )
+        )
+
+    o = one_per_id(old_verdicts, "old_status")
+    n = one_per_id(new_verdicts, "new_status")
     j = o.join(n, "__id", "full_outer")
     old_ok = F.col("old_status") == "valid"
     new_ok = F.col("new_status") == "valid"
