@@ -390,3 +390,17 @@ def test_spec_json_roundtrip_new_table_kinds(spark, tmp_path):
     assert ("decon", "leak") in v           # short-question sweep fired
     assert not any(c == "hq" and u == "ok.com" for c, u in v)
     res.release()
+
+
+def test_contamination_sweep_empty_benchmark(spark):
+    """Zero benchmark entries → nothing flagged, every doc still emits a
+    row (the left join contract survives the empty small side)."""
+    from validate_xml_rust_spark.operators.curation import contamination_sweep
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, None)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "text string")
+    out = {r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
+           for r in contamination_sweep(docs, bench).collect()}
+    assert out == {1: (False, 0), 2: (False, 0)}

@@ -75,6 +75,8 @@ def main() -> int:
             diff_d = [r for r in dset if r not in set(sset)][:3]
             print(f"   spark-only: {diff_s}\n   duck-only : {diff_d}")
     spark.stop()
+    n_run = len(only) if only else len(qs)
+    print(f"-- {n_run - failures}/{n_run} OK, {failures} FAIL --")
     return 1 if failures else 0
 
 
