@@ -322,3 +322,24 @@ def test_verdict_diff_transitions(spark):
     }
     # identity: diff of a run against itself is empty
     assert verdict_diff(new, new).count() == 0
+
+
+def test_verdict_diff_duplicate_ids_deterministic(spark):
+    """Duplicate ids reduce to their WORST status before diffing, so the
+    result is partition/execution-invariant and diff(x, x) stays empty."""
+    from validate_xml_rust_spark.operators.summary import verdict_diff
+
+    dup = spark.createDataFrame(
+        [("u", "valid"), ("u", "invalid"), ("u", "skipped"),
+         ("w", "error"), ("w", "valid")],
+        "url string, status string",
+    )
+    assert verdict_diff(dup, dup).count() == 0
+    assert verdict_diff(dup.repartition(8), dup.repartition(1)).count() == 0
+    clean = spark.createDataFrame(
+        [("u", "valid"), ("w", "valid")], "url string, status string"
+    )
+    got = {r["url"]: (r["old_status"], r["transition"])
+           for r in verdict_diff(dup, clean).collect()}
+    # worst-of-duplicates is the old side: u=invalid, w=error — both fixed
+    assert got == {"u": ("invalid", "fixed"), "w": ("error", "fixed")}
