@@ -123,6 +123,51 @@ def test_partition_metrics_shape(spark):
     assert {r["partition_id"] for r in rows} == set(range(4)) or len(rows) <= 4
     assert all(r["n_rows"] == r["n_valid"] + r["n_invalid"] + r["n_error"] + r["n_skipped"] for r in rows)
     assert sum(r["n_rows"] for r in rows) == 500
+    # full run: every row materialized, nothing carried forward
+    assert all(r["n_carried"] == 0 for r in rows)
+
+
+def test_partition_metrics_carried_rows_distinguish_incremental(spark):
+    """ADVICE r4: an incremental run's manifest n_violations covers only
+    the re-validated delta (carried rows have empty violation arrays) —
+    n_carried must expose that so consumers can tell the two run modes
+    apart instead of comparing incomparable violation counts."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.resume import (
+        content_fingerprint,
+        incremental_verdicts,
+    )
+    from validate_xml_rust_spark.operators.validate import validate
+
+    df = with_partition_id(pages(spark, 400), 4)
+    fcols = ["text", "lang"]
+    prior_docs = df.filter(F.col("url").isNotNull())
+    prior = prior_docs.select(
+        "url", content_fingerprint(fcols).alias("content_fp")
+    ).join(
+        validate(prior_docs, spark, _registry()).verdicts.select(
+            "url", "spec_id", "status", "error_count"
+        ),
+        "url",
+    ).dropDuplicates(["url"])
+    inc = incremental_verdicts(
+        df, prior, spark, _registry(), fcols, full_output=True
+    )
+    m = {r["partition_id"]: r for r in partition_metrics(inc, "inc-run").collect()}
+    full = {
+        r["partition_id"]: r
+        for r in partition_metrics(
+            validate(df, spark, _registry()).verdicts, "full-run"
+        ).collect()
+    }
+    assert sum(r["n_carried"] for r in m.values()) > 0
+    for pid, row in m.items():
+        # same data, same statuses — but the incremental manifest's
+        # violation count is delta-only and n_carried says so
+        assert row["n_rows"] == full[pid]["n_rows"]
+        assert row["n_violations"] <= full[pid]["n_violations"]
+        assert row["n_carried"] <= row["n_rows"]
 
 
 def test_media_features_deterministic(spark):

@@ -343,3 +343,35 @@ def test_verdict_diff_duplicate_ids_deterministic(spark):
            for r in verdict_diff(dup, clean).collect()}
     # worst-of-duplicates is the old side: u=invalid, w=error — both fixed
     assert got == {"u": ("invalid", "fixed"), "w": ("error", "fixed")}
+
+
+def test_verdict_diff_unknown_and_null_statuses(spark):
+    """Arbitrary verdict frames (older parquet) may carry statuses outside
+    the 4-state vocabulary, or NULL: the diff must not crash (the old
+    element_at(_, 0) path threw), must rank them WORSE than error, and
+    must not mislabel an all-NULL-status id as added/removed."""
+    from validate_xml_rust_spark.operators.summary import verdict_diff
+
+    old = spark.createDataFrame(
+        [("a", "valid"), ("b", "mystery"), ("c", None), ("d", "error"),
+         ("d", "mystery")],
+        "url string, status string",
+    )
+    new = spark.createDataFrame(
+        [("a", "mystery"),   # valid → unknown: regressed (unknown ≠ valid)
+         ("b", "valid"),     # unknown → valid: fixed
+         ("c", "valid"),     # NULL ('unknown') → valid: fixed, NOT added
+         ("d", "error")],    # worst-of-dup old side is 'mystery' → changed
+        "url string, status string",
+    )
+    got = {r["url"]: (r["old_status"], r["new_status"], r["transition"])
+           for r in verdict_diff(old, new).collect()}
+    assert got == {
+        "a": ("valid", "mystery", "regressed"),
+        "b": ("mystery", "valid", "fixed"),
+        "c": ("unknown", "valid", "fixed"),
+        "d": ("mystery", "error", "changed"),
+    }
+    # identity still holds with unknown/NULL statuses in play
+    assert verdict_diff(old, old).count() == 0
+    assert verdict_diff(old.repartition(8), old.repartition(1)).count() == 0

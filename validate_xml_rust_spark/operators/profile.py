@@ -150,8 +150,11 @@ def numeric_percentiles(
     aggs = []
     for c in columns:
         arr = ", ".join(str(p) for p in probabilities)
+        # backtick-quote: a column name that is not a bare identifier
+        # (spaces, hyphens, reserved words) must not break — or worse,
+        # mis-resolve inside — the generated expression
         aggs.append(
-            F.expr(f"{fn}({c}, array({arr}){acc})").alias(f"{c}__q")
+            F.expr(f"{fn}(`{c}`, array({arr}){acc})").alias(f"{c}__q")
         )
     row = df.agg(*aggs)
     # an all-NULL (or zero-row) column aggregates to a NULL array;

@@ -25,12 +25,28 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = (
     "partition_id int, run_id string, snapshot_id long, n_rows long, "
     "n_valid long, n_invalid long, n_error long, n_skipped long, "
-    "n_violations long, completed_at timestamp"
+    "n_violations long, n_carried long, completed_at timestamp"
 )
 
 
 def partition_metrics(verdicts: DataFrame, run_id: str) -> DataFrame:
-    """One lineage/metrics row per logical partition (single aggregation)."""
+    """One lineage/metrics row per logical partition (single aggregation).
+
+    ``n_violations`` counts MATERIALIZED violation payload rows. In an
+    incremental (``--prior``) run, carried-forward rows have empty
+    violation arrays (the prior store keeps only the verdict triple), so
+    that count covers the re-validated delta only and is NOT comparable
+    to a full run's over the same data even when status counts match.
+    ``n_carried`` makes the two distinguishable: the number of rows whose
+    verdict was carried forward (0 in a full run — every row was
+    materialized). Consumers comparing manifests across run modes must
+    check ``n_carried == 0`` before treating n_violations as corpus-wide.
+    Older manifests lack the column and read as NULL via mergeSchema."""
+    carried = (
+        F.sum((~F.col("revalidated")).cast("long"))
+        if "revalidated" in verdicts.columns
+        else F.lit(0).cast("long")
+    )
     return (
         verdicts.groupBy("partition_id")
         .agg(
@@ -40,6 +56,7 @@ def partition_metrics(verdicts: DataFrame, run_id: str) -> DataFrame:
             F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_error"),
             F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("n_skipped"),
             F.sum(F.size("violation_entries")).alias("n_violations"),
+            carried.alias("n_carried"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("completed_at", F.current_timestamp())

@@ -101,25 +101,42 @@ def verdict_diff(
     (error > invalid > skipped > valid) — an arbitrary pick would make
     transitions flap across executions and break diff(x, x) == empty.
 
+    The function accepts ARBITRARY verdict frames (parquet written by
+    older runs included), so statuses outside the 4-state vocabulary must
+    not poison the job: a status string not in the severity array — or a
+    NULL status (normalized to the literal ``'unknown'``) — ranks WORSE
+    than ``error`` (an unclassifiable verdict is the most alarming kind)
+    and flows through the diff with its own label preserved. Rank ties
+    between distinct unknown labels break on the status string itself, so
+    the reduction stays deterministic. (Previously an unknown status made
+    ``array_position`` return 0 and ``element_at(_, 0)`` threw at
+    runtime; an all-NULL-status id was mislabeled added/removed.)
+
     Scale shape: one full-outer sort-merge join on the uniform id key —
     co-partitioned shuffles, no skew (ids reduce to one row per run);
     the output is filtered to changes before anything downstream runs.
     """
     sev = ["valid", "skipped", "invalid", "error"]  # ascending badness
-    rank = F.array_position(F.array(*[F.lit(x) for x in sev]), F.col("status"))
+    status_s = F.coalesce(F.col("status").cast("string"), F.lit("unknown"))
+    pos = F.array_position(F.array(*[F.lit(x) for x in sev]), status_s)
+    # array_position yields 0 for a status outside the vocabulary — map it
+    # (and NULL→'unknown') past the end of the array: worst possible rank
+    rank = F.when(pos > 0, pos).otherwise(F.lit(len(sev) + 1))
 
     def one_per_id(v: DataFrame, alias: str) -> DataFrame:
+        # worst-of-duplicates with the LABEL carried in the reduction
+        # itself (max over (rank, status) structs — lexicographic), so no
+        # rank→label back-mapping exists to crash on out-of-vocabulary
+        # ranks, and unknown labels survive to the transition output
         return (
             v.filter(F.col(id_col).isNotNull())
-            .select(F.col(id_col).alias("__id"), rank.alias("__r"))
-            .groupBy("__id")
-            .agg(F.max("__r").alias("__r"))
             .select(
-                "__id",
-                F.element_at(
-                    F.array(*[F.lit(x) for x in sev]), F.col("__r").cast("int")
-                ).alias(alias),
+                F.col(id_col).alias("__id"),
+                F.struct(rank.alias("r"), status_s.alias("s")).alias("__rs"),
             )
+            .groupBy("__id")
+            .agg(F.max("__rs").alias("__rs"))
+            .select("__id", F.col("__rs.s").alias(alias))
         )
 
     o = one_per_id(old_verdicts, "old_status")
