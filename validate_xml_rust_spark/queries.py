@@ -1831,6 +1831,111 @@ FROM documents
 """
 
 
+def q_verdict_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run verdict regression diff (summary.verdict_diff): two
+    planted verdict runs over the documents ids exercising EVERY
+    transition kind plus the hardening contracts — ``added`` (ids only in
+    the new run, doc_id % 7 == 0), ``removed`` (% 11 == 0),
+    regressed/fixed/changed via a +2 status rotation, worst-of-duplicates
+    (every % 13 == 0 old id carries a second 'error' row that must win
+    the reduction), out-of-vocabulary statuses ('legacy-fail' on
+    % 17 == 0 — ranks worse than error, label preserved), and NULL
+    statuses (% 19 == 0 new rows — normalized to 'unknown', never
+    mislabeled added). The oracle re-derives the reduction + full-outer
+    join + transition CASE from the same closed-form planting."""
+    from validate_xml_rust_spark.operators.summary import verdict_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sev = F.array(
+        F.lit("valid"), F.lit("skipped"), F.lit("invalid"), F.lit("error")
+    )
+    i = F.col("doc_id")
+    old_base = F.when(i % 17 == 0, F.lit("legacy-fail")).otherwise(
+        F.element_at(sev, (i % 4 + 1).cast("int"))
+    )
+    old = docs.filter(i % 7 != 0).select(
+        i.cast("string").alias("url"), old_base.alias("status")
+    )
+    old_dup = docs.filter((i % 7 != 0) & (i % 13 == 0)).select(
+        i.cast("string").alias("url"), F.lit("error").alias("status")
+    )
+    new_status = F.when(i % 19 == 0, F.lit(None).cast("string")).otherwise(
+        F.element_at(sev, ((i + 2) % 4 + 1).cast("int"))
+    )
+    new = docs.filter(i % 11 != 0).select(
+        i.cast("string").alias("url"), new_status.alias("status")
+    )
+    return verdict_diff(old.unionByName(old_dup), new)
+
+
+ORACLE_VERDICT_DIFF = """
+WITH old_rows AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+         CASE WHEN doc_id % 17 = 0 THEN 'legacy-fail'
+              WHEN doc_id % 13 = 0 THEN 'error'
+              ELSE (CASE doc_id % 4 WHEN 0 THEN 'valid' WHEN 1 THEN 'skipped'
+                    WHEN 2 THEN 'invalid' ELSE 'error' END) END AS old_status
+  FROM documents WHERE doc_id % 7 <> 0),
+new_rows AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+         CASE WHEN doc_id % 19 = 0 THEN 'unknown'
+              ELSE (CASE (doc_id + 2) % 4 WHEN 0 THEN 'valid' WHEN 1 THEN 'skipped'
+                    WHEN 2 THEN 'invalid' ELSE 'error' END) END AS new_status
+  FROM documents WHERE doc_id % 11 <> 0),
+j AS (
+  SELECT coalesce(o.doc_key, n.doc_key) AS url, o.old_status, n.new_status
+  FROM old_rows o FULL OUTER JOIN new_rows n ON o.doc_key = n.doc_key)
+SELECT url, old_status, new_status,
+       CASE WHEN old_status IS NULL THEN 'added'
+            WHEN new_status IS NULL THEN 'removed'
+            WHEN old_status = 'valid' AND new_status <> 'valid' THEN 'regressed'
+            WHEN old_status <> 'valid' AND new_status = 'valid' THEN 'fixed'
+            ELSE 'changed' END AS transition
+FROM j
+WHERE old_status IS NULL OR new_status IS NULL OR old_status <> new_status
+"""
+
+
+def q_incremental_validate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-validation suite: snapshot-diff carry-forward
+    (incremental variant) + run-over-run verdict regression diff
+    (verdict_diff variant) — the two run-chaining operators share the
+    uniform-id join machinery, harmonized to one schema."""
+    inc = q_incremental_validate(spark, sf_dir).select(
+        F.lit("incremental").alias("variant"),
+        "doc_key", "spec_id", "status",
+        F.col("error_count").cast("long").alias("error_count"),
+        "revalidated",
+        F.lit(None).cast("string").alias("old_status"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("string").alias("transition"),
+    )
+    vd = q_verdict_diff(spark, sf_dir).select(
+        F.lit("verdict_diff").alias("variant"),
+        F.col("url").alias("doc_key"),
+        F.lit(None).cast("string").alias("spec_id"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("error_count"),
+        F.lit(None).cast("boolean").alias("revalidated"),
+        "old_status", "new_status", "transition",
+    )
+    return inc.unionByName(vd)
+
+
+ORACLE_INCREMENTAL_VALIDATE_SUITE = f"""
+SELECT 'incremental' AS variant, doc_key, spec_id, status,
+       CAST(error_count AS BIGINT) AS error_count, revalidated,
+       CAST(NULL AS VARCHAR) AS old_status, CAST(NULL AS VARCHAR) AS new_status,
+       CAST(NULL AS VARCHAR) AS transition
+FROM ({ORACLE_INCREMENTAL_VALIDATE}) i
+UNION ALL
+SELECT 'verdict_diff', url, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+       old_status, new_status, transition
+FROM ({ORACLE_VERDICT_DIFF}) v
+"""
+
+
 def q_exit_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CLI exit-code ladder — the reference's outermost contract
     (src/main.rs:113-119: 0 all valid/skipped, 1 config error or
@@ -3192,7 +3297,7 @@ QUERIES = {
     "url_canonical_dups": q_url_canonical_dups,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
-    "incremental_validate": q_incremental_validate,
+    "incremental_validate": q_incremental_validate_suite,
     "exit_codes": q_exit_codes,
     "source_plumbing": q_source_plumbing,
     "multimodal_features": q_multimodal_features,
@@ -3245,7 +3350,7 @@ ORACLES = {
     "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
-    "incremental_validate": ORACLE_INCREMENTAL_VALIDATE,
+    "incremental_validate": ORACLE_INCREMENTAL_VALIDATE_SUITE,
     "exit_codes": ORACLE_EXIT_CODES,
     "source_plumbing": ORACLE_SOURCE_PLUMBING,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
