@@ -479,3 +479,157 @@ def test_minhash_eager_releases_caches(spark):
     rows_e = {(r["id_a"], r["id_b"]) for r in eager.collect()}
     assert rows_e == rows_l
     assert len(pids() - before) <= 1  # only the checkpointed result itself
+
+
+# ---------------------------------------------------------------------------
+# Substring-level passage excision (dedup.excise_shared_passages)
+# ---------------------------------------------------------------------------
+
+
+def _py_excise(rows, min_run=8, keep_first=True):
+    """Independent pure-Python reference of the excision semantics:
+    tokenize → positional n-gram TUPLES (no hashing) → min-doc keeper →
+    covered positions → rebuild. Used to cross-check the Spark operator
+    on arbitrary corpora."""
+    import re
+
+    toks = {
+        i: [w for w in re.split(r"[^a-z0-9]+", (t or "").lower().strip()) if w]
+        for i, t in rows
+    }
+    occs = {}  # gram tuple -> list[(doc, pos)]
+    for i, ws in toks.items():
+        for p in range(len(ws) - min_run + 1):
+            occs.setdefault(tuple(ws[p : p + min_run]), []).append((i, p))
+    cov = {i: set() for i in toks}
+    for gram, sites in occs.items():
+        docs = {d for d, _ in sites}
+        if len(docs) < 2:
+            continue
+        keeper = min(docs)
+        for d, p in sites:
+            if keep_first and d == keeper:
+                continue
+            cov[d].update(range(p, p + min_run))
+    out = {}
+    for i, ws in toks.items():
+        c = sorted(x for x in cov[i] if 0 <= x < len(ws))
+        clean = " ".join(w for j, w in enumerate(ws) if j not in cov[i])
+        n_spans = sum(
+            1 for k, x in enumerate(c) if k == 0 or c[k - 1] != x - 1
+        )
+        out[i] = (clean, len(c), n_spans, len(ws) - len(c))
+    return out
+
+
+def test_excise_planted_schedule(spark):
+    """The planted passage corpus: min-id docs keep their passage copy,
+    later docs lose exactly the passage; adjacent spans merge to ONE;
+    end-of-document passages excise cleanly; passage-free docs are
+    untouched (modulo token normalization)."""
+    from validate_xml_rust_spark.operators.dedup import excise_shared_passages
+    from validate_xml_rust_spark.sources.corpus import passage_corpus
+
+    docs = passage_corpus(spark, 80, 8)
+    got = {r["doc_id"]: r for r in excise_shared_passages(docs).collect()}
+    assert (got[0]["n_tokens_removed"], got[0]["n_spans"]) == (0, 0)
+    assert got[0]["n_tokens_kept"] == 60
+    assert (got[5]["n_tokens_removed"], got[17]["n_tokens_removed"]) == (0, 12)
+    assert got[17]["n_spans"] == 1 and got[17]["n_tokens_kept"] == 48
+    # two adjacent planted passages in %4==2 docs merge to one span
+    assert (got[6]["n_tokens_removed"], got[6]["n_spans"]) == (24, 1)
+    assert (got[2]["n_tokens_removed"], got[2]["n_spans"]) == (0, 0)
+    # end-of-document passage (id 15 shares P6 with keeper id 3)
+    assert (got[3]["n_tokens_removed"], got[15]["n_tokens_removed"]) == (0, 12)
+    assert not got[15]["clean_text"].endswith("x11")
+
+
+def test_excise_matches_python_reference_and_property(spark):
+    """Random corpora (seeded, small vocab so shared runs arise
+    organically): the operator must equal the independent pure-Python
+    reference exactly, the winnow prefilter must be lossless, and no
+    shared >= min_run token run may survive between any kept pair."""
+    import random
+
+    from validate_xml_rust_spark.operators.dedup import excise_shared_passages
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(36):
+            n = rng.randint(0, 40)
+            words = [f"v{rng.randint(0, 30)}" for _ in range(n)]
+            rows.append((i, " ".join(words)))
+        rows.append((36, None))
+        rows.append((37, ""))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = _py_excise(rows)
+        got = {
+            r["doc_id"]: (
+                r["clean_text"], r["n_tokens_removed"], r["n_spans"],
+                r["n_tokens_kept"],
+            )
+            for r in excise_shared_passages(df).collect()
+        }
+        assert got == ref, f"seed {seed}"
+        exact = {
+            r["doc_id"]: (
+                r["clean_text"], r["n_tokens_removed"], r["n_spans"],
+                r["n_tokens_kept"],
+            )
+            for r in excise_shared_passages(df, prefilter=False).collect()
+        }
+        assert exact == got, f"prefilter lossy at seed {seed}"
+        # the headline guarantee
+        texts = {i: got[i][0].split() for i in got}
+        for a in texts:
+            for b in texts:
+                if a >= b:
+                    continue
+                ga = {
+                    tuple(texts[a][p : p + 8])
+                    for p in range(len(texts[a]) - 7)
+                }
+                gb = {
+                    tuple(texts[b][p : p + 8])
+                    for p in range(len(texts[b]) - 7)
+                }
+                assert not (ga & gb), (seed, a, b)
+
+
+def test_excise_keep_first_false_removes_all_copies(spark):
+    from validate_xml_rust_spark.operators.dedup import excise_shared_passages
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, f"a0 a1 a2 {shared} a3 a4"),
+        (1, f"b0 b1 {shared} b2 b3 b4"),
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in excise_shared_passages(df, keep_first=False).collect()
+    }
+    assert got[0]["n_tokens_removed"] == 10  # keeper loses its copy too
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[2]["n_tokens_removed"] == 0
+    assert "s0" not in got[0]["clean_text"]
+
+
+def test_excise_short_and_exact_length_docs(spark):
+    """Docs shorter than min_run have no complete gram (never excised,
+    never falsely matched); docs of EXACTLY min_run duplicated tokens
+    excise end-to-end in the non-keeper."""
+    from validate_xml_rust_spark.operators.dedup import excise_shared_passages
+
+    run = " ".join(f"t{i}" for i in range(8))
+    rows = [(0, "x0 x1 x2"), (1, "x0 x1 x2"), (2, run), (3, run)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in excise_shared_passages(df, min_run=8).collect()
+    }
+    assert got[0]["n_tokens_removed"] == 0 and got[1]["n_tokens_removed"] == 0
+    assert got[2]["n_tokens_removed"] == 0  # keeper
+    assert got[3]["n_tokens_removed"] == 8 and got[3]["clean_text"] == ""
+    assert got[3]["n_tokens_kept"] == 0 and got[3]["n_spans"] == 1

@@ -64,6 +64,13 @@ def main() -> None:
         print(f"wrote fixtures/{name}.parquet ({df.count()} rows)")
 
     write_one(h, f"simhash_docs_{N_DOCS}")
+    # INPUT snapshot of the planted-shared-passage corpus (doc_id, text):
+    # the passage-excision oracle re-derives gram marking / interval
+    # merging / text rebuild from these rows in DuckDB while Spark runs
+    # the live generator through the real operator.
+    from validate_xml_rust_spark.sources.corpus import passage_corpus
+
+    write_one(passage_corpus(spark, 400, n_partitions=8), "passage_docs_400")
     # INPUT snapshot of the planted corpus itself (doc_id, text): the
     # exact-dup and curation-lineage oracles brute-force their CTE chains
     # over these rows in DuckDB while Spark runs the live generator —

@@ -147,6 +147,70 @@ def winnow_fingerprints_udf(text: Column, k: int = 3, window: int = 4) -> Column
     return wf(token_hashes(text))
 
 
+def seq_gram_hashes(token_hash_col: Column, k: int) -> Column:
+    """Positional (document-order, NON-deduplicated) k-gram hashes from a
+    token-hash array — gram i covers tokens [i, i+k-1]. The exact-marking
+    primitive for substring-level passage excision: occurrences must keep
+    their offsets, so np.unique is wrong here. Arrow-batched numpy (same
+    vectorized window combine as the winnowing path)."""
+    mult = _window_multipliers(k)
+
+    @F.pandas_udf("array<long>")
+    def sg(batch: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in batch:
+                if h is None or len(h) < k:
+                    # a doc shorter than k tokens has NO complete k-gram —
+                    # emit none (the <k "whole-doc pseudo-gram" of the
+                    # shingle path would falsely equate equal-length short
+                    # docs with full-length grams)
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                out.append(_combine_shingles_seq(x, k, mult).astype(np.int64))
+        return pd.Series(out)
+
+    return sg(token_hash_col)
+
+
+EXCISE_STRUCT = "struct<clean_text:string,n_tokens_removed:int,n_spans:int>"
+
+
+def excise_rebuild_udf(tokens_col: Column, cov_col: Column) -> Column:
+    """Rebuild a document from its token array minus a set of covered
+    token positions: ``(clean_text, n_tokens_removed, n_spans)`` where
+    n_spans counts MAXIMAL contiguous covered runs (the merged-interval
+    count). Arrow-batched numpy: one boolean mask + one diff per row —
+    the per-token array_contains expression form would be O(n·|cov|)
+    interpreted (repo rule: >~10 array ops/row → Arrow)."""
+
+    @F.pandas_udf(EXCISE_STRUCT)
+    def rb(toks: pd.Series, cov: pd.Series) -> pd.DataFrame:
+        texts, removed, spans = [], [], []
+        for t, c in zip(toks, cov):
+            words = list(t) if t is not None else []
+            if c is None or len(c) == 0:
+                texts.append(" ".join(words))
+                removed.append(0)
+                spans.append(0)
+                continue
+            pos = np.unique(np.asarray(c, dtype=np.int64))
+            pos = pos[(pos >= 0) & (pos < len(words))]
+            mask = np.ones(len(words), dtype=bool)
+            mask[pos] = False
+            texts.append(" ".join(w for w, m in zip(words, mask) if m))
+            removed.append(int(len(pos)))
+            spans.append(
+                int(1 + (np.diff(pos) > 1).sum()) if len(pos) else 0
+            )
+        return pd.DataFrame(
+            {"clean_text": texts, "n_tokens_removed": removed, "n_spans": spans}
+        )
+
+    return rb(tokens_col, cov_col)
+
+
 def gram_repetition_udf(text: Column, k: int = 2) -> Column:
     """Fraction of duplicated k-grams: 1 − distinct/total over positional
     k-gram hashes (the Gopher-style intra-document repetition signal).

@@ -503,6 +503,156 @@ def winnow_candidate_pairs(
     )
 
 
+def shared_passage_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Doc ids that share at least one winnowing fingerprint with ANOTHER
+    doc — the cheap prefilter in front of exact passage marking. Unlike
+    ``winnow_candidate_pairs`` this never self-joins (no quadratic bucket
+    risk, no cap needed, hence LOSSLESS): one groupBy on the uniform
+    fingerprint hash computing min/max doc per fingerprint, then a
+    semi-join back. Output: one ``id`` column."""
+    from pyspark.storagelevel import StorageLevel
+
+    flat = winnow_fingerprints(df, id_col, text_col, shingle_k, window).select(
+        "id", F.explode("fingerprints").alias("f")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shared = (
+        flat.groupBy("f")
+        .agg(F.min("id").alias("__lo"), F.max("id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("f")
+    )
+    out = flat.join(shared, "f", "left_semi").select("id").distinct()
+    # the persist exists to keep the fingerprint UDF from running twice
+    # (groupBy pass + semi-join probe); materialize the tiny id set and
+    # release it before returning
+    out = out.localCheckpoint(eager=True)
+    flat.unpersist()
+    return out
+
+
+def excise_shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 8,
+    shingle_k: int = 3,
+    prefilter: bool = True,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Substring-level duplicated-passage REMOVAL — the step after
+    doc-level dedup in public training-data pipelines (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", ExactSubstr
+    recipe; the reference's whole-file verdict, src/validator.rs:96-107,
+    is the doc-level analog this generalizes): passages of ``min_run`` or
+    more tokens shared ACROSS documents are excised from all but one
+    keeper, while the surrounding unique text survives.
+
+    Semantics (token domain — the engine's shared tokenizer, so the
+    output composes with chunking/packing/shingling):
+
+    - every positional ``min_run``-gram occurring in ≥2 docs marks its
+      occurrences; with ``keep_first=True`` (default) the occurrence in
+      the MIN-id doc survives (deterministic keeper, restatable in SQL) —
+      ``keep_first=False`` excises every occurrence (the released
+      ExactSubstr behavior, which loses the content entirely);
+    - marked occurrences expand to covered token intervals
+      ``[pos, pos+min_run-1]``; overlapping/adjacent intervals merge;
+    - covered tokens are removed; the doc is rebuilt from the survivors
+      in order. A run of L ≥ min_run shared tokens is covered END-TO-END
+      (its L-min_run+1 marked grams tile it), so no shared ≥min_run-token
+      run survives between any kept pair (property-tested).
+
+    Output: one row per input doc —
+    ``(id_col, clean_text, n_tokens_kept, n_tokens_removed, n_spans)``
+    with clean_text whitespace-normalized in the token domain.
+
+    Scale shape (10^12 docs): ``prefilter=True`` first finds docs sharing
+    any winnowing fingerprint (window sized so the w+k-1 guarantee length
+    EQUALS min_run — the prefilter is provably lossless, and the gate
+    oracle cross-checks it against the exact no-prefilter restatement).
+    Only that near-dup-involved fraction pays the positional-gram
+    explode; on a healthy post-dedup corpus that is percents, not the
+    corpus. Every shuffle keys on a uniform hash (winnow fingerprint,
+    gram hash, (id,pos) pair); the keeper groupBy and its join-back share
+    the gram-hash partitioning; per-doc state is bounded by doc length
+    (covered-position arrays ride through one Arrow rebuild pass).
+    """
+    if min_run < shingle_k:
+        raise ValueError("need min_run >= shingle_k for the winnow prefilter")
+    from validate_xml_rust_spark.functions.texthash import (
+        excise_rebuild_udf,
+        seq_gram_hashes,
+        token_hashes,
+        tokens,
+    )
+
+    work = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    if prefilter:
+        # lossless: a shared run of min_run = window+k-1 tokens guarantees
+        # a shared winnow fingerprint, so both docs land in the candidates
+        cand_ids = shared_passage_candidates(
+            work, "__id", "__t", shingle_k=shingle_k,
+            window=min_run - shingle_k + 1,
+        )
+        cand = work.join(
+            cand_ids.withColumnRenamed("id", "__id"), "__id", "left_semi"
+        )
+    else:
+        cand = work
+
+    grams = cand.select(
+        "__id",
+        F.posexplode(
+            seq_gram_hashes(token_hashes(F.col("__t")), min_run)
+        ).alias("pos", "gh"),
+    )
+    keepers = grams.groupBy("gh").agg(
+        F.min("__id").alias("__keep"), F.countDistinct("__id").alias("__nd")
+    )
+    if keep_first:
+        marked = grams.join(keepers, "gh").filter(
+            (F.col("__nd") > 1) & (F.col("__id") > F.col("__keep"))
+        )
+    else:
+        marked = grams.join(keepers, "gh").filter(F.col("__nd") > 1)
+    cov = (
+        marked.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(min_run - 1))
+            ).alias("cp"),
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("cp")).alias("__cov"))
+    )
+    rebuilt = (
+        work.join(cov, "__id", "left")
+        .select(
+            "__id",
+            excise_rebuild_udf(tokens(F.col("__t")), F.col("__cov")).alias("__e"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__e.clean_text").alias("clean_text"),
+            F.col("__e.n_tokens_removed").alias("n_tokens_removed"),
+            F.col("__e.n_spans").alias("n_spans"),
+        )
+    )
+    return rebuilt.withColumn(
+        "n_tokens_kept",
+        (
+            F.size(F.split(F.col("clean_text"), " "))
+            - (F.col("clean_text") == "").cast("int")
+        ).cast("int"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

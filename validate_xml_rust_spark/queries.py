@@ -2630,11 +2630,76 @@ FROM ({ORACLE_LENGTH_HISTOGRAM}) h
 """
 
 
+def q_excise_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicated-passage removal
+    (dedup.excise_shared_passages, the Lee et al. 2021 ExactSubstr recipe
+    on Spark) over the planted-shared-passage corpus: 12-token passages
+    shared across docs must be excised from every non-min keeper — single
+    spans, ADJACENT spans merging to one, and end-of-document spans. Runs
+    the real operator WITH the winnowing prefilter; the oracle re-derives
+    gram marking → keeper choice → interval merge → text rebuild from
+    scratch (no prefilter), so gate equality also proves the prefilter
+    lossless."""
+    from validate_xml_rust_spark.operators.dedup import excise_shared_passages
+    from validate_xml_rust_spark.sources.corpus import passage_corpus
+
+    docs = passage_corpus(spark, 400, n_partitions=8)
+    return excise_shared_passages(docs, min_run=8)
+
+
+ORACLE_EXCISE_PASSAGES = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "passage_docs_400.parquet"}'),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8),
+keep AS (
+  SELECT gram, min(doc_id) AS keep_id, count(DISTINCT doc_id) AS nd
+  FROM g GROUP BY gram),
+exc AS (
+  SELECT g.doc_id, g.pos FROM g JOIN keep USING (gram)
+  WHERE keep.nd > 1 AND g.doc_id > keep.keep_id),
+cov AS (
+  SELECT DISTINCT doc_id, pos + o AS cp
+  FROM exc, unnest(range(0, 8)) AS t(o)),
+spanstats AS (
+  SELECT c.doc_id,
+         count(*) AS n_removed,
+         sum(CASE WHEN p.cp IS NULL THEN 1 ELSE 0 END) AS n_spans
+  FROM cov c
+  LEFT JOIN cov p ON p.doc_id = c.doc_id AND p.cp = c.cp - 1
+  GROUP BY c.doc_id),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+rebuilt AS (
+  SELECT tp.doc_id,
+         coalesce(string_agg(tp.tok, ' ' ORDER BY tp.pos), '') AS clean
+  FROM tokpos tp
+  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.pos
+  WHERE cov.cp IS NULL
+  GROUP BY tp.doc_id)
+SELECT t.doc_id,
+       md5(coalesce(r.clean, '')) AS fp,
+       CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+FROM toks t
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN spanstats s USING (doc_id)
+"""
+
+
 def q_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical content fingerprints (F5): the per-doc md5 fingerprint
-    over the sf documents table plus the exact-dup groups over the planted
-    corpus, harmonized to (variant, doc_id, fp, n_dup) — dup-group rows
-    carry keep_id as doc_id."""
+    """Canonical content fingerprints (F5) + substring excision: the
+    per-doc md5 fingerprint over the sf documents table, the exact-dup
+    groups over the planted corpus, and the passage-excision output
+    (fp = md5 of the surviving text; n_dup = tokens removed, plus an
+    excise_spans variant carrying the merged-span count), harmonized to
+    (variant, doc_id, fp, n_dup)."""
     fp = q_doc_fingerprints(spark, sf_dir).select(
         F.lit("doc_fp").alias("variant"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2647,7 +2712,20 @@ def q_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fingerprint").alias("fp"),
         F.col("n_dup").cast("long").alias("n_dup"),
     )
-    return fp.unionByName(grp)
+    exc = q_excise_passages(spark, sf_dir)
+    exc_text = exc.select(
+        F.lit("excise").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("clean_text").alias("fp"),
+        F.col("n_tokens_removed").cast("long").alias("n_dup"),
+    )
+    exc_spans = exc.filter(F.col("n_spans") > 0).select(
+        F.lit("excise_spans").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("fp"),
+        F.col("n_spans").cast("long").alias("n_dup"),
+    )
+    return fp.unionByName(grp).unionByName(exc_text).unionByName(exc_spans)
 
 
 ORACLE_FINGERPRINT_SUITE = f"""
@@ -2657,6 +2735,12 @@ FROM ({ORACLE_DOC_FINGERPRINTS}) f
 UNION ALL
 SELECT 'dup_group', CAST(keep_id AS BIGINT), fingerprint, CAST(n_dup AS BIGINT)
 FROM ({ORACLE_EXACT_DUP_GROUPS}) g
+UNION ALL
+SELECT 'excise', CAST(doc_id AS BIGINT), fp, n_removed
+FROM ({ORACLE_EXCISE_PASSAGES}) e
+UNION ALL
+SELECT 'excise_spans', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR), n_spans
+FROM ({ORACLE_EXCISE_PASSAGES}) e2 WHERE n_spans > 0
 """
 
 

@@ -78,6 +78,64 @@ def expected_pairs(n_rows: int) -> tuple[set, set]:
     return exact, near
 
 
+PASSAGE_DOC_WORDS = 60
+PASSAGE_LEN = 12
+
+
+def passage_corpus(
+    spark: SparkSession, n_rows: int, n_partitions: int | None = None
+) -> DataFrame:
+    """Corpus with PLANTED SHARED PASSAGES for substring-level excision
+    (dedup.excise_shared_passages): each doc is 60 otherwise-unique words
+    (id-derived — two docs share no 8-gram by construction), with 12-token
+    passages ``p<g>x0 .. p<g>x11`` injected on a deterministic schedule:
+
+    - ``id % 4 == 1``: passage P(id % 3) at positions [20, 32) — the
+      plain single-span case (min id of each group keeps its copy);
+    - ``id % 4 == 2``: P(3 + id % 2) at [10, 22) AND P(5) at [22, 34) —
+      two ADJACENT shared spans that must merge to one excised span;
+    - ``id % 4 == 3 and id % 3 == 0``: P(6) at [48, 60) — a passage
+      flush against the document end (boundary case);
+    - ``id % 4 == 0``: no passage — must pass through untouched.
+
+    Pure Column expressions, deterministic, scales like the other
+    generators. Output: ``doc_id, text``."""
+    df = spark.range(
+        0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism
+    )
+    i = F.col("id")
+
+    def uword(j: F.Column) -> F.Column:
+        h = F.abs(F.xxhash64(i, j, F.lit(SEED + 9)))
+        return F.concat(F.lit("u"), h.cast("string"))
+
+    def pword(g: F.Column, off: F.Column) -> F.Column:
+        return F.concat(
+            F.lit("p"), g.cast("string"), F.lit("x"), off.cast("string")
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(PASSAGE_DOC_WORDS - 1))
+
+    def word(j: F.Column) -> F.Column:
+        return (
+            F.when(
+                (i % 4 == 1) & (j >= 20) & (j < 32), pword(i % 3, j - 20)
+            )
+            .when(
+                (i % 4 == 2) & (j >= 10) & (j < 22),
+                pword(F.lit(3) + i % 2, j - 10),
+            )
+            .when((i % 4 == 2) & (j >= 22) & (j < 34), pword(F.lit(5), j - 22))
+            .when(
+                (i % 4 == 3) & (i % 3 == 0) & (j >= 48), pword(F.lit(6), j - 48)
+            )
+            .otherwise(uword(j))
+        )
+
+    text = F.concat_ws(" ", F.transform(idx, word))
+    return df.select(i.alias("doc_id"), text.alias("text"))
+
+
 SPAM_WORDS = (
     "buy", "click", "free", "win", "now", "offer", "casino", "prize",
 )
