@@ -91,6 +91,32 @@ def main() -> None:
     model = train_quality_model(qcorp)
     write_one(model.to_df(spark), "quality_weights")
     write_one(qcorp, f"quality_corpus_{N_DOCS}")
+
+    # BPE tokenizer fixtures: merges learned (deterministically) on the
+    # synthetic corpus word frequencies, plus the EXHAUSTIVE word →
+    # subword-pieces table for that corpus — the chunking oracle rebuilds
+    # each doc's subword stream from the committed table while Spark runs
+    # the live Arrow encoder, so the gate pins encoder + window arithmetic.
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.functions.bpe import Bpe, train_bpe
+    from validate_xml_rust_spark.functions.texthash import tokens
+
+    wc = {
+        r["w"]: r["c"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    bpe = Bpe(train_bpe(wc, n_merges=300))
+    write_one(bpe.to_df(spark), "bpe_merges")
+    words = sorted(wc)
+    write_one(
+        spark.createDataFrame(
+            [(w, len(bpe.encode(w)), " ".join(bpe.encode(w))) for w in words],
+            "word string, n_sub long, subs string",
+        ),
+        f"bpe_words_{N_DOCS}",
+    )
     spark.stop()
 
     import numpy as np

@@ -70,9 +70,12 @@ def _combine_shingles(x: "np.ndarray", k: int, mult: "np.ndarray") -> "np.ndarra
     return np.unique(w)
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct shingle hashes (array<long>) — token hashes JVM-side, the
-    k-window combine vectorized in an Arrow-batched numpy UDF."""
+def shingle_hashes_from(hashes: Column, k: int = 3) -> Column:
+    """Distinct shingle hashes (array<long>) from a PRECOMPUTED token-hash
+    array — the k-window combine vectorized in an Arrow-batched numpy UDF.
+    Lets callers pick the token domain (whitespace words via
+    ``token_hashes``, BPE subwords via ``functions.bpe.bpe_token_hashes``)
+    without duplicating the combine."""
     mult = _window_multipliers(k)
 
     @F.pandas_udf("array<long>")
@@ -87,7 +90,13 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
                 out.append(_combine_shingles(x, k, mult).astype(np.int64))
         return pd.Series(out)
 
-    return sh(token_hashes(text))
+    return sh(hashes)
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct shingle hashes (array<long>) — token hashes JVM-side, the
+    k-window combine vectorized in an Arrow-batched numpy UDF."""
+    return shingle_hashes_from(token_hashes(text), k)
 
 
 def _combine_shingles_seq(x: "np.ndarray", k: int, mult: "np.ndarray") -> "np.ndarray":

@@ -119,6 +119,32 @@ def contamination_flags(
     )
 
 
+def _gram_hashes(col: Column, n: int, tokenizer: str, bpe) -> Column:
+    """Distinct n-gram hashes in the chosen token domain: whitespace words
+    (default) or BPE subwords (model-token space — the domain real
+    decontamination thresholds like "13 tokens" are defined in)."""
+    if tokenizer == "ws":
+        return shingle_hashes(col, n)
+    if tokenizer == "bpe":
+        from validate_xml_rust_spark.functions.bpe import bpe_token_hashes
+        from validate_xml_rust_spark.functions.texthash import (
+            shingle_hashes_from,
+        )
+
+        return shingle_hashes_from(bpe_token_hashes(col, bpe), n)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def _token_count(col: Column, tokenizer: str, bpe) -> Column:
+    if tokenizer == "ws":
+        from validate_xml_rust_spark.functions.texthash import tokens
+
+        return F.size(tokens(col))
+    from validate_xml_rust_spark.functions.bpe import bpe_token_count
+
+    return bpe_token_count(col, bpe)
+
+
 def contamination_sweep(
     df: DataFrame,
     benchmark: DataFrame,
@@ -128,6 +154,8 @@ def contamination_sweep(
     primary_n: int = 13,
     min_n: int = 5,
     broadcast: bool = True,
+    tokenizer: str = "ws",
+    bpe=None,
 ) -> DataFrame:
     """N-gram-LENGTH-sweep decontamination — the public GPT-3/PaLM recipe:
     long benchmark entries match by shared ``primary_n``-grams (13 is the
@@ -150,10 +178,17 @@ def contamination_sweep(
     is the per-doc count of the (tiny) hit stream. Entries below
     ``min_n`` tokens are excluded — matching 1-2-token strings flags
     everything and is noise, not contamination (same floor as the
-    published recipes)."""
-    from validate_xml_rust_spark.functions.texthash import tokens
+    published recipes).
 
-    bn = benchmark.withColumn("__bn", F.size(tokens(F.col(bench_text_col))))
+    ``tokenizer="bpe"`` (with a ``bpe`` encoder from functions/bpe.py)
+    runs the WHOLE sweep in model-token space: entry lengths, the 13-gram
+    threshold, and the gram hashes themselves are all measured in BPE
+    subwords — the domain the published recipes actually define their
+    thresholds in (a 6-word quiz question is often ≥ 10 model tokens, so
+    word-domain length routing misclassifies it)."""
+    bn = benchmark.withColumn(
+        "__bn", _token_count(F.col(bench_text_col), tokenizer, bpe)
+    )
     # distinct short lengths present in the benchmark: bounded driver round
     short_lengths = sorted(
         r["__bn"]
@@ -173,13 +208,15 @@ def contamination_sweep(
     hits = None
     for n, bench_slice in passes:
         bench_grams = bench_slice.select(
-            F.explode(shingle_hashes(F.col(bench_text_col), n)).alias("__g")
+            F.explode(
+                _gram_hashes(F.col(bench_text_col), n, tokenizer, bpe)
+            ).alias("__g")
         ).distinct()
         if broadcast:
             bench_grams = F.broadcast(bench_grams)
         doc_grams = df.select(
             F.col(id_col).alias("__id"),
-            F.explode(shingle_hashes(F.col(text_col), n)).alias("__g"),
+            F.explode(_gram_hashes(F.col(text_col), n, tokenizer, bpe)).alias("__g"),
         )
         h = doc_grams.join(bench_grams, "__g").groupBy("__id").agg(
             F.count(F.lit(1)).alias("__n")
@@ -213,6 +250,8 @@ def chunk_documents(
     overlap: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "ws",
+    bpe=None,
 ) -> DataFrame:
     """Fixed-size token windowing for pretraining: each document's token
     sequence is split into chunks of ``chunk_tokens`` tokens, consecutive
@@ -230,18 +269,46 @@ def chunk_documents(
 
     Output: ``(id_col, chunk_idx, chunk_text, n_tokens)``.
 
+    ``tokenizer="ws"`` (default) budgets in whitespace-word tokens;
+    ``tokenizer="bpe"`` budgets in SUBWORD tokens of the committed BPE
+    vocabulary (functions/bpe.py — pass a ``bpe`` encoder or the fixture
+    default loads), so chunk sizes are model-real: chunk boundaries fall
+    at BPE-token granularity (mid-word is allowed, exactly like real
+    pretraining pipelines) and chunk_text is the space-joined subword
+    pieces (``</w>``-marked), losslessly decodable via
+    ``Bpe.decode_pieces``.
+
     Scale shape: pure Column expressions (tokenize → sequence →
     transform → posexplode) — a NARROW op, zero shuffle, streaming
     through the scan; per-doc work is O(n_tokens · chunks_per_doc) and
     chunk counts are small, so the interpreted higher-order functions
-    stay off the hot path (no Arrow batch needed). Restatable in ANSI
-    SQL for the gate oracle."""
+    stay off the hot path. The bpe path swaps the token array for one
+    Arrow-batched encode (Catalyst dedups the identical UDF expressions
+    into a single evaluation — pinned by a plan test); the windowing
+    arithmetic is SHARED between modes, so the ws-mode oracle pins the
+    bpe mode's stride math too. Restatable in ANSI SQL for the gate
+    oracle."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     from validate_xml_rust_spark.functions.texthash import tokens
 
     stride = chunk_tokens - overlap
-    w = tokens(F.col(text_col))
+    if tokenizer == "ws":
+        tok = tokens(F.col(text_col))
+    elif tokenizer == "bpe":
+        from validate_xml_rust_spark.functions.bpe import bpe_tokens, default_bpe
+
+        tok = bpe_tokens(
+            F.col(text_col), bpe or default_bpe(df.sparkSession)
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    # materialize the token array as a plain attribute FIRST: the window
+    # expressions reference it inside higher-order-function lambdas, where
+    # a Python UDF (the bpe path) is not allowed inline — and the shared
+    # attribute keeps the Arrow encode evaluated once, not per reference
+    toked = df.select(F.col(id_col), tok.alias("__w"))
+    w = F.col("__w")
     n = F.size(w)
     n_chunks = (
         F.when(n <= 0, F.lit(0))
@@ -264,9 +331,16 @@ def chunk_documents(
             ),
         ),
     )
+    # explode_OUTER + post-filter, not plain explode: Generate(outer=false)
+    # makes the optimizer infer a size()>0 pre-filter and push it below the
+    # projection — duplicating the token computation (a SECOND Arrow encode
+    # per row on the bpe path, plan-tested). Outer generate infers nothing;
+    # the NULL rows of zero-token docs drop in a filter on the generate's
+    # own output, which cannot be pushed down.
     return (
-        df.select(F.col(id_col), F.when(n > 0, chunks).alias("__c"))
-        .select(id_col, F.explode("__c").alias("__e"))
+        toked.select(F.col(id_col), F.when(n > 0, chunks).alias("__c"))
+        .select(id_col, F.explode_outer("__c").alias("__e"))
+        .filter(F.col("__e").isNotNull())
         .select(
             id_col,
             F.col("__e.chunk_idx").alias("chunk_idx"),

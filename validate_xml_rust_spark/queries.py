@@ -3203,6 +3203,68 @@ FROM c, unnest(range(0, n_chunks)) AS t(i)
 """
 
 
+def q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-real chunking: the same 40/8 sliding window, budgeted in BPE
+    SUBWORD tokens of the committed vocabulary (functions/bpe.py) over the
+    planted synthetic corpus. Spark runs the live Arrow encoder + the
+    shared window expressions; the oracle rebuilds every doc's subword
+    stream from the committed word→pieces fixture table and re-derives
+    every chunk boundary and chunk string from the same stride arithmetic
+    in SQL — so encoder output AND window math are both pinned."""
+    from validate_xml_rust_spark.functions.bpe import default_bpe
+    from validate_xml_rust_spark.operators.curation import chunk_documents
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    return chunk_documents(
+        docs, chunk_tokens=40, overlap=8, tokenizer="bpe",
+        bpe=default_bpe(spark),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS_BPE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+tw AS (
+  SELECT doc_id, i AS wpos, w[i] AS word
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+ts AS (
+  SELECT tw.doc_id, tw.wpos, string_split(b.subs, ' ') AS pieces
+  FROM tw JOIN '{_FIXTURES / "bpe_words_600.parquet"}' b USING (word)),
+flat AS (
+  SELECT doc_id, flatten(list(pieces ORDER BY wpos)) AS s
+  FROM ts GROUP BY doc_id),
+c AS (
+  SELECT doc_id, len(s) AS n, s,
+         CASE WHEN len(s) <= 40 THEN 1
+              ELSE CAST(floor((len(s) - 40 + 31) / 32) + 1 AS INT) END AS n_chunks
+  FROM flat WHERE len(s) > 0)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(s[i*32+1 : i*32+40], ' ') AS chunk_text,
+       CAST(least(n - i*32, 40) AS INT) AS n_tokens
+FROM c, unnest(range(0, n_chunks)) AS t(i)
+"""
+
+
+def q_chunk_documents_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both chunking token domains, one gate: whitespace words over the sf
+    documents table, BPE subwords over the fixture corpus (variant col)."""
+    a = q_chunk_documents(spark, sf_dir).withColumn("variant", F.lit("ws"))
+    b = q_chunk_documents_bpe(spark, sf_dir).withColumn("variant", F.lit("bpe"))
+    return a.unionByName(b)
+
+
+ORACLE_CHUNK_DOCUMENTS_SUITE = (
+    _wrap_variant("ws", ORACLE_CHUNK_DOCUMENTS)
+    + "\nUNION ALL\n"
+    + _wrap_variant("bpe", ORACLE_CHUNK_DOCUMENTS_BPE)
+)
+
+
 def q_pandas_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched named-validator path (§2.8 UDF surface,
     specs kind ``pandas_check``) driven end-to-end through validate():
@@ -3387,7 +3449,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "content_sample": q_content_sample,
     "decontaminate": q_decontaminate_suite,
-    "chunk_documents": q_chunk_documents,
+    "chunk_documents": q_chunk_documents_suite,
     "redact_pii": q_redact_pii,
     "strip_boilerplate": q_strip_boilerplate,
     "pack_sequences": q_pack_sequences,
@@ -3440,7 +3502,7 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "content_sample": ORACLE_CONTENT_SAMPLE,
     "decontaminate": ORACLE_DECONTAMINATE_SUITE,
-    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS_SUITE,
     "redact_pii": ORACLE_REDACT_PII,
     "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
