@@ -404,3 +404,76 @@ def test_contamination_sweep_empty_benchmark(spark):
     out = {r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
            for r in contamination_sweep(docs, bench).collect()}
     assert out == {1: (False, 0), 2: (False, 0)}
+
+
+def test_rollup_quality_stats_matches_direct_aggregation(spark):
+    """The domain grain derived from (domain, host) DECIMAL partials must
+    equal a DIRECT aggregation at each grain (exact sums compose), and be
+    partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.hostquality import (
+        group_quality_stats,
+        rollup_quality_stats,
+    )
+
+    rows = [
+        (i, f"h{i % 6}", f"d{(i % 6) % 2}",
+         f"the quick text number {i} with some words and punctuation.")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, dom string, text string")
+    rolled = {
+        (r["grain"], r["group_value"]): (r["n_docs"], r["mean_quality"])
+        for r in rollup_quality_stats(df, host_col="host", domain_col="dom").collect()
+    }
+    direct_host = {
+        ("host", r["host"]): (r["n_docs"], r["mean_quality"])
+        for r in group_quality_stats(df, group_col="host").collect()
+    }
+    direct_dom = {
+        ("domain", r["dom"]): (r["n_docs"], r["mean_quality"])
+        for r in group_quality_stats(df, group_col="dom").collect()
+    }
+    assert rolled == {**direct_host, **direct_dom}
+    rolled2 = {
+        (r["grain"], r["group_value"]): (r["n_docs"], r["mean_quality"])
+        for r in rollup_quality_stats(
+            df.repartition(13), host_col="host", domain_col="dom"
+        ).collect()
+    }
+    assert rolled2 == rolled
+
+
+def test_host_quality_violations_domain_rollup(spark):
+    """Both grains emitted from one shuffle: a bad host inside a healthy
+    domain flags at host grain only; a domain whose pooled mean falls
+    below the domain threshold flags at domain grain too."""
+    from validate_xml_rust_spark.operators.hostquality import (
+        host_quality_violations,
+    )
+
+    good = "the sensible readable text, with words and meaning."
+    bad = "zzzz!!!! ???? #### @@@@ %%%%"
+    rows = (
+        [(i, "good-host", "good-dom", good) for i in range(10)]
+        + [(100 + i, "ok-host", "bad-dom", good) for i in range(5)]
+        + [(200 + i, "bad-host", "bad-dom", bad) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id long, host string, dom string, text string")
+    out = host_quality_violations(
+        df, group_col="host", constraint_id="hq",
+        min_mean_quality=0.3, min_docs=5,
+        domain_col="dom", domain_min_mean_quality=0.4, domain_min_docs=5,
+    ).collect()
+    got = {(r["constraint_id"], r["url"]) for r in out}
+    assert ("hq", "bad-host") in got
+    assert ("hq@dom", "bad-dom") in got
+    assert all(u != "good-dom" for (_, u) in got)
+    assert all(u != "good-host" for (_, u) in got)
+    # without domain_col the behavior is unchanged (host grain only)
+    flat = host_quality_violations(
+        df, group_col="host", constraint_id="hq",
+        min_mean_quality=0.3, min_docs=5,
+    ).collect()
+    assert {(r["constraint_id"], r["url"]) for r in flat} == {("hq", "bad-host")}

@@ -28,7 +28,10 @@ Constraint params:
   sweep instead (short benchmark entries matched as exact substrings)
 - host_quality: {"group_col": col?, "min_mean_quality": 0.5,
   "min_docs": 1, "quality_col": col?} — per-host mean-quality keep/drop
-  via the salted aggregation (operators/hostquality.py)
+  via the salted aggregation (operators/hostquality.py); add
+  {"domain_col": col, "domain_min_mean_quality"?, "domain_min_docs"?}
+  for the domain→host rollup (violations at both grains from one corpus
+  shuffle, domain rows as constraint_id@domain_col)
 """
 
 from __future__ import annotations
@@ -203,6 +206,8 @@ def _table_violations_for(
             host_quality_violations,
         )
 
+        dmq = c.params.get("domain_min_mean_quality")
+        dmd = c.params.get("domain_min_docs")
         return host_quality_violations(
             df,
             group_col=c.params.get("group_col", c.column),
@@ -211,6 +216,9 @@ def _table_violations_for(
             min_docs=int(c.params.get("min_docs", 1)),
             text_col=c.params.get("text_col", "text"),
             quality_col=c.params.get("quality_col"),
+            domain_col=c.params.get("domain_col"),
+            domain_min_mean_quality=float(dmq) if dmq is not None else None,
+            domain_min_docs=int(dmd) if dmd is not None else None,
         ).select(*VIOLATION_COLS)
     if c.kind == "fd":
         from validate_xml_rust_spark.operators.profile import fd_violations

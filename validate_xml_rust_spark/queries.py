@@ -3030,7 +3030,15 @@ def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "partition_id", (F.col("doc_id") % 8).cast("int")
-    ).withColumn("doc_key", F.col("doc_id").cast("string"))
+    ).withColumn("doc_key", F.col("doc_id").cast("string")).withColumn(
+        # the rollup grain: a deterministic domain over the src hosts
+        # (the TLD/registered-domain analog for the synthetic sources)
+        "domain",
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0,
+            F.lit("dom-even"),
+        ).otherwise(F.lit("dom-odd")),
+    )
     routed = ["en", "de", "fr"]
     scoped = docs.filter(F.col("lang").isin(routed))
     spec = Spec(
@@ -3045,8 +3053,14 @@ def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                        {"ref_table": "sources", "parent_key": "source"}),
             Constraint("fd_source_lang", "source", "fd",
                        {"determinant": ["source"], "dependent": "lang"}),
+            # domain→host rollup: one corpus shuffle at (domain, host)
+            # grain, violations at both grains (domain rows surface as
+            # hq_source@domain) — 0.667 splits the two domains at sf0.01
             Constraint("hq_source", "source", "host_quality",
-                       {"min_mean_quality": 0.67, "min_docs": 5}),
+                       {"min_mean_quality": 0.67, "min_docs": 5,
+                        "domain_col": "domain",
+                        "domain_min_mean_quality": 0.667,
+                        "domain_min_docs": 5}),
             Constraint("drift_lang", "lang", "drift",
                        {"test": "psi", "threshold": 0.0}),
         ),
@@ -3100,10 +3114,11 @@ fd AS (
              + max(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_dep
         FROM scoped WHERE source IS NOT NULL
         GROUP BY source HAVING n_dep > 1) g),
-hqq AS (
+hq_docs AS (
   SELECT source,
-         count(*) AS n_docs,
-         round(CAST(sum(CAST(round(least(greatest(
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 'dom-even' ELSE 'dom-odd' END AS domain,
+         CAST(round(least(greatest(
              CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS DOUBLE)
                / greatest(length(coalesce(text,'')), 1) * 0.5
            + least(((length(' ' || lower(coalesce(text,'')) || ' ') - length(replace(' ' || lower(coalesce(text,'')) || ' ', ' the ', ''))) / 5.0
@@ -3115,12 +3130,22 @@ hqq AS (
                    BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
            - (CASE WHEN CAST(length(regexp_replace(coalesce(text,''), '[^.,!?;:]', '', 'g')) AS DOUBLE)
                         / greatest(length(coalesce(text,'')), 1) > 0.1 THEN 0.2 ELSE 0.0 END),
-           0.0), 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 6) AS mean_quality
-  FROM scoped WHERE source IS NOT NULL GROUP BY source),
+           0.0), 1.0), 6) AS DECIMAL(18,6)) AS q6
+  FROM scoped WHERE source IS NOT NULL),
+hqq AS (
+  SELECT source, count(*) AS n_docs,
+         round(CAST(sum(q6) AS DOUBLE) / count(*), 6) AS mean_quality
+  FROM hq_docs GROUP BY source),
+hqd AS (
+  SELECT domain, count(*) AS n_docs,
+         round(CAST(sum(q6) AS DOUBLE) / count(*), 6) AS mean_quality
+  FROM hq_docs GROUP BY domain),
 hq AS (
   SELECT 'hq_source' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
   FROM hqq WHERE n_docs >= 5 AND mean_quality < 0.67),
+hq_dom AS (
+  SELECT 'hq_source@domain' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM hqd WHERE n_docs >= 5 AND mean_quality < 0.667),
 pbase AS (
   SELECT lang AS cat, CAST(count(*) AS DOUBLE) AS b
   FROM scoped WHERE lang IS NOT NULL GROUP BY 1),
@@ -3153,7 +3178,8 @@ psi AS (
 SELECT * FROM (
   SELECT * FROM row_v UNION ALL SELECT * FROM uq UNION ALL
   SELECT * FROM refv UNION ALL SELECT * FROM fd UNION ALL
-  SELECT * FROM hq UNION ALL SELECT * FROM psi) all_v
+  SELECT * FROM hq UNION ALL SELECT * FROM hq_dom UNION ALL
+  SELECT * FROM psi) all_v
 WHERE n_violations > 0
 """
 
