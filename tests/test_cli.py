@@ -303,3 +303,79 @@ def test_cli_quarantine_empty_skips_write(tmp_path, capsys):
     assert code == 0
     assert "No rows to quarantine" in out
     assert not os.path.exists(qdir)
+
+
+def test_cli_replay_repair_loop(tmp_path, spark, capsys):
+    """The human repair loop: validate with a too-strict spec →
+    quarantine failures → FIX the spec → --replay the quarantine dir →
+    newly-valid rows go green, only genuinely-bad rows re-quarantine
+    (same dir — the loop closes), and --prior's store is updated with
+    the replayed verdicts (never carry the stale failures forward)."""
+    import json, os
+
+    def spec_file(name, predicate):
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps({
+            "spec_id": f"{name}-v1",
+            "constraints": [
+                {"constraint_id": name, "column": "url", "kind": "expr",
+                 "params": {"predicate": predicate}},
+            ],
+        }))
+        return str(p)
+
+    strict = spec_file("strict", "url NOT LIKE '%.example.net%'")
+    fixed = spec_file("fixed", "url IS NOT NULL")
+    prior = str(tmp_path / "store")
+    qdir = str(tmp_path / "q")
+
+    code1 = main(["synth:300", "--spec", strict, "--quarantine", qdir,
+                  "--prior", prior, "-q"])
+    assert code1 == 3
+    q1 = spark.read.parquet(qdir)
+    n_bad1 = q1.count()
+    n_bad1_null = q1.filter("url IS NULL").count()
+    assert n_bad1 > 1
+    # materialize BEFORE replay overwrites the store dir (lazy frames
+    # would rescan deleted files)
+    store1 = spark.read.parquet(prior)
+    store1_rows = store1.count()
+    store1_invalid = store1.filter("status = 'invalid'").count()
+    # the current run's NULL-url rows sit in the store until the next
+    # rewrite retires them (documented --prior behavior)
+    store1_null = store1.filter("url IS NULL").count()
+    assert store1_null == n_bad1_null
+    assert store1_invalid == n_bad1
+
+    code2 = main([qdir, "--replay", "--spec", fixed, "--quarantine", qdir,
+                  "--prior", prior])
+    out2 = capsys.readouterr().out
+    assert "updated the store" in out2
+    # only the genuinely-bad rows (NULL urls) survive the fixed spec
+    # (refresh: the shared test session's file-status cache holds the
+    # previous generation's listing for overwritten dirs)
+    spark.catalog.refreshByPath(qdir)
+    spark.catalog.refreshByPath(prior)
+    q2 = spark.read.parquet(qdir)
+    assert 0 < q2.count() < n_bad1
+    assert q2.filter("url IS NOT NULL").count() == 0
+    assert code2 == 3  # the NULL-url rows are still invalid
+    # the store now holds GREEN verdicts for every repaired row
+    store2 = spark.read.parquet(prior)
+    assert store2.filter("status != 'valid'").count() == 0
+    # replay's rewrite retires the unmatchable NULL-url rows
+    assert store2.count() == store1_rows - store1_null
+
+    # loop convergence: replaying the residue under the SAME fixed spec
+    # changes nothing (still exit 3, same rows re-quarantined)
+    n_q2 = q2.count()  # materialize before code3 overwrites the dir
+    code3 = main([qdir, "--replay", "--spec", fixed, "--quarantine", qdir,
+                  "--prior", prior, "-q"])
+    assert code3 == 3
+    spark.catalog.refreshByPath(qdir)
+    assert spark.read.parquet(qdir).count() == n_q2
+
+    # --replay with a synth: path is a config error
+    assert main(["synth:10", "--replay", "-q"]) == 1
+    # --replay of a missing dir is a config error, not a crash
+    assert main([str(tmp_path / "nope_q"), "--replay", "-q"]) == 1

@@ -68,6 +68,19 @@ def build_parser() -> argparse.ArgumentParser:
              "run's verdicts (the reference's mtime+hash cache skip, "
              "src/cache.rs:139-316, at row granularity)",
     )
+    p.add_argument(
+        "--replay",
+        action="store_true",
+        help="treat PATH as a quarantine dir written by --quarantine: "
+             "re-validate its payload rows under the CURRENT spec (the "
+             "repair loop — fix the spec, replay the failures), "
+             "re-quarantine rows that still fail (--quarantine may point "
+             "back at the same dir), and with --prior UPDATE the verdict "
+             "store with the replayed verdicts — never carry the stale "
+             "failing verdicts forward (the content didn't change; the "
+             "spec did). The reference analog: re-running failed files "
+             "after fixing a schema",
+    )
     return p
 
 
@@ -136,7 +149,18 @@ def main(argv: list[str] | None = None) -> int:
 
     phases = PhaseTracker().start("discovery")
     t0 = time.perf_counter()
-    if synth_n is not None:
+    if args.replay:
+        if synth_n is not None:
+            print("--replay needs a quarantine dir PATH", file=sys.stderr)
+            return 1
+        from validate_xml_rust_spark.operators.outputs import read_quarantine
+
+        try:
+            df = read_quarantine(spark, args.path)
+        except Exception as e:
+            print(f"Failed to read quarantine dir: {e}", file=sys.stderr)
+            return 1
+    elif synth_n is not None:
         df = pages(spark, synth_n)
     else:
         df = read_pages_dir(spark, args.path)
@@ -197,8 +221,12 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- row-level snapshot-diff mode: carry forward unchanged rows'
     # verdicts from the --prior store, re-validate only the delta, and
-    # replace the store with this run's verdicts (chained runs)
-    if args.prior:
+    # replace the store with this run's verdicts (chained runs).
+    # NOT in --replay: quarantined content is unchanged while the SPEC
+    # changed, so the (url, fp) reuse join would carry the stale failing
+    # verdicts forward and defeat the repair loop — replay re-validates
+    # everything and updates the store afterwards (below).
+    if args.prior and not args.replay:
         phases.start("validation")
         from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
         from validate_xml_rust_spark.operators.resume import incremental_verdicts
@@ -316,12 +344,23 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- validation + aggregation phases
     phases.start("validation")
+    keep = list(qcols or [])
+    if args.replay and args.prior:
+        # the store update below needs the content fingerprint alongside
+        # each replayed verdict — compute it on the input, ride keep_cols
+        from validate_xml_rust_spark.operators.resume import (
+            content_fingerprint,
+        )
+
+        fcols = [c for c in ("text", "lang") if c in df.columns] or ["url"]
+        df = df.withColumn("content_fp", content_fingerprint(fcols))
+        keep.append("content_fp")
     res = validate(
         df, spark, registry,
         route_col=args.route_col,
         route_mode=args.route_mode,
         override_spec_id=override_id,
-        keep_cols=qcols,
+        keep_cols=keep or None,
     )
     # The verdicts frame feeds up to four consumers (parquet writes,
     # summary, manifest metrics, report) — checkpoint once so the
@@ -363,6 +402,36 @@ def main(argv: list[str] | None = None) -> int:
         sid = write_manifest(partition_metrics(res.verdicts, run_id), args.manifest)
         if not args.quiet:
             print(f"Committed snapshot {sid} (run {run_id}) to {args.manifest}")
+
+    # --- replay store update: the replayed verdicts SUPERSEDE the store's
+    # rows for these urls (the content fp is unchanged, so a plain union
+    # + dedup could keep either — the anti-join removes the stale rows
+    # first). Rows absent from the replay keep their store verdicts.
+    if args.replay and args.prior:
+        try:
+            prior_store = spark.read.parquet(args.prior).select(
+                "url", "content_fp", "spec_id", "status", "error_count"
+            )
+        except Exception:
+            prior_store = spark.createDataFrame(
+                [], "url string, content_fp string, spec_id string, "
+                    "status string, error_count int",
+            )
+        new_rows = res.verdicts.select(
+            F.col("url").cast("string").alias("url"),
+            "content_fp", "spec_id", "status", "error_count",
+        ).filter(F.col("url").isNotNull())
+        keep_prior = prior_store.filter(F.col("url").isNotNull()).join(
+            new_rows.select("url").distinct(), "url", "left_anti"
+        )
+        store, store_ids = eager_checkpoint(
+            new_rows.unionByName(keep_prior)
+            .dropDuplicates(["url", "content_fp"])
+        )
+        store.write.mode("overwrite").parquet(args.prior)
+        release_blocks(spark.sparkContext, store_ids)
+        if not args.quiet:
+            print(f"Replayed verdicts updated the store at {args.prior}")
     wall_ms = (time.perf_counter() - t0) * 1000
 
     # --- report + exit code (S8/S10)

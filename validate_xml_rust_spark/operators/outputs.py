@@ -53,6 +53,26 @@ def read_violations_for(
     )
 
 
+def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """Load a quarantine dir back as an INPUT frame for replay: the
+    payload columns survive (url + whatever keep_cols rode the original
+    verdicts), the stale verdict columns are dropped — a re-validation
+    must re-derive them from scratch under the (possibly fixed) spec.
+    The status partition column is itself a verdict and is dropped too.
+
+    The path is refresh-listed first: the replay loop OVERWRITES the same
+    dir it read, and a long-lived session's FileStatusCache would
+    otherwise serve the previous generation's deleted part files."""
+    spark.catalog.refreshByPath(quarantine_dir)
+    q = spark.read.parquet(quarantine_dir)
+    stale = {
+        "status", "spec_id", "error_count", "error_details",
+        "violation_entries", "revalidated", "content_fp",
+    }
+    keep = [c for c in q.columns if c not in stale]
+    return q.select(*keep)
+
+
 def quarantine_split(
     verdicts: DataFrame,
     keep_statuses: tuple[str, ...] = ("valid", "skipped"),
