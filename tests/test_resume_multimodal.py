@@ -428,3 +428,87 @@ def test_snapshot_source_seam(spark):
     key = lambda r: (r["doc_key"],)
     assert sorted(base.collect(), key=key) == sorted(seam.collect(), key=key)
     assert seam.filter(F.col("revalidated")).count() == 4  # ids 8..11
+
+
+@pytest.mark.parametrize("source_kind", ["parquet", "directory"])
+def test_snapshot_source_seam_two_implementations(spark, tmp_path, source_kind):
+    """The SnapshotSource seam has TWO implementations — the join-based
+    ParquetSnapshotSource and the generation-addressed catalog
+    DirectorySnapshotSource (broadcast-planned, Iceberg-layout skeleton)
+    — and incremental_verdicts is byte-identical through both: same
+    planted corpus, same carry/delta routing, same verdicts."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.resume import (
+        DirectorySnapshotSource,
+        ParquetSnapshotSource,
+        content_fingerprint,
+        incremental_verdicts,
+    )
+    from validate_xml_rust_spark.operators.validate import validate
+
+    docs = with_partition_id(pages(spark, 400), 4).withColumn(
+        "doc_key", F.coalesce(F.col("url"), F.concat(F.lit("k"), F.col("partition_id")))
+    )
+    fcols = ["text", "lang"]
+    # prior covers 3/4 of the corpus; every 5th prior row carries a stale
+    # fingerprint (content "changed") — same planting as the driver gate
+    prior_docs = docs.filter(F.xxhash64("doc_key") % 4 != 0)
+    prior_v = validate(prior_docs, spark, _registry(), id_col="doc_key").verdicts
+    stale = F.when(F.xxhash64("doc_key") % 5 == 0, F.lit("stale")).otherwise(
+        content_fingerprint(fcols)
+    )
+    prior = prior_docs.select("doc_key", stale.alias("content_fp")).join(
+        prior_v.select(F.col("url").alias("doc_key"), "spec_id", "status",
+                       "error_count"),
+        "doc_key",
+    ).dropDuplicates(["doc_key"])
+
+    if source_kind == "parquet":
+        src = ParquetSnapshotSource(prior, id_col="doc_key")
+    else:
+        root = str(tmp_path / "catalog_root")
+        dsrc = DirectorySnapshotSource(spark, root, id_col="doc_key")
+        assert dsrc.latest() is None
+        # a superseded generation 1, then the real prior as generation 2:
+        # split must read ONLY the latest
+        assert dsrc.commit(prior.limit(10)) == 1
+        assert dsrc.commit(prior) == 2
+        assert dsrc.latest()[0] == 2
+        src = dsrc
+    out = incremental_verdicts(
+        docs, prior, spark, _registry(), fcols, id_col="doc_key",
+        source=src,
+    ).orderBy("doc_key", "content_fp").collect()
+    # identical to a from-scratch full validation, with exact routing
+    full = {
+        (r["url"],): (r["spec_id"], r["status"], r["error_count"])
+        for r in validate(docs, spark, _registry(), id_col="doc_key")
+        .verdicts.collect()
+    }
+    assert len(out) == 400
+    n_carried = sum(1 for r in out if not r["revalidated"])
+    assert n_carried > 0
+    for r in out:
+        assert full[(r["doc_key"],)] == (
+            r["spec_id"], r["status"], r["error_count"]
+        ), r["doc_key"]
+
+
+def test_directory_snapshot_source_first_run_all_delta(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.resume import (
+        DirectorySnapshotSource,
+        content_fingerprint,
+    )
+
+    docs = with_partition_id(pages(spark, 50), 2).withColumn(
+        "content_fp", content_fingerprint(["text", "lang"])
+    )
+    src = DirectorySnapshotSource(spark, str(tmp_path / "empty_root"), id_col="url")
+    matched, delta = src.split(docs, carry_cols=[])
+    assert matched.count() == 0
+    assert delta.count() == 50
+    # full schema survives (the equi-join keys lead, like the parquet source)
+    assert set(delta.columns) == set(docs.columns)

@@ -213,7 +213,11 @@ class SnapshotSource:
     - ``delta``: the remaining current rows, untouched (full schema).
 
     ``ParquetSnapshotSource`` below is the engine-agnostic sandbox
-    implementation (two joins on the uniform (id, fp) key). An Iceberg
+    implementation (two joins on the uniform (id, fp) key);
+    ``DirectorySnapshotSource`` is a SECOND implementation over a
+    directory-of-snapshots catalog (generation-addressed reads, broadcast
+    planning off cataloged row counts) proving the seam carries more than
+    one strategy. An Iceberg
     implementation of this same interface replaces the anti-join with the
     table's incremental snapshot-diff scan (`incremental read between
     prior and current snapshot ids): the delta arrives directly from
@@ -260,6 +264,112 @@ class ParquetSnapshotSource(SnapshotSource):
             self.prior_u.select(id_col, fp_col),
             on=[id_col, fp_col], how="left_anti",
         )
+        return matched, delta
+
+
+class DirectorySnapshotSource(SnapshotSource):
+    """Second implementation of the snapshot seam: a directory-of-
+    snapshots CATALOG (the file-layout skeleton of an Iceberg table).
+    Layout under ``root``::
+
+        root/catalog/          — parquet rows (snapshot_id, path, n_rows,
+                                 committed_at), append-only
+        root/snapshots/<sid>/  — one verdict-store parquet per generation
+
+    ``split`` resolves the LATEST committed generation from the catalog
+    and diffs the current corpus against ONLY that snapshot's files — the
+    generation-addressed read an Iceberg snapshot scan performs, here as
+    explicit path selection. Physical strategy also differs from
+    ``ParquetSnapshotSource``: the catalog carries row counts, so a
+    snapshot known to be small (≤ ``broadcast_rows``) is broadcast into
+    both the reuse join and the anti-join instead of sort-merge
+    shuffling the corpus side. ``commit`` writes the next generation —
+    today's verdicts become tomorrow's prior without rewriting history
+    (older generations remain for audit/rollback, the reference's cache
+    generations, src/cache.rs:139-316).
+
+    No catalog yet → empty prior → everything lands in the delta
+    (first-run semantics)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "url",
+        fp_col: str = "content_fp",
+        broadcast_rows: int = 1_000_000,
+    ) -> None:
+        self.spark, self.root = spark, root
+        self.id_col, self.fp_col = id_col, fp_col
+        self.broadcast_rows = broadcast_rows
+
+    def _catalog(self) -> DataFrame | None:
+        try:
+            self.spark.catalog.refreshByPath(f"{self.root}/catalog")
+            return self.spark.read.parquet(f"{self.root}/catalog")
+        except Exception as e:
+            from pyspark.errors import AnalysisException
+
+            if isinstance(e, AnalysisException):
+                return None  # no catalog yet → no snapshots committed
+            raise
+
+    def latest(self) -> tuple[int, str, int] | None:
+        """(snapshot_id, path, n_rows) of the newest generation, or None."""
+        cat = self._catalog()
+        if cat is None:
+            return None
+        rows = cat.orderBy(F.col("snapshot_id").desc()).limit(1).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        return int(r["snapshot_id"]), r["path"], int(r["n_rows"])
+
+    def commit(self, store: DataFrame) -> int:
+        """Write ``store`` (``(id, fp, spec_id, status, error_count)``)
+        as the next snapshot generation and record it in the catalog."""
+        head = self.latest()
+        sid = (head[0] if head else 0) + 1
+        path = f"{self.root}/snapshots/{sid}"
+        store.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        self.spark.createDataFrame(
+            [(sid, path, n)], "snapshot_id long, path string, n_rows long"
+        ).withColumn("committed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{self.root}/catalog")
+        return sid
+
+    def split(
+        self, cur: DataFrame, carry_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        id_col, fp_col = self.id_col, self.fp_col
+        head = self.latest()
+        payload = [id_col, fp_col, "spec_id", "status", "error_count"]
+        if head is None:
+            # first run: an empty prior typed off the CURRENT frame (no
+            # assumptions about the id type) — everything is delta
+            prior = (
+                cur.select(id_col, fp_col).limit(0)
+                .withColumn("spec_id", F.lit(None).cast("string"))
+                .withColumn("status", F.lit(None).cast("string"))
+                .withColumn("error_count", F.lit(None).cast("int"))
+            )
+            n_rows = 0
+        else:
+            _, path, n_rows = head
+            prior = self.spark.read.parquet(path).select(*payload).dropDuplicates(
+                [id_col, fp_col]
+            )
+        small = n_rows <= self.broadcast_rows
+        reuse_side = F.broadcast(prior) if small else prior
+        matched = cur.select(id_col, fp_col, *carry_cols).join(
+            reuse_side, on=[id_col, fp_col], how="inner"
+        )
+        anti_side = prior.select(id_col, fp_col)
+        if small:
+            anti_side = F.broadcast(anti_side)
+        delta = cur.join(anti_side, on=[id_col, fp_col], how="left_anti")
         return matched, delta
 
 
