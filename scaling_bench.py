@@ -229,6 +229,13 @@ checks, violation materialization, and per-partition aggregation.
 
 Regenerate: `python scaling_bench.py {n_docs}`
 """)
+    # hand-written round-over-round notes live in BENCH/NOTES.md so a
+    # regeneration never clobbers them (r5 lesson: the r4 notes were
+    # appended to the generated file and lost on the next rewrite)
+    notes = bench_dir / "NOTES.md"
+    if notes.exists():
+        with (bench_dir / "BASELINE.md").open("a") as f:
+            f.write("\n" + notes.read_text())
     print(f"wrote BENCH/BASELINE.md (primary efficiency={primary})")
 
 

@@ -379,3 +379,68 @@ def test_cli_replay_repair_loop(tmp_path, spark, capsys):
     assert main(["synth:10", "--replay", "-q"]) == 1
     # --replay of a missing dir is a config error, not a crash
     assert main([str(tmp_path / "nope_q"), "--replay", "-q"]) == 1
+
+
+def test_cli_replay_ignores_manifest(tmp_path, spark, capsys):
+    """--replay + --manifest: the resume filter must NOT swallow the
+    replay (quarantine rows belong to already-committed partitions), and
+    replay must NOT commit its quarantine-subset metrics as completed
+    partitions for later full runs."""
+    import json
+
+    def spec_file(name, predicate):
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps({
+            "spec_id": f"{name}-v1",
+            "constraints": [
+                {"constraint_id": name, "column": "url", "kind": "expr",
+                 "params": {"predicate": predicate}},
+            ],
+        }))
+        return str(p)
+
+    strict = spec_file("strict", "url NOT LIKE '%.example.net%'")
+    fixed = spec_file("fixed", "url IS NOT NULL")
+    manifest = str(tmp_path / "m")
+    qdir = str(tmp_path / "q")
+    code1 = main(["synth:300", "--spec", strict, "--quarantine", qdir,
+                  "--manifest", manifest, "-q"])
+    assert code1 == 3
+    spark.catalog.refreshByPath(manifest)
+    gens1 = spark.read.parquet(manifest).count()
+    code2 = main([qdir, "--replay", "--spec", fixed, "--manifest", manifest])
+    out2 = capsys.readouterr().out
+    assert "--manifest is ignored in --replay mode" in out2
+    assert "Nothing pending" not in out2
+    assert code2 == 3  # the NULL-url rows actually re-validated
+    # no new manifest generation was committed by the replay
+    spark.catalog.refreshByPath(manifest)
+    assert spark.read.parquet(manifest).count() == gens1
+
+
+def test_cli_replay_full_repair_removes_quarantine(tmp_path, spark, capsys):
+    """Loop convergence when the fixed spec repairs EVERY quarantined
+    row: the stale quarantine dir must be removed, not left holding
+    rows with their old failing verdicts."""
+    import json, os
+
+    def spec_file(name, predicate):
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps({
+            "spec_id": f"{name}-v1",
+            "constraints": [
+                {"constraint_id": name, "column": "url", "kind": "expr",
+                 "params": {"predicate": predicate}},
+            ],
+        }))
+        return str(p)
+
+    strict = spec_file("strict", "url NOT LIKE '%.example.net%'")
+    permissive = spec_file("permissive", "1 = 1")
+    qdir = str(tmp_path / "q")
+    assert main(["synth:300", "--spec", strict, "--quarantine", qdir, "-q"]) == 3
+    code = main([qdir, "--replay", "--spec", permissive, "--quarantine", qdir])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "repaired" in out and "removed" in out
+    assert not os.path.exists(qdir)

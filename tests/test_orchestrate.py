@@ -477,3 +477,48 @@ def test_host_quality_violations_domain_rollup(spark):
         min_mean_quality=0.3, min_docs=5,
     ).collect()
     assert {(r["constraint_id"], r["url"]) for r in flat} == {("hq", "bad-host")}
+
+
+def test_rollup_null_domain_does_not_perturb_host_grain(spark):
+    """A NULL domain (failed extraction) is a domain problem, not a host
+    problem: enabling the rollup must leave host-grain stats identical to
+    the flat path, and NULL domains must not appear at the domain grain."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.hostquality import (
+        group_quality_stats,
+        rollup_quality_stats,
+    )
+
+    rows = [
+        (i, f"h{i % 4}", (f"d{i % 2}" if i % 3 else None),
+         f"plain readable text with number {i} and words.")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, dom string, text string")
+    rolled = rollup_quality_stats(df, host_col="host", domain_col="dom").collect()
+    host_rolled = {
+        r["group_value"]: (r["n_docs"], r["mean_quality"])
+        for r in rolled if r["grain"] == "host"
+    }
+    host_flat = {
+        r["host"]: (r["n_docs"], r["mean_quality"])
+        for r in group_quality_stats(df, group_col="host").collect()
+    }
+    assert host_rolled == host_flat
+    dom_values = {r["group_value"] for r in rolled if r["grain"] == "domain"}
+    assert dom_values == {"d0", "d1"}  # no NULL, no sentinel leakage
+
+
+def test_contamination_sweep_tokenizer_validation(spark):
+    import pytest as _pytest
+
+    from validate_xml_rust_spark.operators.curation import contamination_sweep
+
+    bench = spark.createDataFrame([("w1 w2 w3 w4 w5 w6",)], "text string")
+    docs = spark.createDataFrame([(0, "w9 w8 w7")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        contamination_sweep(docs, bench, tokenizer="typo").collect()
+    # bpe with no encoder passed falls back to the committed fixture
+    out = contamination_sweep(docs, bench, tokenizer="bpe").collect()
+    assert len(out) == 1 and out[0]["contaminated"] is False

@@ -171,9 +171,19 @@ def main(argv: list[str] | None = None) -> int:
         df = extension_filter(df, args.extension)
     df = with_partition_id(df, args.partitions)
 
-    # --- resume: restrict to partitions not yet in the manifest (S9/J2)
+    # --- resume: restrict to partitions not yet in the manifest (S9/J2).
+    # NOT in --replay: the quarantine rows come from partitions the
+    # original run already committed, so the resume filter would drop
+    # EVERY row and report a (false) clean exit; symmetrically, replay
+    # never COMMITS to the manifest below — its partition metrics cover
+    # only the quarantine subset and would mark those partitions
+    # completed for later full runs.
     resumed = False
-    if args.manifest:
+    if args.manifest and args.replay:
+        if not args.quiet:
+            print("--manifest is ignored in --replay mode (quarantine rows "
+                  "belong to already-committed partitions)")
+    if args.manifest and not args.replay:
         from validate_xml_rust_spark.operators.resume import (
             completed_partitions,
             pending_against,
@@ -212,6 +222,23 @@ def main(argv: list[str] | None = None) -> int:
         # skip the write entirely when nothing failed — an empty
         # partitioned dir has no parquet footers and breaks readers
         if bad.limit(1).count() == 0:
+            # replay convergence: when the fixed spec repaired EVERY row,
+            # a stale quarantine dir (the rows we just replayed, still
+            # carrying their old failing verdicts) must not survive —
+            # consumers would see false failures forever and every later
+            # replay would re-validate already-fixed rows
+            if args.replay:
+                import shutil
+                from pathlib import Path as _P
+
+                if _P(args.quarantine).exists():
+                    shutil.rmtree(args.quarantine)
+                    if not args.quiet:
+                        print(
+                            "All quarantined rows repaired — "
+                            f"{args.quarantine} removed"
+                        )
+                    return
             if not args.quiet:
                 print(f"No rows to quarantine — {args.quarantine} not written")
             return
@@ -389,8 +416,9 @@ def main(argv: list[str] | None = None) -> int:
     srow = summarize(verdicts).collect()[0].asDict()
     phases.finish()
 
-    # --- commit completed partitions (one snapshot generation per run)
-    if args.manifest:
+    # --- commit completed partitions (one snapshot generation per run;
+    # never from --replay, whose metrics cover only the quarantine subset)
+    if args.manifest and not args.replay:
         from validate_xml_rust_spark.operators.resume import (
             partition_metrics,
             write_manifest,

@@ -141,6 +141,22 @@ class Bpe:
         return cls.from_df(spark.read.parquet(path))
 
 
+# Per-worker-process encoder registry: a Bpe instance is NOT picklable
+# (the lru_cache wrapper isn't), so UDF closures ship only the merges
+# tuple and each executor worker builds its encoder ONCE, here — the
+# word cache then survives across Arrow batches for the life of the
+# Python worker instead of resetting every ~10k rows.
+_WORKER_ENCODERS: dict = {}
+
+
+def _worker_bpe(merges_key: tuple) -> Bpe:
+    b = _WORKER_ENCODERS.get(merges_key)
+    if b is None:
+        b = Bpe(list(merges_key))
+        _WORKER_ENCODERS[merges_key] = b
+    return b
+
+
 def default_bpe(spark) -> Bpe:
     """The committed-fixture vocabulary (trained on the deterministic
     synthetic corpus by tools/make_fixtures.py)."""
@@ -153,15 +169,17 @@ def default_bpe(spark) -> Bpe:
 def bpe_tokens(text: Column, bpe: Bpe) -> Column:
     """Subword token stream for a document (array<string>): the engine's
     shared word tokenizer, then per-word BPE pieces flattened in order.
-    Arrow-batched; the rank dict rides the UDF closure (serialized once
-    per executor), the per-word cache amortizes repeated web vocabulary."""
+    Arrow-batched; the merges tuple rides the UDF closure and each worker
+    process compiles its encoder ONCE (module registry), so the per-word
+    cache persists across Arrow batches and amortizes repeated web
+    vocabulary."""
     from validate_xml_rust_spark.functions.texthash import tokens
 
-    merges = bpe.merges
+    merges_key = tuple((a, b) for a, b in bpe.merges)
 
     @F.pandas_udf("array<string>")
     def enc(batch: pd.Series) -> pd.Series:
-        b = Bpe(merges)  # per-worker instance, fresh cache
+        b = _worker_bpe(merges_key)  # one per worker process, cache persists
         out = []
         for words in batch:
             if words is None or len(words) == 0:
@@ -181,11 +199,11 @@ def bpe_token_count(text: Column, bpe: Bpe) -> Column:
     ``pack_sequences`` / chunk sizing."""
     from validate_xml_rust_spark.functions.texthash import tokens
 
-    merges = bpe.merges
+    merges_key = tuple((a, b) for a, b in bpe.merges)
 
     @F.pandas_udf("int")
     def cnt(batch: pd.Series) -> pd.Series:
-        b = Bpe(merges)
+        b = _worker_bpe(merges_key)
         out = []
         for words in batch:
             if words is None or len(words) == 0:

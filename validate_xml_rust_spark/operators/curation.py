@@ -140,9 +140,11 @@ def _token_count(col: Column, tokenizer: str, bpe) -> Column:
         from validate_xml_rust_spark.functions.texthash import tokens
 
         return F.size(tokens(col))
-    from validate_xml_rust_spark.functions.bpe import bpe_token_count
+    if tokenizer == "bpe":
+        from validate_xml_rust_spark.functions.bpe import bpe_token_count
 
-    return bpe_token_count(col, bpe)
+        return bpe_token_count(col, bpe)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
 def contamination_sweep(
@@ -186,6 +188,10 @@ def contamination_sweep(
     subwords — the domain the published recipes actually define their
     thresholds in (a 6-word quiz question is often ≥ 10 model tokens, so
     word-domain length routing misclassifies it)."""
+    if tokenizer == "bpe" and bpe is None:
+        from validate_xml_rust_spark.functions.bpe import default_bpe
+
+        bpe = default_bpe(df.sparkSession)  # same fallback as chunking
     bn = benchmark.withColumn(
         "__bn", _token_count(F.col(bench_text_col), tokenizer, bpe)
     )

@@ -115,9 +115,20 @@ def rollup_quality_stats(
     aggregation at that grain would produce (pinned by test). No
     rollup()/grouping-sets exchange over the raw rows: AQE cannot split
     skewed aggregations (CLAUDE.md), and the salt already handles the hot
-    hosts — the host partials are the only thing the domain grain needs."""
+    hosts — the host partials are the only thing the domain grain needs.
+
+    NULL handling: a NULL host excludes the row (no verdict without
+    attribution — same rule as the flat grain), but a NULL DOMAIN must
+    NOT perturb the host grain (a failed domain extraction is a domain
+    problem, not a host problem): such rows aggregate under an internal
+    sentinel that the host grain sums over and the domain grain filters
+    out — enabling the rollup never changes host-grain results (pinned
+    by test)."""
+    sentinel = "\x00__null_domain__"
     sums = _quality_sums(
-        df, [domain_col, host_col], text_col, quality_col, n_salts
+        df.withColumn(domain_col, F.coalesce(F.col(domain_col).cast("string"),
+                                             F.lit(sentinel))),
+        [domain_col, host_col], text_col, quality_col, n_salts,
     )
     host_rows = _project_mean(
         sums.groupBy(host_col).agg(
@@ -132,7 +143,8 @@ def rollup_quality_stats(
         "n_docs", "mean_quality",
     )
     dom_rows = _project_mean(
-        sums.groupBy(domain_col).agg(
+        sums.filter(F.col(domain_col) != sentinel)
+        .groupBy(domain_col).agg(
             F.sum("__sum_q").alias("__sum_q"),
             F.sum("n_docs").alias("n_docs"),
             F.sum("__n_scored").alias("__n_scored"),
