@@ -633,3 +633,25 @@ def test_excise_short_and_exact_length_docs(spark):
     assert got[2]["n_tokens_removed"] == 0  # keeper
     assert got[3]["n_tokens_removed"] == 8 and got[3]["clean_text"] == ""
     assert got[3]["n_tokens_kept"] == 0 and got[3]["n_spans"] == 1
+
+
+def test_exact_dedup_null_id_rows(spark):
+    """NULL-id rows: dropped when an identified keeper holds the same
+    content; kept (all of them) when the content group has no identified
+    row — unique identity-less content must never silently vanish
+    (pre-r5, id == min(id) evaluated NULL and dropped it)."""
+    rows = [
+        (0, "same content here"),
+        (None, "same content here"),     # identified keeper exists → drop
+        (None, "only null ids have this"),  # unique → must survive
+        (None, "twin nulls"), (None, "twin nulls"),  # no keeper → keep both
+        (None, None),                    # null text → survives (no fp)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    texts = {(r["doc_id"], r["text"]) for r in out}
+    assert (0, "same content here") in texts
+    assert (None, "only null ids have this") in texts
+    assert sum(1 for r in out if r["text"] == "twin nulls") == 2
+    assert sum(1 for r in out if r["text"] is None) == 1
+    assert sum(1 for r in out if r["text"] == "same content here") == 1

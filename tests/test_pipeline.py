@@ -126,3 +126,63 @@ def test_curate_minimal_config(spark):
     res = curate(docs, spark, near_dup_threshold=None)
     assert [s["step"] for s in res.report["steps"]] == ["exact_dedup"]
     assert res.kept.count() == 2 and res.packs is None
+
+
+def test_curate_excise_passages_step(spark):
+    """Passage excision as a pipeline step: shared passages are cut from
+    non-keeper docs, docs excised to nothing drop, lineage carries
+    tokens_removed / docs_with_excisions, and the prefilter's internal
+    checkpoint blocks are released once the step materializes."""
+    from validate_xml_rust_spark.pipeline import curate
+    from validate_xml_rust_spark.sources.corpus import passage_corpus
+
+    docs = passage_corpus(spark, 60, 4)
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    res = curate(
+        docs, spark, near_dup_threshold=None, excise_min_run=8,
+        sample_rate=None, pack_max_tokens=None,
+    )
+    steps = {s["step"]: s for s in res.report["steps"]}
+    exc = steps["excise_passages"]
+    assert exc["tokens_removed"] > 0
+    assert exc["docs_with_excisions"] > 0
+    assert exc["dropped"] == 0  # no 60-token doc is fully duplicated
+    got = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert len(got) == exc["rows_out"]
+    # the planted passage survives ONLY in its min-id keeper (id 5 keeps
+    # P2; id 17 loses it) and audit columns are shed from the output
+    assert "p2x0" in got[5] and "p2x0" not in got[17]
+    assert set(res.kept.columns) == {"doc_id", "text"}
+    res.release()
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert after - before == set()  # nothing strands (incl. prefilter ckpt)
+
+
+def test_curate_excise_drops_fully_duplicated_docs(spark):
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.pipeline import curate
+
+    run = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        (0, f"a0 a1 {run} a2 a3"),
+        (1, run),            # entire doc is the shared passage → dropped
+        (2, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+        (None, "c0 c1 c2"),  # no id → passes through verbatim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(
+        df, spark, near_dup_threshold=None, excise_min_run=8,
+        sample_rate=None, pack_max_tokens=None,
+    )
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert 0 in kept and "t0" in kept[0]  # keeper holds the passage
+    assert 1 not in kept                  # excised to zero tokens → dropped
+    assert kept[None] == "c0 c1 c2"       # id-less row untouched
+    exc = {s["step"]: s for s in res.report["steps"]}["excise_passages"]
+    assert exc["dropped"] == 1 and exc["tokens_removed"] == 10
+    res.release()

@@ -70,6 +70,14 @@ def exact_dedup(
     join back on the fingerprint would silently drop every one of them
     (NULL never equi-joins).
 
+    NULL-id rows: a NULL-id duplicate of identified content is dropped
+    (the identified keeper survives); a content group with NO identified
+    row keeps ALL its rows — there is no deterministic way to pick one of
+    several indistinguishable rows, and silently losing identity-less
+    unique content is worse than keeping indistinct copies. (Before r5,
+    ``id == min(id)`` evaluated NULL for these rows and dropped them
+    even when their content was unique.)
+
     ``fingerprint_col`` names a PRECOMPUTED fingerprint column on ``df``
     (kept in the output — the caller owns it); when None, the md5
     normalization fingerprint is computed here and dropped. Callers that
@@ -82,11 +90,12 @@ def exact_dedup(
     keep = fp.filter(F.col(fcol).isNotNull()).groupBy(fcol).agg(
         F.min(id_col).alias("__keep")
     )
-    return (
-        fp.join(keep, fcol, "left")
-        .filter(F.col(fcol).isNull() | (F.col(id_col) == F.col("__keep")))
-        .drop(*drop_cols)
+    survive = (
+        F.col(fcol).isNull()
+        | (F.col(id_col) == F.col("__keep"))
+        | (F.col(id_col).isNull() & F.col("__keep").isNull())
     )
+    return fp.join(keep, fcol, "left").filter(survive).drop(*drop_cols)
 
 
 def minhash_candidates(
@@ -509,14 +518,23 @@ def shared_passage_candidates(
     text_col: str = "text",
     shingle_k: int = 3,
     window: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Doc ids that share at least one winnowing fingerprint with ANOTHER
     doc — the cheap prefilter in front of exact passage marking. Unlike
     ``winnow_candidate_pairs`` this never self-joins (no quadratic bucket
     risk, no cap needed, hence LOSSLESS): one groupBy on the uniform
     fingerprint hash computing min/max doc per fingerprint, then a
-    semi-join back. Output: one ``id`` column."""
+    semi-join back. Output: one ``id`` column.
+
+    The result is an eager localCheckpoint (O(candidate ids) rows) the
+    downstream plan references — ``DataFrame.unpersist`` cannot free it
+    (CLAUDE.md). Pass ``stats`` to receive ``stats['ckpt_block_ids']``
+    and release via ``ckpt.release_blocks`` once your own action has
+    materialized (pipeline.curate and orchestrate do)."""
     from pyspark.storagelevel import StorageLevel
+
+    from validate_xml_rust_spark.ckpt import block_ids_of
 
     flat = winnow_fingerprints(df, id_col, text_col, shingle_k, window).select(
         "id", F.explode("fingerprints").alias("f")
@@ -532,8 +550,106 @@ def shared_passage_candidates(
     # (groupBy pass + semi-join probe); materialize the tiny id set and
     # release it before returning
     out = out.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["ckpt_block_ids"] = block_ids_of(out)
     flat.unpersist()
     return out
+
+
+def _covered_positions(
+    work: DataFrame,
+    min_run: int,
+    shingle_k: int,
+    prefilter: bool,
+    keep_first: bool,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Shared core of excision and detection: per doc, the SORTED set of
+    token positions covered by cross-document shared ``min_run``-grams
+    (minus the min-id keeper's copies when ``keep_first``). ``work`` has
+    columns ``(__id, __t)``; output ``(__id, __cov array<int>)`` with one
+    row per doc that has ANY covered position."""
+    from validate_xml_rust_spark.functions.texthash import (
+        seq_gram_hashes,
+        token_hashes,
+    )
+
+    if prefilter:
+        # lossless: a shared run of min_run = window+k-1 tokens guarantees
+        # a shared winnow fingerprint, so both docs land in the candidates
+        cand_ids = shared_passage_candidates(
+            work, "__id", "__t", shingle_k=shingle_k,
+            window=min_run - shingle_k + 1, stats=stats,
+        )
+        cand = work.join(
+            cand_ids.withColumnRenamed("id", "__id"), "__id", "left_semi"
+        )
+    else:
+        cand = work
+    grams = cand.select(
+        "__id",
+        F.posexplode(
+            seq_gram_hashes(token_hashes(F.col("__t")), min_run)
+        ).alias("pos", "gh"),
+    )
+    keepers = grams.groupBy("gh").agg(
+        F.min("__id").alias("__keep"), F.countDistinct("__id").alias("__nd")
+    )
+    if keep_first:
+        marked = grams.join(keepers, "gh").filter(
+            (F.col("__nd") > 1) & (F.col("__id") > F.col("__keep"))
+        )
+    else:
+        marked = grams.join(keepers, "gh").filter(F.col("__nd") > 1)
+    return (
+        marked.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(min_run - 1))
+            ).alias("cp"),
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("cp")).alias("__cov"))
+    )
+
+
+def shared_passage_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 8,
+    shingle_k: int = 3,
+    prefilter: bool = True,
+    keep_first: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """DETECTION-only view of passage excision: per doc with any
+    cross-document shared passage, ``(id_col, n_shared_tokens, n_spans)``
+    — what WOULD be excised, without rebuilding text. Feeds the
+    ``shared_passage`` spec constraint (orchestrate): a validator flags
+    the duplication; the transform (``excise_shared_passages``) fixes it.
+    Same plan as excision minus the rebuild stage; clean docs emit no row
+    (the violation path wants only offenders)."""
+    if min_run < shingle_k:
+        raise ValueError("need min_run >= shingle_k for the winnow prefilter")
+    work = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    cov = _covered_positions(work, min_run, shingle_k, prefilter, keep_first, stats)
+    # span count = covered positions whose predecessor is not covered —
+    # pure expressions over the per-doc sorted array (O(|cov|), no Arrow)
+    gaps = F.filter(
+        F.transform(
+            F.col("__cov"),
+            lambda x, i: F.when(i == 0, F.lit(1))
+            .when(F.element_at(F.col("__cov"), i) != x - 1, F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        lambda v: v == 1,
+    )
+    return cov.select(
+        F.col("__id").alias(id_col),
+        F.size("__cov").cast("int").alias("n_shared_tokens"),
+        F.size(gaps).cast("int").alias("n_spans"),
+    )
 
 
 def excise_shared_passages(
@@ -544,6 +660,7 @@ def excise_shared_passages(
     shingle_k: int = 3,
     prefilter: bool = True,
     keep_first: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Substring-level duplicated-passage REMOVAL — the step after
     doc-level dedup in public training-data pipelines (Lee et al. 2021,
@@ -587,50 +704,11 @@ def excise_shared_passages(
         raise ValueError("need min_run >= shingle_k for the winnow prefilter")
     from validate_xml_rust_spark.functions.texthash import (
         excise_rebuild_udf,
-        seq_gram_hashes,
-        token_hashes,
         tokens,
     )
 
     work = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    if prefilter:
-        # lossless: a shared run of min_run = window+k-1 tokens guarantees
-        # a shared winnow fingerprint, so both docs land in the candidates
-        cand_ids = shared_passage_candidates(
-            work, "__id", "__t", shingle_k=shingle_k,
-            window=min_run - shingle_k + 1,
-        )
-        cand = work.join(
-            cand_ids.withColumnRenamed("id", "__id"), "__id", "left_semi"
-        )
-    else:
-        cand = work
-
-    grams = cand.select(
-        "__id",
-        F.posexplode(
-            seq_gram_hashes(token_hashes(F.col("__t")), min_run)
-        ).alias("pos", "gh"),
-    )
-    keepers = grams.groupBy("gh").agg(
-        F.min("__id").alias("__keep"), F.countDistinct("__id").alias("__nd")
-    )
-    if keep_first:
-        marked = grams.join(keepers, "gh").filter(
-            (F.col("__nd") > 1) & (F.col("__id") > F.col("__keep"))
-        )
-    else:
-        marked = grams.join(keepers, "gh").filter(F.col("__nd") > 1)
-    cov = (
-        marked.select(
-            "__id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(min_run - 1))
-            ).alias("cp"),
-        )
-        .groupBy("__id")
-        .agg(F.sort_array(F.collect_set("cp")).alias("__cov"))
-    )
+    cov = _covered_positions(work, min_run, shingle_k, prefilter, keep_first, stats)
     rebuilt = (
         work.join(cov, "__id", "left")
         .select(

@@ -32,6 +32,9 @@ Constraint params:
   {"domain_col": col, "domain_min_mean_quality"?, "domain_min_docs"?}
   for the domain→host rollup (violations at both grains from one corpus
   shuffle, domain rows as constraint_id@domain_col)
+- shared_passage: {"min_run": 8, "max_spans": 0} — flag docs containing
+  cross-document shared passages of >= min_run tokens (the detector
+  twin of dedup.excise_shared_passages; winnow-prefiltered marking)
 """
 
 from __future__ import annotations
@@ -168,6 +171,42 @@ def _table_violations_for(
         )
         release_blocks(
             df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp)
+        )
+        if ckpt_ids is not None:
+            ckpt_ids |= out_ids
+        return out
+    if c.kind == "shared_passage":
+        # substring-level duplication DETECTOR: flag docs that contain
+        # cross-document shared passages of >= min_run tokens (beyond
+        # max_spans of them) — the validator complement to the
+        # excise_shared_passages transform (gate-checked in the
+        # fingerprints suite; this kind is the routing/violation glue)
+        from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+        from validate_xml_rust_spark.operators.dedup import shared_passage_stats
+
+        sp_stats: dict = {}
+        min_run = int(c.params.get("min_run", 8))
+        max_spans = int(c.params.get("max_spans", 0))
+        hits = shared_passage_stats(
+            df, id_col=id_col, text_col=c.column, min_run=min_run,
+            stats=sp_stats,
+        ).filter(F.col("n_spans") > max_spans)
+        out, out_ids = eager_checkpoint(
+            hits.select(
+                F.col(id_col).cast("string").alias("url"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.col("n_shared_tokens").cast("string").alias("observed_value"),
+                F.concat(
+                    F.col("n_spans").cast("string"),
+                    F.lit(f" shared passage span(s) of >= {min_run} tokens ("),
+                    F.col("n_shared_tokens").cast("string"),
+                    F.lit(" tokens duplicated across documents)"),
+                ).alias("message"),
+            )
+        )
+        release_blocks(
+            df.sparkSession.sparkContext,
+            sp_stats.get("ckpt_block_ids", frozenset()),
         )
         if ckpt_ids is not None:
             ckpt_ids |= out_ids

@@ -2,8 +2,9 @@
 runs, assembled from the engine's operators with a per-step lineage
 report.
 
-    validate → exact dedup → near dedup → decontaminate →
-    repetition filter → deterministic sample → sequence packing
+    validate → exact dedup → near dedup → passage excision →
+    decontaminate → repetition filter → deterministic sample →
+    sequence packing
 
 Every step is the already-gate-checked operator; this module is the glue
 plus drop accounting (``report['steps']``: step, rows_in, rows_out,
@@ -66,6 +67,7 @@ def curate(
     route_col: str = "lang",
     benchmark: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
+    excise_min_run: int | None = None,
     max_repetition: float | None = None,
     sample_rate: float | None = None,
     pack_max_tokens: int | None = None,
@@ -127,6 +129,64 @@ def curate(
         # the step checkpoint (inside log) has materialized, so near_dedup's
         # internal drop-set checkpoint is unreachable — free its blocks
         release_blocks(sc, nd_stats.get("ckpt_block_ids", frozenset()))
+
+    if excise_min_run is not None:
+        # substring-level passage excision AFTER doc-level dedup (the
+        # public pipeline order: whole near-dup docs are gone, now shared
+        # passages inside kept docs are cut). Docs excised to zero tokens
+        # drop. Requires non-NULL unique ids (the post-dedup contract);
+        # rows without an id pass through verbatim. NOTE the step
+        # normalizes text_col to the token domain (single spaces) — the
+        # domain every downstream step already tokenizes into.
+        from validate_xml_rust_spark.operators.dedup import (
+            excise_shared_passages,
+        )
+
+        with_id = cur.filter(F.col(id_col).isNotNull())
+        exc_stats: dict = {}
+        exc = excise_shared_passages(
+            with_id, id_col, text_col, min_run=excise_min_run,
+            stats=exc_stats,
+        ).select(
+            F.col(id_col),
+            F.col("clean_text").alias("__clean"),
+            "n_tokens_removed", "n_spans", "n_tokens_kept",
+        )
+        joined = (
+            with_id.drop(text_col)
+            .join(exc, id_col)
+            .withColumn(text_col, F.col("__clean"))
+            .drop("__clean")
+        )
+        noid = cur.filter(F.col(id_col).isNull()).select(
+            *[F.col(c) for c in with_id.columns]
+        ).withColumn("n_tokens_removed", F.lit(0).cast("int")) \
+         .withColumn("n_spans", F.lit(0).cast("int")) \
+         .withColumn("n_tokens_kept", F.lit(None).cast("int"))
+        # materialize the UNFILTERED result once: the token metrics must
+        # count excisions in docs that are then dropped for having no
+        # surviving tokens, so the agg runs before the drop filter — both
+        # the agg and the logged step are block scans of this checkpoint
+        # (the excision plan executes exactly once)
+        full, full_ids = eager_checkpoint(
+            joined.unionByName(noid.select(*joined.columns))
+        )
+        agg = full.agg(
+            F.sum("n_tokens_removed").alias("t"),
+            F.sum((F.col("n_spans") > 0).cast("long")).alias("d"),
+        ).collect()[0]
+        cur = log(
+            "excise_passages",
+            full.filter(
+                F.col("n_tokens_kept").isNull() | (F.col("n_tokens_kept") > 0)
+            ).drop("n_tokens_removed", "n_spans", "n_tokens_kept"),
+        )
+        steps[-1]["tokens_removed"] = int(agg["t"] or 0)
+        steps[-1]["docs_with_excisions"] = int(agg["d"] or 0)
+        # the step checkpoint has materialized → the unfiltered frame and
+        # the prefilter's internal candidate-id checkpoint are unreachable
+        release_blocks(sc, full_ids)
+        release_blocks(sc, exc_stats.get("ckpt_block_ids", frozenset()))
 
     if benchmark is not None:
         from validate_xml_rust_spark.operators.curation import contamination_flags
