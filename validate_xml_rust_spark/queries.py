@@ -2319,6 +2319,77 @@ FROM r
 """
 
 
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-real packing: the same greedy fold, budgeted in BPE subword
+    tokens of the committed vocabulary (functions/bpe.py) over the
+    fixture corpus — a 400-token pack budget measured the way a trainer
+    measures it. The oracle re-derives per-doc token counts by summing
+    the committed word→n_sub table and replays the identical RECURSIVE
+    packing fold."""
+    from validate_xml_rust_spark.functions.bpe import bpe_token_count, default_bpe
+    from validate_xml_rust_spark.operators.curation import pack_sequences
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8).withColumn(
+        "partition_id", (F.col("doc_id") % 4).cast("int")
+    ).withColumn(
+        "n_tokens", bpe_token_count(F.col("text"), default_bpe(spark))
+    )
+    return pack_sequences(docs, max_tokens=400)
+
+
+ORACLE_PACK_SEQUENCES_BPE = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+tw AS (
+  SELECT doc_id, w[i] AS word
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+cnt AS (
+  SELECT tw.doc_id, CAST(sum(b.n_sub) AS INT) AS tok
+  FROM tw JOIN '{_FIXTURES / "bpe_words_600.parquet"}' b USING (word)
+  GROUP BY 1),
+o AS (
+  SELECT CAST(doc_id % 4 AS INT) AS pid, doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM cnt),
+r AS (
+  SELECT pid, rn, doc_id, tok, CAST(0 AS BIGINT) AS seq, tok AS budget
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.pid, o.rn, o.doc_id, o.tok,
+         CASE WHEN r.budget + o.tok > 400 THEN r.seq + 1 ELSE r.seq END,
+         CASE WHEN r.budget + o.tok > 400 THEN o.tok ELSE r.budget + o.tok END
+  FROM r JOIN o ON o.pid = r.pid AND o.rn = r.rn + 1)
+SELECT doc_id, pid AS partition_id,
+       CAST(pid AS BIGINT) * 4294967296 + seq AS pack_id,
+       tok AS n_tokens
+FROM r
+"""
+
+
+def q_pack_sequences_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both packing budget domains, one gate: characters-as-tokens over
+    the sf documents table and BPE subwords over the fixture corpus."""
+    a = q_pack_sequences(spark, sf_dir).withColumn("variant", F.lit("chars"))
+    b = q_pack_sequences_bpe(spark, sf_dir).withColumn("variant", F.lit("bpe"))
+    return a.unionByName(b)
+
+
+# (_wrap_variant is defined further down the module — inline form here)
+ORACLE_PACK_SEQUENCES_SUITE = f"""
+SELECT 'chars' AS variant, t.* FROM (
+{ORACLE_PACK_SEQUENCES}
+) t
+UNION ALL
+SELECT 'bpe' AS variant, t.* FROM (
+{ORACLE_PACK_SEQUENCES_BPE}
+) t
+"""
+
+
 def q_curate_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline lineage (pipeline.curate): a fixed
     SQL-restatable config — exact dedup → benchmark decontamination →
@@ -3478,7 +3549,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents_suite,
     "redact_pii": q_redact_pii,
     "strip_boilerplate": q_strip_boilerplate,
-    "pack_sequences": q_pack_sequences,
+    "pack_sequences": q_pack_sequences_suite,
     "curate_lineage": q_curate_lineage,
     "orchestrate_full": q_orchestrate_full,
     "pandas_checks": q_pandas_checks,
@@ -3531,7 +3602,7 @@ ORACLES = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS_SUITE,
     "redact_pii": ORACLE_REDACT_PII,
     "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
-    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "pack_sequences": ORACLE_PACK_SEQUENCES_SUITE,
     "curate_lineage": ORACLE_CURATE_LINEAGE,
     "orchestrate_full": ORACLE_ORCHESTRATE_FULL,
     "pandas_checks": ORACLE_PANDAS_CHECKS,
