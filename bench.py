@@ -401,15 +401,25 @@ def main() -> None:
     # positional-gram marking → interval merge → Arrow rebuild. Tracked
     # round-over-round like minhash_dedup so its shuffle behavior (gram
     # groupBy + join-back + cov distinct) can't silently regress.
+    from validate_xml_rust_spark.ckpt import release_blocks
     from validate_xml_rust_spark.operators.dedup import excise_shared_passages
     from validate_xml_rust_spark.sources.corpus import passage_corpus
 
     pcorpus = passage_corpus(spark, 100_000, cpus * 2)
-    _force(excise_shared_passages(pcorpus))  # Arrow-path warmup
+
+    def _run_excise() -> None:
+        # release the winnow prefilter's candidate-id checkpoint after
+        # each run — clearCache() can't reach RDD-level checkpoint
+        # blocks, so a stats-less loop would leak one block per rep
+        st: dict = {}
+        _force(excise_shared_passages(pcorpus, stats=st))
+        release_blocks(
+            spark.sparkContext, st.get("ckpt_block_ids", frozenset())
+        )
+
+    _run_excise()  # Arrow-path warmup
     _sweep()
-    timings["excise_passages_100k"] = _time(
-        lambda: _force(excise_shared_passages(pcorpus))
-    )
+    timings["excise_passages_100k"] = _time(_run_excise)
 
     # IVF with a BUILT index (cluster_id-partitioned parquet): the probe
     # becomes a partition-pruned scan — contrast with q:ivf_ann_topk,

@@ -186,3 +186,41 @@ def test_curate_excise_drops_fully_duplicated_docs(spark):
     exc = {s["step"]: s for s in res.report["steps"]}["excise_passages"]
     assert exc["dropped"] == 1 and exc["tokens_removed"] == 10
     res.release()
+
+
+def test_curate_excise_preserves_untouched_text_and_odd_rows(spark):
+    """r5 review regressions: (1) duplicate-id rows pass through verbatim
+    instead of cross-multiplying in the id join-back, (2) docs with NO
+    excision keep their original text byte-for-byte (no corpus-wide
+    token-domain rewrite of case/punctuation), (3) docs that already had
+    zero tokens are not dropped as if they had been excised to nothing."""
+    from validate_xml_rust_spark.pipeline import curate
+
+    run = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, f"Keep, My Case! {run} Version 2.0"),  # keeper: untouched
+        (1, f"unique one {run} unique two"),       # loses the run
+        (7, "Dup-id row ALPHA."),                  # duplicate id...
+        (7, "Dup-id row BETA."),                   # ...different text
+        (9, "???"),                                # zero tokens, never excised
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(
+        df, spark, near_dup_threshold=None, excise_min_run=8,
+        sample_rate=None, pack_max_tokens=None,
+    )
+    texts: dict = {}
+    for r in res.kept.collect():
+        texts.setdefault(r["doc_id"], []).append(r["text"])
+    # (2) the untouched keeper retains case and punctuation verbatim
+    assert texts[0] == [f"Keep, My Case! {run} Version 2.0"]
+    # the excised doc is rebuilt in the token domain with the run removed
+    assert texts[1] == ["unique one unique two"]
+    # (1) both duplicate-id rows survive verbatim — no cross-product
+    assert sorted(texts[7]) == ["Dup-id row ALPHA.", "Dup-id row BETA."]
+    # (3) the zero-token doc survives (nothing was excised from it)
+    assert texts[9] == ["???"]
+    exc = {s["step"]: s for s in res.report["steps"]}["excise_passages"]
+    assert exc["dropped"] == 0 and exc["rows_passthrough"] == 2
+    assert exc["rows_out"] == 5 and exc["docs_with_excisions"] == 1
+    res.release()

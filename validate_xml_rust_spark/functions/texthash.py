@@ -220,6 +220,25 @@ def excise_rebuild_udf(tokens_col: Column, cov_col: Column) -> Column:
     return rb(tokens_col, cov_col)
 
 
+def span_count_udf(cov_col: Column) -> Column:
+    """Merged-interval count over a SORTED, deduplicated covered-position
+    array: the number of maximal contiguous runs. Arrow-batched numpy —
+    one ``np.diff`` per row, same arithmetic as ``excise_rebuild_udf``'s
+    n_spans (the transform/filter HOF form is interpreted per element;
+    repo rule: >~10 array ops/row → Arrow)."""
+
+    @F.pandas_udf("int")
+    def spans(cov: pd.Series) -> pd.Series:
+        out = np.zeros(len(cov), dtype=np.int32)
+        for i, c in enumerate(cov):
+            if c is not None and len(c):
+                pos = np.asarray(c, dtype=np.int64)
+                out[i] = 1 + int((np.diff(pos) > 1).sum())
+        return pd.Series(out)
+
+    return spans(cov_col)
+
+
 def gram_repetition_udf(text: Column, k: int = 2) -> Column:
     """Fraction of duplicated k-grams: 1 − distinct/total over positional
     k-gram hashes (the Gopher-style intra-document repetition signal).

@@ -632,23 +632,18 @@ def shared_passage_stats(
     (the violation path wants only offenders)."""
     if min_run < shingle_k:
         raise ValueError("need min_run >= shingle_k for the winnow prefilter")
+    from validate_xml_rust_spark.functions.texthash import span_count_udf
+
     work = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     cov = _covered_positions(work, min_run, shingle_k, prefilter, keep_first, stats)
-    # span count = covered positions whose predecessor is not covered —
-    # pure expressions over the per-doc sorted array (O(|cov|), no Arrow)
-    gaps = F.filter(
-        F.transform(
-            F.col("__cov"),
-            lambda x, i: F.when(i == 0, F.lit(1))
-            .when(F.element_at(F.col("__cov"), i) != x - 1, F.lit(1))
-            .otherwise(F.lit(0)),
-        ),
-        lambda v: v == 1,
-    )
+    # span count = maximal contiguous runs in the sorted position array —
+    # Arrow np.diff, the same arithmetic the excise path's rebuild UDF
+    # uses (a transform/filter HOF over thousands of positions would be
+    # interpreted per element; repo rule)
     return cov.select(
         F.col("__id").alias(id_col),
         F.size("__cov").cast("int").alias("n_shared_tokens"),
-        F.size(gaps).cast("int").alias("n_spans"),
+        span_count_udf(F.col("__cov")).alias("n_spans"),
     )
 
 

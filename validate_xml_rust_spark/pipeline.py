@@ -133,19 +133,31 @@ def curate(
     if excise_min_run is not None:
         # substring-level passage excision AFTER doc-level dedup (the
         # public pipeline order: whole near-dup docs are gone, now shared
-        # passages inside kept docs are cut). Docs excised to zero tokens
-        # drop. Requires non-NULL unique ids (the post-dedup contract);
-        # rows without an id pass through verbatim. NOTE the step
-        # normalizes text_col to the token domain (single spaces) — the
-        # domain every downstream step already tokenizes into.
+        # passages inside kept docs are cut). Excision runs only over
+        # rows whose id is non-NULL and UNIQUE in the frame —
+        # exact_dedup dedups CONTENT, not ids, so duplicate-id rows with
+        # different text can reach this step, and joining rebuilt text
+        # back on such an id would cross-multiply rows. NULL-id and
+        # duplicate-id rows pass through verbatim (rows_passthrough).
+        # Docs that HAD an excision carry the rebuilt token-domain text
+        # (single spaces — the domain every downstream step tokenizes
+        # into); untouched docs keep their original text byte-for-byte.
+        # Only docs excised down to zero tokens drop — docs that already
+        # had zero tokens (and were never excised) survive.
         from validate_xml_rust_spark.operators.dedup import (
             excise_shared_passages,
         )
 
-        with_id = cur.filter(F.col(id_col).isNotNull())
+        id_n = (
+            cur.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__idn"))
+        )
+        counted = cur.join(id_n, id_col, "left")
+        excisable = counted.filter(F.col("__idn") == 1).drop("__idn")
         exc_stats: dict = {}
         exc = excise_shared_passages(
-            with_id, id_col, text_col, min_run=excise_min_run,
+            excisable, id_col, text_col, min_run=excise_min_run,
             stats=exc_stats,
         ).select(
             F.col(id_col),
@@ -153,36 +165,47 @@ def curate(
             "n_tokens_removed", "n_spans", "n_tokens_kept",
         )
         joined = (
-            with_id.drop(text_col)
-            .join(exc, id_col)
-            .withColumn(text_col, F.col("__clean"))
+            excisable.join(exc, id_col)
+            .withColumn(
+                text_col,
+                F.when(F.col("n_spans") > 0, F.col("__clean")).otherwise(
+                    F.col(text_col)
+                ),
+            )
             .drop("__clean")
+            .withColumn("__pt", F.lit(False))
         )
-        noid = cur.filter(F.col(id_col).isNull()).select(
-            *[F.col(c) for c in with_id.columns]
-        ).withColumn("n_tokens_removed", F.lit(0).cast("int")) \
-         .withColumn("n_spans", F.lit(0).cast("int")) \
-         .withColumn("n_tokens_kept", F.lit(None).cast("int"))
+        passthrough = (
+            counted.filter(F.col(id_col).isNull() | (F.col("__idn") > 1))
+            .drop("__idn")
+            .withColumn("n_tokens_removed", F.lit(0).cast("int"))
+            .withColumn("n_spans", F.lit(0).cast("int"))
+            .withColumn("n_tokens_kept", F.lit(None).cast("int"))
+            .withColumn("__pt", F.lit(True))
+        )
         # materialize the UNFILTERED result once: the token metrics must
         # count excisions in docs that are then dropped for having no
         # surviving tokens, so the agg runs before the drop filter — both
         # the agg and the logged step are block scans of this checkpoint
         # (the excision plan executes exactly once)
         full, full_ids = eager_checkpoint(
-            joined.unionByName(noid.select(*joined.columns))
+            joined.unionByName(passthrough.select(*joined.columns))
         )
         agg = full.agg(
             F.sum("n_tokens_removed").alias("t"),
             F.sum((F.col("n_spans") > 0).cast("long")).alias("d"),
+            F.sum(F.col("__pt").cast("long")).alias("p"),
         ).collect()[0]
         cur = log(
             "excise_passages",
             full.filter(
-                F.col("n_tokens_kept").isNull() | (F.col("n_tokens_kept") > 0)
-            ).drop("n_tokens_removed", "n_spans", "n_tokens_kept"),
+                (F.coalesce(F.col("n_spans"), F.lit(0)) == 0)
+                | (F.col("n_tokens_kept") > 0)
+            ).drop("n_tokens_removed", "n_spans", "n_tokens_kept", "__pt"),
         )
         steps[-1]["tokens_removed"] = int(agg["t"] or 0)
         steps[-1]["docs_with_excisions"] = int(agg["d"] or 0)
+        steps[-1]["rows_passthrough"] = int(agg["p"] or 0)
         # the step checkpoint has materialized → the unfiltered frame and
         # the prefilter's internal candidate-id checkpoint are unreachable
         release_blocks(sc, full_ids)

@@ -2435,8 +2435,11 @@ fp AS (SELECT doc_id, text,
        FROM d0),
 d1 AS (SELECT doc_id, text FROM (
          SELECT doc_id, text, f, min(doc_id) OVER (PARTITION BY f) AS kid FROM fp)
-       -- f IS NULL: NULL-text rows all survive exact dedup (engine rule)
-       WHERE doc_id = kid OR f IS NULL),
+       -- f IS NULL: NULL-text rows all survive exact dedup (engine rule);
+       -- kid IS NULL: a content group with NO identified row keeps its
+       -- NULL-id rows (r5 exact_dedup rule — min ignores NULLs both engines)
+       WHERE doc_id = kid OR f IS NULL
+          OR (doc_id IS NULL AND kid IS NULL)),
 toks1 AS (SELECT doc_id, {_CURATE_W} AS w FROM d1),
 g1 AS (SELECT DISTINCT doc_id, gram FROM (
          SELECT doc_id, unnest({_CURATE_GRAMS8}) AS gram FROM toks1)),
@@ -2711,11 +2714,19 @@ def q_excise_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram marking → keeper choice → interval merge → text rebuild from
     scratch (no prefilter), so gate equality also proves the prefilter
     lossless."""
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
     from validate_xml_rust_spark.operators.dedup import excise_shared_passages
     from validate_xml_rust_spark.sources.corpus import passage_corpus
 
     docs = passage_corpus(spark, 400, n_partitions=8)
-    return excise_shared_passages(docs, min_run=8)
+    st: dict = {}
+    # materialize the (tiny, 400-row) result once, then free the winnow
+    # prefilter's internal candidate-id checkpoint (same pattern as
+    # q_near_dedup_components) — also lets the fingerprint suite's two
+    # variants scan blocks instead of running the excision plan twice
+    out, _ = eager_checkpoint(excise_shared_passages(docs, min_run=8, stats=st))
+    release_blocks(spark.sparkContext, st.get("ckpt_block_ids", frozenset()))
+    return out
 
 
 ORACLE_EXCISE_PASSAGES = rf"""
