@@ -443,6 +443,39 @@ def main() -> None:
         )
     )
 
+    # SemDeDup at 200k vectors / 20k semantic groups of 10 near-copies:
+    # the corpus is written to parquet FIRST so the timing covers only
+    # the operator (ivf train + Arrow assign + one cluster_id shuffle
+    # into the blocked within-cluster matmul prune + anti join), not the
+    # HOF generation expressions. Tracked round-over-round like
+    # minhash_dedup so the shuffle shape can't silently regress.
+    from validate_xml_rust_spark.operators.similarity import semantic_dedup
+
+    vec_dir = tempfile.mkdtemp(prefix="bench_semdd_") + "/vecs"
+    grp = F.pmod(F.col("vec_id"), F.lit(20_000))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda d: (
+            (F.pmod(F.xxhash64(grp, d), F.lit(1000)).cast("double") / 1000.0 - 0.5)
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id"), d, F.lit(7)), F.lit(1000))
+                .cast("double")
+                / 25000.0
+            )
+        ).cast("float"),
+    )
+    spark.range(200_000).select(F.col("id").alias("vec_id")).select(
+        "vec_id", vec.alias("embedding")
+    ).repartition(cpus * 2).write.mode("overwrite").parquet(vec_dir)
+    vecs = spark.read.parquet(vec_dir)
+
+    def _run_semdd() -> None:
+        _force(semantic_dedup(vecs, threshold=0.95, n_centroids=64, n_iters=2))
+
+    _run_semdd()  # warmup (Arrow assign/prune paths)
+    _sweep()
+    timings["semantic_dedup_200k"] = _time(_run_semdd)
+
     # Operator queries over the sf parquet tables — every output column
     # fully evaluated (hash-aggregated), never count()-pruned.
     for name, fn in QUERIES.items():

@@ -655,3 +655,51 @@ def test_exact_dedup_null_id_rows(spark):
     assert sum(1 for r in out if r["text"] == "twin nulls") == 2
     assert sum(1 for r in out if r["text"] is None) == 1
     assert sum(1 for r in out if r["text"] == "same content here") == 1
+
+
+def test_semantic_dedup_planted_vectors(spark):
+    """SemDeDup over the planted vectors: the kept set is the complement
+    of the audit drop set, keepers are always the min id of their
+    semantic group (no dropped vector can be a witness), and a
+    max_cluster cap below every cluster size keeps everything
+    (conservative degenerate-cluster stance)."""
+    from validate_xml_rust_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("fixtures/planted_vectors.parquet")
+    n = emb.count()
+    drops = semantic_dedup(
+        emb, threshold=0.9, n_centroids=12, n_iters=3, drops_only=True
+    ).collect()
+    kept = semantic_dedup(emb, threshold=0.9, n_centroids=12, n_iters=3)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    dropped_ids = {r["vec_id"] for r in drops}
+    assert len(drops) > 0
+    assert kept_ids.isdisjoint(dropped_ids)
+    assert len(kept_ids) + len(dropped_ids) == n
+    for r in drops:
+        assert r["witness_id"] < r["vec_id"]
+        assert r["witness_id"] in kept_ids  # witness chain bottoms out kept
+        assert r["cos_sim"] >= 0.9
+    # cap smaller than any cluster → pruning disabled, everything kept
+    capped = semantic_dedup(
+        emb, threshold=0.9, n_centroids=12, n_iters=3, max_cluster=1
+    )
+    assert capped.count() == n
+
+
+def test_semantic_dedup_zero_norm_and_null_vectors(spark):
+    """Zero-norm vectors have cosine 0 to everything (the expression
+    convention) so they are never dropped and never witness; NULL
+    embeddings pass through the kept side untouched."""
+    from validate_xml_rust_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 1e-7, 0.0]),   # ~identical to 0 → dropped
+        (2, [0.0, 0.0, 0.0]),    # zero norm → kept
+        (3, [0.0, 0.0, 0.0]),    # zero norm twin → also kept
+        (4, None),               # NULL → kept (never clustered)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(df, threshold=0.95, n_centroids=2, n_iters=1)
+    assert {r["vec_id"] for r in kept.collect()} == {0, 2, 3, 4}

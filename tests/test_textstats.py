@@ -79,3 +79,36 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[0]["bigram_rep"] > 0.5  # "buy now" repeats as a bigram too
     assert not out[1]["repetitive"] and out[1]["unigram_rep"] == 0.0
     assert out[2]["unigram_rep"] == 0.0 and out[3]["bigram_rep"] == 0.0
+
+
+def test_lm_perplexity_smoothing_and_edges(spark):
+    """Add-α bigram LM (CCNet shape): hand-computed smoothed scores on a
+    3-word reference; OOV bigrams over OOV left words score exactly
+    ln(α·V/α) = ln(V); docs with <2 tokens emit n_bigrams=0/NULL score;
+    broadcast and shuffle-join paths agree exactly."""
+    import math
+
+    from validate_xml_rust_spark.operators.textstats import lm_perplexity
+
+    ref = spark.createDataFrame([("a b a b",)], "text string")
+    # ref counts: c(a)=2 c(b)=2, c('a b')=2 c('b a')=1, V=2
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),          # -ln((2+.1)/(2+.2))
+            (1, "z z"),          # OOV: -ln(.1/.2) = ln(2) = ln(V)
+            (2, "a"),            # 1 token → no bigrams
+            (3, None),           # NULL text → no bigrams
+            (4, "b a b"),        # mean of 'b a' and 'a b'
+        ],
+        "doc_id long, text string",
+    )
+    for bc in (True, False):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["log_ppl"])
+            for r in lm_perplexity(docs, ref, broadcast_ref=bc).collect()
+        }
+        assert got[0] == (1, round(-math.log(2.1 / 2.2), 6))
+        assert got[1] == (1, round(math.log(2.0), 6))
+        assert got[2] == (0, None) and got[3] == (0, None)
+        exp4 = round(-(math.log(1.1 / 2.2) + math.log(2.1 / 2.2)) / 2, 6)
+        assert got[4] == (2, exp4)

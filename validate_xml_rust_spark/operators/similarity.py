@@ -302,6 +302,101 @@ def ivf_topk_indexed(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    max_cluster: int = 20_000,
+    drops_only: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public recipe):
+    k-means-cluster the embedding space, then inside each cluster drop
+    every vector whose cosine to a LOWER-id cluster-mate reaches
+    ``threshold`` (min-id keeper — deterministic and SQL-restatable).
+    Semantic copies (same meaning, different words) collapse to one
+    exemplar — the dedup step textual MinHash/SimHash cannot perform.
+
+    Default output: the KEPT rows of ``df`` (all columns). With
+    ``drops_only=True`` returns the audit view instead: one row per
+    dropped vector ``(id_col, witness_id, cos_sim)``, witness = the
+    SMALLEST cluster-mate id justifying the drop (cos_sim to it, 6dp).
+
+    Scale shape (10^10 vectors): clustering reuses the ivf trainer
+    (deterministic capped hash-sample + driver Lloyd, farthest-point
+    init, no RNG; centroids broadcast in the assignment UDF's closure);
+    the prune is ONE shuffle on cluster_id into applyInPandas, where
+    each cluster runs a blocked numpy cosine matmul (BLAS) — O(m²) in
+    cluster size, so ``n_centroids`` must bound m ≈ n/k (the paper's
+    regime). Clusters above ``max_cluster`` are kept whole rather than
+    exploded — the same conservative degenerate-bucket stance as the
+    LSH paths. Zero-norm vectors have cosine 0 to everything (the
+    ``cosine`` expression convention) and are never dropped."""
+    nn = df.filter(F.col(vec_col).isNotNull())
+    cents = ivf_train(
+        nn, vec_col, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col
+    )
+    asg = ivf_assign(nn, cents, vec_col).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        "cluster_id",
+    )
+    thr, cap = float(threshold), int(max_cluster)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "witness_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2 or m > cap:
+            return empty
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        vecs = np.stack(
+            [np.asarray(v, dtype="float64") for v in pdf["__v"]]
+        )
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        safe = np.where(nrm > 0, nrm, 1.0)
+        vn = np.where((nrm > 0)[:, None], vecs / safe[:, None], 0.0)
+        out_i, out_w, out_c = [], [], []
+        blk = 1024  # bound the matmul block to blk × m doubles
+        for s in range(1, m, blk):
+            e = min(s + blk, m)
+            sims = vn[s:e] @ vn[:e].T
+            for r in range(e - s):
+                i = s + r
+                hits = np.nonzero(sims[r, :i] >= thr)[0]
+                if len(hits):
+                    w = int(hits[0])  # ids sorted → first hit = min id
+                    out_i.append(int(ids[i]))
+                    out_w.append(int(ids[w]))
+                    out_c.append(float(np.round(sims[r, w], 6)))
+        if not out_i:
+            return empty
+        return pd.DataFrame(
+            {"id": out_i, "witness_id": out_w, "cos_sim": out_c}
+        )
+
+    drops = asg.groupBy("cluster_id").applyInPandas(
+        prune, "id long, witness_id long, cos_sim double"
+    )
+    if drops_only:
+        return drops.select(
+            F.col("id").alias(id_col), "witness_id", "cos_sim"
+        )
+    return df.join(
+        drops.select(F.col("id").cast(df.schema[id_col].dataType).alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

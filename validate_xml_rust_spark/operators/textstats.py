@@ -172,3 +172,97 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_roll", F.xxhash64(norm)
     )
+
+def _bigram_structs(text: Column) -> Column:
+    """Positional word bigrams of ``text`` as ``array<struct<w1,bg>>``
+    (w1 = left word, bg = "w1 w2") — empty array below 2 tokens. The
+    sequence is guarded: Spark's sequence(1, 0) counts DOWN, so the
+    unguarded form would fabricate bigrams for 1-token docs."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+
+    w = tokens(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(2), n)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(w, i - 1).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(w, i - 1), F.element_at(w, i)
+            ).alias("bg"),
+        ),
+    )
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,bg:string>>")
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    alpha: float = 0.1,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Language-model quality signal, the CCNet shape (Wenzek et al.
+    2019 — public recipe: train a KenLM 5-gram on Wikipedia, bucket web
+    documents by perplexity; here the model is an add-α-smoothed BIGRAM
+    LM trained on ``ref``, an honest simplification with the identical
+    scoring/filtering contract):
+
+        p(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V)
+
+    with c(·) counts over the reference corpus and V = reference vocab
+    size — OOV-safe by construction (an unseen bigram over an unseen
+    left word scores α/(α·V)). Output: one row per input doc —
+    ``(id_col, n_bigrams, log_ppl)`` where log_ppl = mean negative
+    natural-log likelihood per bigram rounded to 6dp (lower = more
+    reference-like); NULL for docs with <2 tokens.
+
+    Scale shape: the reference reduces ONCE to two count maps (uniform
+    gram-string keys). With ``broadcast_ref=True`` (the CCNet regime —
+    reference LMs come from bounded curated corpora) both maps broadcast
+    and the doc side is a narrow explode + two BroadcastHashJoins + one
+    groupBy(id); with False the joins shuffle on the uniform gram key.
+    V is a single scalar aggregate (bounded driver collect)."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+
+    rg = ref.select(
+        F.explode(_bigram_structs(F.col(ref_text_col))).alias("p")
+    )
+    c2 = rg.groupBy(F.col("p.bg").alias("bg")).agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    ru = ref.select(F.explode(tokens(F.col(ref_text_col))).alias("w1"))
+    c1 = ru.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = float(c1.count())
+    if broadcast_ref:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_bigram_structs(F.col(text_col))).alias("p"),
+    ).select("__id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    logp = F.log(
+        (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(float(alpha) * vocab))
+    )
+    scored = (
+        d.join(c2, "bg", "left")
+        .join(c1, "w1", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(logp), 6).alias("log_ppl"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("log_ppl").cast("double").alias("log_ppl"),
+        )
+    )

@@ -945,6 +945,41 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semantic_dedup — Abbas et al.
+    2023) over the planted vectors: deterministic k-means (the ivf
+    trainer: hash-sampled, farthest-point init, no RNG) then
+    within-cluster min-id-keeper pruning at cosine ≥ 0.9. The oracle
+    re-derives the drop set GLOBALLY — every vector with ANY lower-id
+    0.9-cosine partner anywhere in the corpus, witness = the smallest
+    such id — so gate equality proves (a) the k=12 clustering separates
+    no 0.9-pair on this corpus (recall 1.0, the same bar the lsh variant
+    meets) and (b) the blocked numpy matmul prune agrees with the SQL
+    cosine at 6dp, witness choice included."""
+    from validate_xml_rust_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(_PLANTED_VECS)
+    return semantic_dedup(
+        emb, threshold=0.9, n_centroids=12, n_iters=3, drops_only=True
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, embedding FROM '{_PLANTED_VECS}'),
+p AS (
+  SELECT a.vec_id AS wit, b.vec_id AS id,
+         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+d AS (SELECT id, min(wit) AS witness_id FROM p WHERE cs >= 0.9 GROUP BY id)
+SELECT CAST(d.id AS BIGINT) AS vec_id, CAST(d.witness_id AS BIGINT) AS witness_id,
+       p.cs AS cos_sim
+FROM d JOIN p ON p.id = d.id AND p.wit = d.witness_id
+"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (ann_topk — candidates restricted to
     signatures within probe_hamming of the query's bucket, then exact
@@ -2826,23 +2861,62 @@ FROM ({ORACLE_EXCISE_PASSAGES}) e2 WHERE n_spans > 0
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (textstats.lm_perplexity — Wenzek et
+    al. 2019's perplexity bucketing with an add-α bigram LM): train on
+    the lang='en' partition, score EVERY document. Lower log_ppl = more
+    reference-like; non-English docs score high (the CCNet filtering
+    signal). The oracle retrains the same counts and restates the
+    smoothed mean negative log-likelihood from scratch in SQL."""
+    from validate_xml_rust_spark.operators.textstats import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en").select("text")
+    return lm_perplexity(docs, ref)
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH lmw AS (SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                    x -> length(x) > 0) AS w FROM documents),
+lmrb AS (SELECT w[i-1] || ' ' || w[i] AS bg, count(*) AS c2
+       FROM lmw, unnest(range(2, len(w)+1)) AS t(i) WHERE lang = 'en' GROUP BY 1),
+lmru AS (SELECT u.x AS w1, count(*) AS c1
+       FROM lmw, unnest(w) AS u(x) WHERE lang = 'en' GROUP BY 1),
+lmv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM lmru),
+lmdb AS (SELECT doc_id, w[i-1] AS w1, w[i-1] || ' ' || w[i] AS bg
+       FROM lmw, unnest(range(2, len(w)+1)) AS t(i)),
+lmsc AS (SELECT lmdb.doc_id, count(*) AS n,
+              round(-avg(ln((coalesce(lmrb.c2, 0) + 0.1)
+                          / (coalesce(lmru.c1, 0) + 0.1 * lmv.V))), 6) AS log_ppl
+       FROM lmdb LEFT JOIN lmrb USING (bg) LEFT JOIN lmru USING (w1), lmv
+       GROUP BY lmdb.doc_id)
+SELECT d.doc_id, CAST(coalesce(lmsc.n, 0) AS BIGINT) AS n_bigrams, lmsc.log_ppl
+FROM documents d LEFT JOIN lmsc USING (doc_id)
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis in one row (F2/quality/Gopher-repetition):
-    token counts ⋈ heuristic quality components ⋈ repetition ratios on
-    doc_id. Each sub-operator keeps its own Arrow/expression path; the
-    oracle joins three independent SQL restatements."""
+    """Per-document text analysis in one row (F2/quality/Gopher-repetition
+    /CCNet): token counts ⋈ heuristic quality components ⋈ repetition
+    ratios ⋈ bigram-LM perplexity on doc_id. Each sub-operator keeps its
+    own Arrow/expression path; the oracle joins four independent SQL
+    restatements."""
     tok = q_token_stats(spark, sf_dir)
     qual = q_quality_scores(spark, sf_dir)
     rep = q_repetition_stats(spark, sf_dir)
-    return tok.join(qual, "doc_id").join(rep, "doc_id")
+    lm = q_lm_perplexity(spark, sf_dir)
+    return tok.join(qual, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
 
 
 ORACLE_TEXT_METRICS = f"""
 SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
-       q.quality, r.unigram_rep, r.bigram_rep, r.repetitive
+       q.quality, r.unigram_rep, r.bigram_rep, r.repetitive,
+       l.n_bigrams, l.log_ppl
 FROM ({ORACLE_TOKEN_STATS}) t
 JOIN ({ORACLE_QUALITY_SCORES}) q USING (doc_id)
 JOIN ({ORACLE_REPETITION_STATS}) r USING (doc_id)
+JOIN ({ORACLE_LM_PERPLEXITY}) l USING (doc_id)
 """
 
 
@@ -2888,15 +2962,27 @@ ORACLE_ANN_SUITE = (
 
 def q_embedding_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, brute-force block scan (exact) + banded sign-LSH
-    over the planted vectors (recall 1.0 at the gate threshold)."""
+    + SemDeDup cluster-scoped pruning over the planted vectors (recall
+    1.0 at the gate threshold for both approximate paths). The semdedup
+    variant maps (witness, dropped) onto (id_a, id_b) — id_a < id_b by
+    construction, like the pair variants."""
     a = q_embedding_neardup_exact(spark, sf_dir).withColumn("variant", F.lit("exact"))
     b = q_embedding_neardup_lsh(spark, sf_dir).withColumn("variant", F.lit("lsh"))
-    return a.unionByName(b)
+    c = q_semantic_dedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("witness_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        "cos_sim",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 ORACLE_EMBEDDING_NEARDUP_SUITE = (
     _wrap_variant("exact", ORACLE_EMBEDDING_NEARDUP_EXACT)
     + "\nUNION ALL\n"
+    + "SELECT 'semdedup' AS variant, witness_id AS id_a, vec_id AS id_b, cos_sim\n"
+    + f"FROM ({ORACLE_SEMANTIC_DEDUP}) sd\n"
+    + "UNION ALL\n"
     + _wrap_variant("lsh", ORACLE_EMBEDDING_NEARDUP_LSH)
 )
 
