@@ -574,3 +574,45 @@ def test_shared_passage_spec_json_roundtrip(spark, tmp_path):
     spec = load_spec(str(p))
     c = spec.constraints[0]
     assert c.kind == "shared_passage" and c.params["min_run"] == 9
+
+
+def test_lm_quality_constraint_kind(spark):
+    """lm_quality table constraint: scoped docs whose bigram-LM
+    log-perplexity against the ctx reference table exceeds the budget
+    surface as violations; in-domain and unscorable docs do not."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.orchestrate import (
+        TableContext,
+        validate_full,
+    )
+    from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox naps under the warm dog"),
+            (2, "quantum flux capacitors destabilize wormhole manifolds"),
+            (3, "ok"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("doc_key", F.col("doc_id").cast("string")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("partition_id", F.lit(0))
+    spec = Spec(
+        "lm-spec",
+        (
+            Constraint("lm_budget", "text", "lm_quality",
+                       {"ref_table": "ref", "max_log_ppl": 1.5}),
+        ),
+    )
+    registry = SpecRegistry().add(spec, route_keys=["en"])
+    ctx = TableContext(
+        ref_tables={"ref": docs.filter(F.col("doc_id") < 2).select("text")}
+    )
+    res = validate_full(docs, spark, registry, context=ctx, id_col="doc_key")
+    v = res.all_violations().filter(F.col("constraint_id") == "lm_budget")
+    rows = v.collect()
+    assert {r["url"] for r in rows} == {"2"}
+    assert "log-perplexity" in rows[0]["message"]
+    res.release()

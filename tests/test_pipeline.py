@@ -224,3 +224,33 @@ def test_curate_excise_preserves_untouched_text_and_odd_rows(spark):
     assert exc["dropped"] == 0 and exc["rows_passthrough"] == 2
     assert exc["rows_out"] == 5 and exc["docs_with_excisions"] == 1
     res.release()
+
+
+def test_curate_lm_filter_step(spark):
+    """CCNet-style LM filter as a pipeline step: docs unlike the
+    reference drop; reference-like docs and unscorable (<2-token) docs
+    survive; max_log_ppl without lm_ref is a config error."""
+    import pytest
+
+    from validate_xml_rust_spark.pipeline import curate
+
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)] * 3, "text string"
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),  # in-domain
+        (1, "quantum flux capacitors destabilize wormhole manifolds"),
+        (2, "ok"),  # 1 token → unscorable → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(
+        df, spark, near_dup_threshold=None, lm_ref=ref, max_log_ppl=1.5,
+        sample_rate=None, pack_max_tokens=None,
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    assert kept == {0, 2}
+    lm = {s["step"]: s for s in res.report["steps"]}["lm_filter"]
+    assert lm["dropped"] == 1
+    res.release()
+    with pytest.raises(ValueError, match="lm_ref"):
+        curate(df, spark, near_dup_threshold=None, max_log_ppl=1.5)

@@ -35,6 +35,10 @@ Constraint params:
 - shared_passage: {"min_run": 8, "max_spans": 0} — flag docs containing
   cross-document shared passages of >= min_run tokens (the detector
   twin of dedup.excise_shared_passages; winnow-prefiltered marking)
+- lm_quality: {"ref_table": name, "max_log_ppl": 10.0, "alpha": 0.1,
+  "ref_text_col": "text"} — flag docs whose add-α bigram-LM
+  log-perplexity against the reference table exceeds the budget
+  (CCNet-style; the validator twin of the pipeline's max_log_ppl filter)
 """
 
 from __future__ import annotations
@@ -211,6 +215,34 @@ def _table_violations_for(
         if ckpt_ids is not None:
             ckpt_ids |= out_ids
         return out
+    if c.kind == "lm_quality":
+        # CCNet-style LM quality constraint: docs whose bigram-LM
+        # log-perplexity against the spec-named reference table exceeds
+        # the budget are violations — the declarative validator face of
+        # textstats.lm_perplexity (the transform twin is the pipeline's
+        # max_log_ppl filter). Unscorable docs (<2 tokens) never violate.
+        from validate_xml_rust_spark.operators.textstats import lm_perplexity
+
+        ref = ctx.ref_tables[c.params["ref_table"]]
+        budget = float(c.params.get("max_log_ppl", 10.0))
+        scores = lm_perplexity(
+            df, ref, id_col=id_col, text_col=c.column,
+            ref_text_col=c.params.get("ref_text_col", "text"),
+            alpha=float(c.params.get("alpha", 0.1)),
+        )
+        hits = scores.filter(F.col("log_ppl") > budget)
+        return hits.select(
+            F.col(id_col).cast("string").alias("url"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col("log_ppl").cast("string").alias("observed_value"),
+            F.concat(
+                F.lit("bigram-LM log-perplexity "),
+                F.col("log_ppl").cast("string"),
+                F.lit(f" above budget {budget} over "),
+                F.col("n_bigrams").cast("string"),
+                F.lit(" bigrams"),
+            ).alias("message"),
+        )
     if c.kind == "drift":
         from validate_xml_rust_spark.operators.drift import (
             chi2_drift_check,

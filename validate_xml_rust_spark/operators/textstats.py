@@ -173,22 +173,25 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fp_roll", F.xxhash64(norm)
     )
 
-def _bigram_structs(text: Column) -> Column:
-    """Positional word bigrams of ``text`` as ``array<struct<w1,bg>>``
-    (w1 = left word, bg = "w1 w2") — empty array below 2 tokens. The
-    sequence is guarded: Spark's sequence(1, 0) counts DOWN, so the
-    unguarded form would fabricate bigrams for 1-token docs."""
-    from validate_xml_rust_spark.functions.texthash import tokens
-
-    w = tokens(text)
-    n = F.size(w)
+def _bigram_structs(tok_col: Column) -> Column:
+    """Positional word bigrams of a token-array column as
+    ``array<struct<w1,bg>>`` (w1 = left word, bg = "w1 w2") — empty
+    array below 2 tokens. ``tok_col`` MUST be a plain attribute (a
+    materialized column, not the tokens() expression tree): the HOF
+    lambda references it once per element, and an embedded expression
+    would re-run the whole tokenize per element — O(len²) interpreted
+    (measured 18× on the text_metrics suite; same trap as the BPE
+    chunking note). The sequence is guarded: Spark's sequence(1, 0)
+    counts DOWN, so the unguarded form would fabricate bigrams for
+    1-token docs."""
+    n = F.size(tok_col)
     idx = F.sequence(F.lit(2), n)
     pairs = F.transform(
         idx,
         lambda i: F.struct(
-            F.element_at(w, i - 1).alias("w1"),
+            F.element_at(tok_col, i - 1).alias("w1"),
             F.concat_ws(
-                " ", F.element_at(w, i - 1), F.element_at(w, i)
+                " ", F.element_at(tok_col, i - 1), F.element_at(tok_col, i)
             ).alias("bg"),
         ),
     )
@@ -229,8 +232,8 @@ def lm_perplexity(
     V is a single scalar aggregate (bounded driver collect)."""
     from validate_xml_rust_spark.functions.texthash import tokens
 
-    rg = ref.select(
-        F.explode(_bigram_structs(F.col(ref_text_col))).alias("p")
+    rg = ref.select(tokens(F.col(ref_text_col)).alias("__w")).select(
+        F.explode(_bigram_structs(F.col("__w"))).alias("p")
     )
     c2 = rg.groupBy(F.col("p.bg").alias("bg")).agg(
         F.count(F.lit(1)).alias("__c2")
@@ -240,10 +243,14 @@ def lm_perplexity(
     vocab = float(c1.count())
     if broadcast_ref:
         c2, c1 = F.broadcast(c2), F.broadcast(c1)
-    d = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_bigram_structs(F.col(text_col))).alias("p"),
-    ).select("__id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    d = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tokens(F.col(text_col)).alias("__w"),
+        )
+        .select("__id", F.explode(_bigram_structs(F.col("__w"))).alias("p"))
+        .select("__id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    )
     logp = F.log(
         (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(alpha)))
         / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(float(alpha) * vocab))

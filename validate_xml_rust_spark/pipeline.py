@@ -69,6 +69,8 @@ def curate(
     near_dup_threshold: float | None = 0.8,
     excise_min_run: int | None = None,
     max_repetition: float | None = None,
+    lm_ref: DataFrame | None = None,
+    max_log_ppl: float | None = None,
     sample_rate: float | None = None,
     pack_max_tokens: int | None = None,
     pack_shards: int = 32,
@@ -232,6 +234,24 @@ def curate(
         cur = log("repetition_filter", rep.filter(~F.col("repetitive")).drop(
             "unigram_rep", "bigram_rep", "repetitive"
         ))
+
+    if max_log_ppl is not None:
+        # CCNet-style LM filter: drop docs whose bigram-LM log-perplexity
+        # against lm_ref exceeds the budget. Docs too short to score
+        # (log_ppl NULL, <2 tokens) are KEPT — absence of evidence;
+        # length floors belong to the quality/repetition filters.
+        if lm_ref is None:
+            raise ValueError("max_log_ppl requires lm_ref (reference corpus)")
+        from validate_xml_rust_spark.operators.textstats import lm_perplexity
+
+        scores = lm_perplexity(cur, lm_ref, id_col=id_col, text_col=text_col)
+        ok = scores.filter(
+            F.col("log_ppl").isNull() | (F.col("log_ppl") <= max_log_ppl)
+        ).select(F.col(id_col).alias("__lmid"))
+        cur = log(
+            "lm_filter",
+            cur.join(ok, cur[id_col] == F.col("__lmid"), "left_semi"),
+        )
 
     if sample_rate is not None:
         from validate_xml_rust_spark.operators.curation import hash_sample

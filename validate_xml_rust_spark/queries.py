@@ -3182,14 +3182,15 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
 
 def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's top-level declarative API (orchestrate.validate_full):
-    ONE spec declares row checks (not_null, range) plus five table-scope
+    ONE spec declares row checks (not_null, range) plus six table-scope
     constraint kinds — uniqueness, referential, functional dependency,
-    host-quality keep/drop, and PSI drift — routed by lang (en/de/fr
-    govern the spec; es/zh rows are out of scope for the table checks).
-    Output: violation count per constraint over row+table violations
-    unioned. The oracle re-derives every count from scratch, including
-    the spec routing/scoping, the salted-agg host means (DECIMAL-exact),
-    and the per-partition PSI statistic vs the scoped-corpus baseline."""
+    host-quality keep/drop, PSI drift, and the CCNet-style bigram-LM
+    budget — routed by lang (en/de/fr govern the spec; es/zh rows are
+    out of scope for the table checks). Output: violation count per
+    constraint over row+table violations unioned. The oracle re-derives
+    every count from scratch, including the spec routing/scoping, the
+    salted-agg host means (DECIMAL-exact), the per-partition PSI
+    statistic vs the scoped-corpus baseline, and the full LM retrain."""
     from validate_xml_rust_spark.operators.drift import categorical_baseline
     from validate_xml_rust_spark.operators.orchestrate import (
         TableContext,
@@ -3231,6 +3232,12 @@ def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "domain_min_docs": 5}),
             Constraint("drift_lang", "lang", "drift",
                        {"test": "psi", "threshold": 0.0}),
+            # CCNet-style LM budget: bigram LM trained on the en docs,
+            # scoped docs above 3.5 nats/bigram violate (the scores are
+            # 6dp-identical across engines — text_metrics pins that —
+            # so the threshold needs no margin)
+            Constraint("lm_en", "text", "lm_quality",
+                       {"ref_table": "lm_ref", "max_log_ppl": 3.5}),
         ),
     )
     registry = SpecRegistry().add(spec, route_keys=routed)
@@ -3238,7 +3245,8 @@ def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parent registry missing src3 → every scoped src3 row violates
         ref_tables={
             "sources": docs.select("source")
-            .filter(F.col("source") != "src3").distinct()
+            .filter(F.col("source") != "src3").distinct(),
+            "lm_ref": docs.filter(F.col("lang") == "en").select("text"),
         },
         baselines={"lang": categorical_baseline(scoped, "lang")},
     )
@@ -3342,12 +3350,32 @@ pstat AS (
   FROM pterms GROUP BY pid),
 psi AS (
   SELECT 'drift_lang' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
-  FROM pstat WHERE statistic > 0.0)
+  FROM pstat WHERE statistic > 0.0),
+lmqw AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM scoped),
+lmqrb AS (SELECT w[i-1] || ' ' || w[i] AS bg, count(*) AS c2
+  FROM lmqw, unnest(range(2, len(w)+1)) AS t(i) WHERE lang = 'en' GROUP BY 1),
+lmqru AS (SELECT u.x AS w1, count(*) AS c1
+  FROM lmqw, unnest(w) AS u(x) WHERE lang = 'en' GROUP BY 1),
+lmqv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM lmqru),
+lmqdb AS (SELECT doc_id, w[i-1] AS w1, w[i-1] || ' ' || w[i] AS bg
+  FROM lmqw, unnest(range(2, len(w)+1)) AS t(i)),
+lmqsc AS (SELECT lmqdb.doc_id,
+         round(-avg(ln((coalesce(lmqrb.c2, 0) + 0.1)
+                     / (coalesce(lmqru.c1, 0) + 0.1 * lmqv.V))), 6) AS lp
+  FROM lmqdb LEFT JOIN lmqrb USING (bg) LEFT JOIN lmqru USING (w1), lmqv
+  GROUP BY lmqdb.doc_id),
+lmq AS (
+  SELECT 'lm_en' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM lmqsc WHERE lp > 3.5)
 SELECT * FROM (
   SELECT * FROM row_v UNION ALL SELECT * FROM uq UNION ALL
   SELECT * FROM refv UNION ALL SELECT * FROM fd UNION ALL
   SELECT * FROM hq UNION ALL SELECT * FROM hq_dom UNION ALL
-  SELECT * FROM psi) all_v
+  SELECT * FROM psi UNION ALL SELECT * FROM lmq) all_v
 WHERE n_violations > 0
 """
 

@@ -55,7 +55,7 @@ ROW_KINDS = frozenset(
 )
 TABLE_KINDS = frozenset(
     {"unique", "referential", "drift", "contamination", "near_dup", "fd",
-     "host_quality", "shared_passage"}
+     "host_quality", "shared_passage", "lm_quality"}
 )
 
 
