@@ -676,9 +676,13 @@ def test_semantic_dedup_planted_vectors(spark):
     assert len(drops) > 0
     assert kept_ids.isdisjoint(dropped_ids)
     assert len(kept_ids) + len(dropped_ids) == n
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     for r in drops:
         assert r["witness_id"] < r["vec_id"]
-        assert r["witness_id"] in kept_ids  # witness chain bottoms out kept
+        # the witness is a corpus member but NOT necessarily kept:
+        # cosine is not transitive, so a chain a~b~c with a!~c drops b
+        # (witness a) and c (witness b, itself dropped)
+        assert r["witness_id"] in all_ids
         assert r["cos_sim"] >= 0.9
     # cap smaller than any cluster → pruning disabled, everything kept
     capped = semantic_dedup(
@@ -703,3 +707,21 @@ def test_semantic_dedup_zero_norm_and_null_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kept = semantic_dedup(df, threshold=0.95, n_centroids=2, n_iters=1)
     assert {r["vec_id"] for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_semantic_dedup_null_and_uncastable_ids_survive(spark):
+    """NULL ids (and ids that cast to NULL) never enter the prune and
+    never crash the UDF — they pass through the kept side."""
+    from validate_xml_rust_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (None, [1.0, 0.0, 0.0]),
+        (None, [1.0, 1e-7, 0.0]),
+        (5, [0.0, 1.0, 0.0]),
+        (6, [0.0, 1.0, 1e-7]),  # ~identical to 5 → dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(df, threshold=0.95, n_centroids=1, n_iters=1)
+    got = [(r["vec_id"]) for r in kept.collect()]
+    assert sorted(x for x in got if x is not None) == [5]
+    assert got.count(None) == 2

@@ -254,3 +254,62 @@ def test_curate_lm_filter_step(spark):
     res.release()
     with pytest.raises(ValueError, match="lm_ref"):
         curate(df, spark, near_dup_threshold=None, max_log_ppl=1.5)
+
+
+def test_curate_lm_filter_passthrough_rows(spark):
+    """lm_filter honors the pipeline id contract: NULL-id and
+    duplicate-id rows pass through verbatim (lm_perplexity pools bigrams
+    per id, so a dup-id blend must never gate either row)."""
+    from validate_xml_rust_spark.pipeline import curate
+
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)] * 3, "text string"
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quantum flux capacitors destabilize wormhole manifolds"),
+        (None, "xylophone zephyr quagmire boondoggle"),  # NULL id → kept
+        (7, "the quick brown fox naps here"),            # dup id...
+        (7, "borogoves mimsy outgrabe mome raths"),      # ...both kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(
+        df, spark, near_dup_threshold=None, lm_ref=ref, max_log_ppl=1.5,
+        sample_rate=None, pack_max_tokens=None,
+    )
+    kept = [(r["doc_id"], r["text"]) for r in res.kept.collect()]
+    ids = [t[0] for t in kept]
+    assert ids.count(7) == 2 and None in ids and 0 in ids
+    assert 1 not in ids  # scorable gibberish above budget drops
+    lm = {s["step"]: s for s in res.report["steps"]}["lm_filter"]
+    assert lm["dropped"] == 1
+    res.release()
+
+
+def test_curate_excise_dup_id_rows_still_feed_detection(spark):
+    """Duplicate-id rows cannot be rewritten (they pass through) but
+    still count as gram evidence: a passage they share with a unique-id
+    doc IS excised from that doc. Keeper = global min id, so here the
+    dup-id doc keeps the passage and the unique-id doc loses it."""
+    from validate_xml_rust_spark.pipeline import curate
+
+    run = " ".join(f"e{i}" for i in range(10))
+    rows = [
+        (9, f"u0 u1 {run} u2"),
+        (7, f"a0 {run} a1"),   # dup id (min) → passthrough, keeps run
+        (7, f"c0 c1 c2 c3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(
+        df, spark, near_dup_threshold=None, excise_min_run=8,
+        sample_rate=None, pack_max_tokens=None,
+    )
+    texts: dict = {}
+    for r in res.kept.collect():
+        texts.setdefault(r["doc_id"], []).append(r["text"])
+    assert texts[9] == ["u0 u1 u2"]  # run excised from the unique-id doc
+    assert sorted(texts[7]) == [f"a0 {run} a1", "c0 c1 c2 c3"]
+    exc = {s["step"]: s for s in res.report["steps"]}["excise_passages"]
+    assert exc["docs_with_excisions"] == 1 and exc["tokens_removed"] == 10
+    assert exc["rows_passthrough"] == 2 and exc["dropped"] == 0
+    res.release()

@@ -333,8 +333,14 @@ def semantic_dedup(
     regime). Clusters above ``max_cluster`` are kept whole rather than
     exploded — the same conservative degenerate-bucket stance as the
     LSH paths. Zero-norm vectors have cosine 0 to everything (the
-    ``cosine`` expression convention) and are never dropped."""
-    nn = df.filter(F.col(vec_col).isNotNull())
+    ``cosine`` expression convention) and are never dropped. Rows whose
+    id is NULL or not castable to long are never dropped (and never
+    witness) — there is no key to join a drop decision back on; ids are
+    expected unique (an id shared by several rows drops or keeps them
+    as a unit through the anti-join)."""
+    nn = df.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).cast("long").isNotNull()
+    )
     cents = ivf_train(
         nn, vec_col, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col
     )

@@ -229,7 +229,8 @@ def lm_perplexity(
     reference LMs come from bounded curated corpora) both maps broadcast
     and the doc side is a narrow explode + two BroadcastHashJoins + one
     groupBy(id); with False the joins shuffle on the uniform gram key.
-    V is a single scalar aggregate (bounded driver collect)."""
+    V rides the plan as a broadcast one-row aggregate (no eager driver
+    job at plan-build time)."""
     from validate_xml_rust_spark.functions.texthash import tokens
 
     rg = ref.select(tokens(F.col(ref_text_col)).alias("__w")).select(
@@ -240,7 +241,10 @@ def lm_perplexity(
     )
     ru = ref.select(F.explode(tokens(F.col(ref_text_col))).alias("w1"))
     c1 = ru.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
-    vocab = float(c1.count())
+    # V rides the plan as a broadcast one-row aggregate — a driver-side
+    # c1.count() here would launch an eager job at plan-BUILD time and
+    # make the reference tokenize+aggregate execute a third time
+    vfr = F.broadcast(c1.agg(F.count(F.lit(1)).alias("__V")))
     if broadcast_ref:
         c2, c1 = F.broadcast(c2), F.broadcast(c1)
     d = (
@@ -253,11 +257,15 @@ def lm_perplexity(
     )
     logp = F.log(
         (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(alpha)))
-        / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(float(alpha) * vocab))
+        / (
+            F.coalesce(F.col("__c1"), F.lit(0))
+            + F.lit(float(alpha)) * F.col("__V").cast("double")
+        )
     )
     scored = (
         d.join(c2, "bg", "left")
         .join(c1, "w1", "left")
+        .crossJoin(vfr)
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -135,17 +135,21 @@ def curate(
     if excise_min_run is not None:
         # substring-level passage excision AFTER doc-level dedup (the
         # public pipeline order: whole near-dup docs are gone, now shared
-        # passages inside kept docs are cut). Excision runs only over
+        # passages inside kept docs are cut). REWRITES apply only to
         # rows whose id is non-NULL and UNIQUE in the frame —
         # exact_dedup dedups CONTENT, not ids, so duplicate-id rows with
         # different text can reach this step, and joining rebuilt text
         # back on such an id would cross-multiply rows. NULL-id and
-        # duplicate-id rows pass through verbatim (rows_passthrough).
-        # Docs that HAD an excision carry the rebuilt token-domain text
-        # (single spaces — the domain every downstream step tokenizes
-        # into); untouched docs keep their original text byte-for-byte.
-        # Only docs excised down to zero tokens drop — docs that already
-        # had zero tokens (and were never excised) survive.
+        # duplicate-id rows pass through verbatim (rows_passthrough) —
+        # but every IDENTIFIED row, duplicate ids included, still feeds
+        # the gram-marking corpus, so a passage shared between a
+        # unique-id doc and dup-id docs is detected and excised from the
+        # rewritable copy. Docs that HAD an excision carry the rebuilt
+        # token-domain text (single spaces — the domain every downstream
+        # step tokenizes into); untouched docs keep their original text
+        # byte-for-byte. Only docs excised down to zero tokens drop —
+        # docs that already had zero tokens (and were never excised)
+        # survive.
         from validate_xml_rust_spark.operators.dedup import (
             excise_shared_passages,
         )
@@ -159,12 +163,20 @@ def curate(
         excisable = counted.filter(F.col("__idn") == 1).drop("__idn")
         exc_stats: dict = {}
         exc = excise_shared_passages(
-            excisable, id_col, text_col, min_run=excise_min_run,
+            counted.filter(F.col(id_col).isNotNull()).drop("__idn"),
+            id_col, text_col, min_run=excise_min_run,
             stats=exc_stats,
         ).select(
             F.col(id_col),
             F.col("clean_text").alias("__clean"),
             "n_tokens_removed", "n_spans", "n_tokens_kept",
+        )
+        # rebuilt rows for dup-id docs are discarded (those rows pass
+        # through verbatim); restrict to unique ids BEFORE the join-back
+        # or the join would cross-multiply
+        exc = exc.join(
+            id_n.filter(F.col("__idn") == 1).select(id_col), id_col,
+            "left_semi",
         )
         joined = (
             excisable.join(exc, id_col)
@@ -239,18 +251,36 @@ def curate(
         # CCNet-style LM filter: drop docs whose bigram-LM log-perplexity
         # against lm_ref exceeds the budget. Docs too short to score
         # (log_ppl NULL, <2 tokens) are KEPT — absence of evidence;
-        # length floors belong to the quality/repetition filters.
+        # length floors belong to the quality/repetition filters. Same
+        # id contract as the excise step: only non-NULL UNIQUE ids are
+        # scored (lm_perplexity pools bigrams per id, so dup-id rows
+        # would blend into one verdict); NULL-id and dup-id rows pass
+        # through verbatim.
         if lm_ref is None:
             raise ValueError("max_log_ppl requires lm_ref (reference corpus)")
         from validate_xml_rust_spark.operators.textstats import lm_perplexity
 
-        scores = lm_perplexity(cur, lm_ref, id_col=id_col, text_col=text_col)
+        lm_id_n = (
+            cur.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__idn"))
+        )
+        lm_counted = cur.join(lm_id_n, id_col, "left")
+        lm_scorable = lm_counted.filter(F.col("__idn") == 1).drop("__idn")
+        lm_pass = lm_counted.filter(
+            F.col(id_col).isNull() | (F.col("__idn") > 1)
+        ).drop("__idn")
+        scores = lm_perplexity(
+            lm_scorable, lm_ref, id_col=id_col, text_col=text_col
+        )
         ok = scores.filter(
             F.col("log_ppl").isNull() | (F.col("log_ppl") <= max_log_ppl)
         ).select(F.col(id_col).alias("__lmid"))
         cur = log(
             "lm_filter",
-            cur.join(ok, cur[id_col] == F.col("__lmid"), "left_semi"),
+            lm_scorable.join(
+                ok, lm_scorable[id_col] == F.col("__lmid"), "left_semi"
+            ).unionByName(lm_pass.select(*lm_scorable.columns)),
         )
 
     if sample_rate is not None:
