@@ -511,9 +511,14 @@ def _py_excise(rows, min_run=8, keep_first=True):
             if keep_first and d == keeper:
                 continue
             cov[d].update(range(p, p + min_run))
+    raw = dict(rows)
     out = {}
     for i, ws in toks.items():
         c = sorted(x for x in cov[i] if 0 <= x < len(ws))
+        if not c:
+            # untouched docs pass through byte-identical (NULLs included)
+            out[i] = (raw[i], 0, 0, len(ws))
+            continue
         clean = " ".join(w for j, w in enumerate(ws) if j not in cov[i])
         n_spans = sum(
             1 for k, x in enumerate(c) if k == 0 or c[k - 1] != x - 1
@@ -580,8 +585,9 @@ def test_excise_matches_python_reference_and_property(spark):
             for r in excise_shared_passages(df, prefilter=False).collect()
         }
         assert exact == got, f"prefilter lossy at seed {seed}"
-        # the headline guarantee
-        texts = {i: got[i][0].split() for i in got}
+        # the headline guarantee (untouched docs keep raw text — the
+        # random corpus is already token-form, so plain split is exact)
+        texts = {i: (got[i][0] or "").split() for i in got}
         for a in texts:
             for b in texts:
                 if a >= b:

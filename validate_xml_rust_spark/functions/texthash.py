@@ -186,57 +186,78 @@ def seq_gram_hashes(token_hash_col: Column, k: int) -> Column:
 EXCISE_STRUCT = "struct<clean_text:string,n_tokens_removed:int,n_spans:int>"
 
 
-def excise_rebuild_udf(tokens_col: Column, cov_col: Column) -> Column:
-    """Rebuild a document from its token array minus a set of covered
-    token positions: ``(clean_text, n_tokens_removed, n_spans)`` where
-    n_spans counts MAXIMAL contiguous covered runs (the merged-interval
-    count). Arrow-batched numpy: one boolean mask + one diff per row —
-    the per-token array_contains expression form would be O(n·|cov|)
-    interpreted (repo rule: >~10 array ops/row → Arrow)."""
+def excise_rebuild_udf(
+    tokens_col: Column, starts_col: Column, min_run: int
+) -> Column:
+    """Rebuild a document from its token array minus the intervals
+    ``[s, s+min_run)`` covered by the marked gram-START positions:
+    ``(clean_text, n_tokens_removed, n_spans)``, n_spans = maximal
+    merged runs. Arrow-batched numpy: one start/stop edge histogram +
+    cumsum per row. Interval expansion happens HERE, not upstream —
+    the old shape exploded min_run rows per marked gram into a
+    corpus-wide collect_set (an ~min_run× bigger shuffle for the same
+    information)."""
+    run = int(min_run)
 
     @F.pandas_udf(EXCISE_STRUCT)
-    def rb(toks: pd.Series, cov: pd.Series) -> pd.DataFrame:
+    def rb(toks: pd.Series, starts: pd.Series) -> pd.DataFrame:
         texts, removed, spans = [], [], []
-        for t, c in zip(toks, cov):
+        for t, s in zip(toks, starts):
             words = list(t) if t is not None else []
-            if c is None or len(c) == 0:
+            st = (
+                np.unique(np.asarray(s, dtype=np.int64))
+                if s is not None and len(s)
+                else np.empty(0, dtype=np.int64)
+            )
+            st = st[(st >= 0) & (st < len(words))]
+            if not len(st):
                 texts.append(" ".join(words))
                 removed.append(0)
                 spans.append(0)
                 continue
-            pos = np.unique(np.asarray(c, dtype=np.int64))
-            pos = pos[(pos >= 0) & (pos < len(words))]
-            mask = np.ones(len(words), dtype=bool)
-            mask[pos] = False
-            texts.append(" ".join(w for w, m in zip(words, mask) if m))
-            removed.append(int(len(pos)))
-            spans.append(
-                int(1 + (np.diff(pos) > 1).sum()) if len(pos) else 0
+            edges = np.zeros(len(words) + 1, dtype=np.int64)
+            np.add.at(edges, st, 1)
+            np.add.at(edges, np.minimum(st + run, len(words)), -1)
+            covered = np.cumsum(edges[:-1]) > 0
+            texts.append(
+                " ".join(w for w, c in zip(words, covered) if not c)
             )
+            removed.append(int(covered.sum()))
+            rises = int((np.diff(covered.astype(np.int8)) == 1).sum())
+            spans.append(int(covered[0]) + rises)
         return pd.DataFrame(
             {"clean_text": texts, "n_tokens_removed": removed, "n_spans": spans}
         )
 
-    return rb(tokens_col, cov_col)
+    return rb(tokens_col, starts_col)
 
 
-def span_count_udf(cov_col: Column) -> Column:
-    """Merged-interval count over a SORTED, deduplicated covered-position
-    array: the number of maximal contiguous runs. Arrow-batched numpy —
-    one ``np.diff`` per row, same arithmetic as ``excise_rebuild_udf``'s
-    n_spans (the transform/filter HOF form is interpreted per element;
-    repo rule: >~10 array ops/row → Arrow)."""
+INTERVAL_STRUCT = "struct<n_tokens:int,n_spans:int>"
 
-    @F.pandas_udf("int")
-    def spans(cov: pd.Series) -> pd.Series:
-        out = np.zeros(len(cov), dtype=np.int32)
-        for i, c in enumerate(cov):
-            if c is not None and len(c):
-                pos = np.asarray(c, dtype=np.int64)
-                out[i] = 1 + int((np.diff(pos) > 1).sum())
-        return pd.Series(out)
 
-    return spans(cov_col)
+def interval_stats_udf(starts_col: Column, min_run: int) -> Column:
+    """Merged-interval statistics over SORTED marked gram-start arrays:
+    ``(n_tokens, n_spans)`` for intervals ``[s, s+min_run)`` — covered
+    size = Σ min(gap, min_run) + min_run, span breaks where a gap
+    exceeds min_run. Pure numpy per row; needs no token array (gram
+    starts are in-range by construction: pos ≤ len−min_run)."""
+    run = int(min_run)
+
+    @F.pandas_udf(INTERVAL_STRUCT)
+    def stats(starts: pd.Series) -> pd.DataFrame:
+        toks, spans = [], []
+        for s in starts:
+            if s is None or len(s) == 0:
+                toks.append(0)
+                spans.append(0)
+                continue
+            st = np.unique(np.asarray(s, dtype=np.int64))
+            gaps = np.diff(st)
+            toks.append(int(np.minimum(gaps, run).sum()) + run)
+            spans.append(1 + int((gaps > run).sum()))
+        return pd.DataFrame({"n_tokens": toks, "n_spans": spans})
+
+    return stats(starts_col)
 
 
 def gram_repetition_udf(text: Column, k: int = 2) -> Column:

@@ -556,7 +556,7 @@ def shared_passage_candidates(
     return out
 
 
-def _covered_positions(
+def _marked_starts(
     work: DataFrame,
     min_run: int,
     shingle_k: int,
@@ -565,10 +565,16 @@ def _covered_positions(
     stats: dict | None = None,
 ) -> DataFrame:
     """Shared core of excision and detection: per doc, the SORTED set of
-    token positions covered by cross-document shared ``min_run``-grams
-    (minus the min-id keeper's copies when ``keep_first``). ``work`` has
-    columns ``(__id, __t)``; output ``(__id, __cov array<int>)`` with one
-    row per doc that has ANY covered position."""
+    START positions of cross-document shared ``min_run``-grams (minus
+    the min-id keeper's copies when ``keep_first``). ``work`` has
+    columns ``(__id, __t)``; output ``(__id, __starts array<int>)`` with
+    one row per doc that has ANY marked gram. Interval expansion to
+    covered positions happens downstream in numpy (excise_rebuild_udf /
+    interval_stats_udf) — shuffling the expanded positions here would
+    move ~min_run× the rows for the same information. The shared-gram
+    test is min(id) != max(id) rather than countDistinct > 1: same
+    predicate, but a plain single-phase hash aggregate instead of the
+    two-phase distinct-aggregate Expand rewrite."""
     from validate_xml_rust_spark.functions.texthash import (
         seq_gram_hashes,
         token_hashes,
@@ -593,23 +599,20 @@ def _covered_positions(
         ).alias("pos", "gh"),
     )
     keepers = grams.groupBy("gh").agg(
-        F.min("__id").alias("__keep"), F.countDistinct("__id").alias("__nd")
+        F.min("__id").alias("__keep"), F.max("__id").alias("__hi")
     )
     if keep_first:
         marked = grams.join(keepers, "gh").filter(
-            (F.col("__nd") > 1) & (F.col("__id") > F.col("__keep"))
+            (F.col("__hi") != F.col("__keep"))
+            & (F.col("__id") > F.col("__keep"))
         )
     else:
-        marked = grams.join(keepers, "gh").filter(F.col("__nd") > 1)
-    return (
-        marked.select(
-            "__id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(min_run - 1))
-            ).alias("cp"),
+        marked = grams.join(keepers, "gh").filter(
+            F.col("__hi") != F.col("__keep")
         )
-        .groupBy("__id")
-        .agg(F.sort_array(F.collect_set("cp")).alias("__cov"))
+    return (
+        marked.groupBy("__id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
     )
 
 
@@ -632,18 +635,21 @@ def shared_passage_stats(
     (the violation path wants only offenders)."""
     if min_run < shingle_k:
         raise ValueError("need min_run >= shingle_k for the winnow prefilter")
-    from validate_xml_rust_spark.functions.texthash import span_count_udf
+    from validate_xml_rust_spark.functions.texthash import interval_stats_udf
 
     work = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    cov = _covered_positions(work, min_run, shingle_k, prefilter, keep_first, stats)
-    # span count = maximal contiguous runs in the sorted position array —
-    # Arrow np.diff, the same arithmetic the excise path's rebuild UDF
-    # uses (a transform/filter HOF over thousands of positions would be
-    # interpreted per element; repo rule)
+    cov = _marked_starts(work, min_run, shingle_k, prefilter, keep_first, stats)
+    # covered-token count + merged-span count derive from the gram-start
+    # array in one Arrow pass (interval math in numpy — a transform/
+    # filter HOF over thousands of positions would be interpreted per
+    # element; repo rule)
     return cov.select(
         F.col("__id").alias(id_col),
-        F.size("__cov").cast("int").alias("n_shared_tokens"),
-        span_count_udf(F.col("__cov")).alias("n_spans"),
+        interval_stats_udf(F.col("__starts"), min_run).alias("__st"),
+    ).select(
+        id_col,
+        F.col("__st.n_tokens").alias("n_shared_tokens"),
+        F.col("__st.n_spans").alias("n_spans"),
     )
 
 
@@ -681,8 +687,10 @@ def excise_shared_passages(
       run survives between any kept pair (property-tested).
 
     Output: one row per input doc —
-    ``(id_col, clean_text, n_tokens_kept, n_tokens_removed, n_spans)``
-    with clean_text whitespace-normalized in the token domain.
+    ``(id_col, clean_text, n_tokens_kept, n_tokens_removed, n_spans)``.
+    Docs with NO marked gram pass through byte-identical (clean_text ==
+    the input text, NULLs included); EXCISED docs are rebuilt
+    whitespace-normalized in the token domain.
 
     Scale shape (10^12 docs): ``prefilter=True`` first finds docs sharing
     any winnowing fingerprint (window sized so the w+k-1 guarantee length
@@ -691,9 +699,11 @@ def excise_shared_passages(
     Only that near-dup-involved fraction pays the positional-gram
     explode; on a healthy post-dedup corpus that is percents, not the
     corpus. Every shuffle keys on a uniform hash (winnow fingerprint,
-    gram hash, (id,pos) pair); the keeper groupBy and its join-back share
-    the gram-hash partitioning; per-doc state is bounded by doc length
-    (covered-position arrays ride through one Arrow rebuild pass).
+    gram hash, doc id); the keeper groupBy and its join-back share the
+    gram-hash partitioning; only marked gram STARTS shuffle per doc
+    (interval expansion to covered positions happens inside the Arrow
+    rebuild — ~min_run× fewer shuffled rows than expanding first);
+    per-doc state is bounded by doc length.
     """
     if min_run < shingle_k:
         raise ValueError("need min_run >= shingle_k for the winnow prefilter")
@@ -703,26 +713,37 @@ def excise_shared_passages(
     )
 
     work = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    cov = _covered_positions(work, min_run, shingle_k, prefilter, keep_first, stats)
-    rebuilt = (
-        work.join(cov, "__id", "left")
-        .select(
-            "__id",
-            excise_rebuild_udf(tokens(F.col("__t")), F.col("__cov")).alias("__e"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__e.clean_text").alias("clean_text"),
-            F.col("__e.n_tokens_removed").alias("n_tokens_removed"),
-            F.col("__e.n_spans").alias("n_spans"),
-        )
+    cov = _marked_starts(work, min_run, shingle_k, prefilter, keep_first, stats)
+    # ONE pass over the joined frame: the rebuild UDF computes the
+    # token-domain rebuild for every row (it is a no-op-join for empty
+    # starts), and a JVM `when` restores the ORIGINAL text for docs with
+    # no marked gram — byte-identity for untouched docs without a second
+    # scan of the marking subtree (a touched/untouched branch split
+    # re-executes the whole prefilter+marking per branch: measured 1.7×
+    # slower even with the starts frame checkpointed)
+    reb = work.join(cov, "__id", "left").select(
+        "__id",
+        "__t",
+        "__starts",
+        excise_rebuild_udf(
+            tokens(F.col("__t")), F.col("__starts"), min_run
+        ).alias("__e"),
     )
-    return rebuilt.withColumn(
-        "n_tokens_kept",
-        (
-            F.size(F.split(F.col("clean_text"), " "))
-            - (F.col("clean_text") == "").cast("int")
-        ).cast("int"),
+    untouched = F.col("__starts").isNull()
+    return reb.select(
+        F.col("__id").alias(id_col),
+        F.when(untouched, F.col("__t"))
+        .otherwise(F.col("__e.clean_text"))
+        .alias("clean_text"),
+        F.col("__e.n_tokens_removed").alias("n_tokens_removed"),
+        F.col("__e.n_spans").alias("n_spans"),
+        F.when(untouched, F.size(tokens(F.col("__t"))))
+        .otherwise(
+            F.size(F.split(F.col("__e.clean_text"), " "))
+            - (F.col("__e.clean_text") == "").cast("int")
+        )
+        .cast("int")
+        .alias("n_tokens_kept"),
     )
 
 

@@ -178,15 +178,13 @@ def curate(
             id_n.filter(F.col("__idn") == 1).select(id_col), id_col,
             "left_semi",
         )
+        # the operator guarantees byte-identity for untouched docs
+        # (clean_text == input text when nothing was excised), so the
+        # rebuilt column replaces text unconditionally
         joined = (
             excisable.join(exc, id_col)
-            .withColumn(
-                text_col,
-                F.when(F.col("n_spans") > 0, F.col("__clean")).otherwise(
-                    F.col(text_col)
-                ),
-            )
-            .drop("__clean")
+            .drop(text_col)
+            .withColumnRenamed("__clean", text_col)
             .withColumn("__pt", F.lit(False))
         )
         passthrough = (

@@ -2766,7 +2766,7 @@ def q_excise_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXCISE_PASSAGES = rf"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
                      x -> length(x) > 0) AS w
   FROM '{_FIXTURES / "passage_docs_400.parquet"}'),
@@ -2801,7 +2801,10 @@ rebuilt AS (
   WHERE cov.cp IS NULL
   GROUP BY tp.doc_id)
 SELECT t.doc_id,
-       md5(coalesce(r.clean, '')) AS fp,
+       -- untouched docs (no covered position) pass through byte-identical,
+       -- so their fp hashes the ORIGINAL text, not the token rejoin
+       md5(CASE WHEN s.doc_id IS NULL THEN coalesce(t.text, '')
+                ELSE coalesce(r.clean, '') END) AS fp,
        CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
        CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
 FROM toks t
@@ -2833,7 +2836,9 @@ def q_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc_text = exc.select(
         F.lit("excise").alias("variant"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5("clean_text").alias("fp"),
+        # coalesce: untouched docs carry their ORIGINAL text (NULL text
+        # stays NULL) — hash the empty string for those, like the oracle
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("fp"),
         F.col("n_tokens_removed").cast("long").alias("n_dup"),
     )
     exc_spans = exc.filter(F.col("n_spans") > 0).select(
