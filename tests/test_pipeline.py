@@ -313,3 +313,29 @@ def test_curate_excise_dup_id_rows_still_feed_detection(spark):
     assert exc["docs_with_excisions"] == 1 and exc["tokens_removed"] == 10
     assert exc["rows_passthrough"] == 2 and exc["dropped"] == 0
     res.release()
+
+
+def test_curate_semantic_dedup_step(spark):
+    """SemDeDup as a pipeline step: embedding-space copies that textual
+    dedup cannot see collapse to the min-id exemplar; NULL-embedding
+    rows survive; the lineage row carries the drop count."""
+    from validate_xml_rust_spark.pipeline import curate
+
+    rows = [
+        (0, "the cat sat on the mat", [1.0, 0.0, 0.0, 0.0]),
+        (1, "a feline rested upon the rug", [1.0, 1e-6, 0.0, 0.0]),
+        (2, "spark shuffles partition data", [0.0, 1.0, 0.0, 0.0]),
+        (3, "no embedding for this row", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>"
+    )
+    res = curate(
+        df, spark, near_dup_threshold=None, semantic_threshold=0.95,
+        semantic_centroids=1, sample_rate=None, pack_max_tokens=None,
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    assert kept == {0, 2, 3}  # 1 is a semantic copy of 0; 3 unscorable
+    sd = {s["step"]: s for s in res.report["steps"]}["semantic_dedup"]
+    assert sd["dropped"] == 1
+    res.release()

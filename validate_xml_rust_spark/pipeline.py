@@ -67,6 +67,9 @@ def curate(
     route_col: str = "lang",
     benchmark: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
+    semantic_threshold: float | None = None,
+    vec_col: str = "embedding",
+    semantic_centroids: int = 16,
     excise_min_run: int | None = None,
     max_repetition: float | None = None,
     lm_ref: DataFrame | None = None,
@@ -131,6 +134,23 @@ def curate(
         # the step checkpoint (inside log) has materialized, so near_dedup's
         # internal drop-set checkpoint is unreachable — free its blocks
         release_blocks(sc, nd_stats.get("ckpt_block_ids", frozenset()))
+
+    if semantic_threshold is not None:
+        # SemDeDup AFTER textual near-dedup: semantic copies (same
+        # meaning, different words) that survive MinHash collapse to one
+        # exemplar per embedding cluster. Requires a vec_col on the
+        # frame; rows with NULL embeddings or NULL/non-long ids are
+        # never dropped (similarity.semantic_dedup's contract).
+        from validate_xml_rust_spark.operators.similarity import semantic_dedup
+
+        cur = log(
+            "semantic_dedup",
+            semantic_dedup(
+                cur, id_col=id_col, vec_col=vec_col,
+                threshold=semantic_threshold,
+                n_centroids=semantic_centroids,
+            ),
+        )
 
     if excise_min_run is not None:
         # substring-level passage excision AFTER doc-level dedup (the
