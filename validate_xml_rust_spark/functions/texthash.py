@@ -183,7 +183,10 @@ def seq_gram_hashes(token_hash_col: Column, k: int) -> Column:
     return sg(token_hash_col)
 
 
-EXCISE_STRUCT = "struct<clean_text:string,n_tokens_removed:int,n_spans:int>"
+EXCISE_STRUCT = (
+    "struct<clean_text:string,n_tokens_removed:int,n_spans:int,"
+    "n_tokens_total:int>"
+)
 
 
 def excise_rebuild_udf(
@@ -201,9 +204,10 @@ def excise_rebuild_udf(
 
     @F.pandas_udf(EXCISE_STRUCT)
     def rb(toks: pd.Series, starts: pd.Series) -> pd.DataFrame:
-        texts, removed, spans = [], [], []
+        texts, removed, spans, totals = [], [], [], []
         for t, s in zip(toks, starts):
             words = list(t) if t is not None else []
+            totals.append(len(words))
             st = (
                 np.unique(np.asarray(s, dtype=np.int64))
                 if s is not None and len(s)
@@ -226,7 +230,12 @@ def excise_rebuild_udf(
             rises = int((np.diff(covered.astype(np.int8)) == 1).sum())
             spans.append(int(covered[0]) + rises)
         return pd.DataFrame(
-            {"clean_text": texts, "n_tokens_removed": removed, "n_spans": spans}
+            {
+                "clean_text": texts,
+                "n_tokens_removed": removed,
+                "n_spans": spans,
+                "n_tokens_total": totals,
+            }
         )
 
     return rb(tokens_col, starts_col)

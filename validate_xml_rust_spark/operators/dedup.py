@@ -602,9 +602,10 @@ def _marked_starts(
         F.min("__id").alias("__keep"), F.max("__id").alias("__hi")
     )
     if keep_first:
+        # __id > __keep alone suffices: __keep = min(id), so a strictly
+        # greater id already proves the gram is shared by >1 doc
         marked = grams.join(keepers, "gh").filter(
-            (F.col("__hi") != F.col("__keep"))
-            & (F.col("__id") > F.col("__keep"))
+            F.col("__id") > F.col("__keep")
         )
     else:
         marked = grams.join(keepers, "gh").filter(
@@ -737,11 +738,10 @@ def excise_shared_passages(
         .alias("clean_text"),
         F.col("__e.n_tokens_removed").alias("n_tokens_removed"),
         F.col("__e.n_spans").alias("n_spans"),
-        F.when(untouched, F.size(tokens(F.col("__t"))))
-        .otherwise(
-            F.size(F.split(F.col("__e.clean_text"), " "))
-            - (F.col("__e.clean_text") == "").cast("int")
-        )
+        # the rebuild UDF already counted the tokens — kept is a free
+        # subtraction for BOTH branches (no second tokenize of untouched
+        # docs, no split-recount of rebuilt ones)
+        (F.col("__e.n_tokens_total") - F.col("__e.n_tokens_removed"))
         .cast("int")
         .alias("n_tokens_kept"),
     )
