@@ -95,3 +95,43 @@ def test_canonicalize_idempotent(spark):
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
     assert len(out) == len(urls)
+
+
+def test_domain_blocklist_matching(spark):
+    """UT1-style blocklist: exact host and any-subdomain matching through
+    the www./port/userinfo normalizations; lookalike hosts (notbad.com vs
+    bad.com) never match; NULL/invalid urls are never blocked and survive
+    the filter."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.functions.urlnorm import (
+        domain_blocklist_filter,
+        domain_blocklist_flags,
+    )
+
+    rows = [
+        (0, "https://bad.com/x"),                 # exact
+        (1, "https://www.bad.com:443/x"),         # www + port strip
+        (2, "http://a.b.bad.com/x"),              # deep subdomain
+        (3, "https://notbad.com/x"),              # suffix lookalike: clean
+        (4, "https://user:pw@bad.com/x"),         # userinfo strip
+        (5, "https://good.org/x"),                # clean
+        (6, None),                                # NULL url: never blocked
+        (7, "not a url"),                         # unparsable: never blocked
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    got = {
+        r["id"]: r["blocked"]
+        for r in domain_blocklist_flags(df, bl).collect()
+    }
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: True,
+                   5: False, 6: False, 7: False}
+    kept = {r["id"] for r in domain_blocklist_filter(df, bl).collect()}
+    assert kept == {3, 5, 6, 7}
+    # blocklist entries are case-normalized too
+    bl2 = spark.createDataFrame([("BAD.com",)], "domain string")
+    assert {
+        r["id"]
+        for r in domain_blocklist_flags(df, bl2).filter(F.col("blocked")).collect()
+    } == {0, 1, 2, 4}

@@ -96,3 +96,78 @@ def canonical_dup_groups(
         )
         .where(F.col("n_raw") > 1)
     )
+
+def url_host(url: Column) -> Column:
+    """Canonical host of ``url``: authority lowercased, userinfo and any
+    ``:port`` stripped, ``(www.)+`` alias prefix dropped; NULL for
+    null / non-``scheme://`` input. The matching key for host-level
+    policy (blocklists, per-host quality)."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, URL_PARTS_RE, 1))
+    auth = F.lower(F.regexp_extract(u, URL_PARTS_RE, 2))
+    host = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^(www\.)+", "")
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host (``a.b.c`` → [a.b.c, b.c, c]) — the
+    equi-join form of "equals or is a subdomain of". Bounded by the
+    label count (hosts have a handful of labels), so the explode is a
+    constant-factor map, never a fan-out."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def domain_blocklist_flags(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Flag rows whose url host equals OR is a subdomain of any blocked
+    registered domain — the C4/RefinedWeb UT1-blocklist curation step
+    (public recipe: Raffel et al. 2020 §2.2 block bad-word domains;
+    RefinedWeb uses the UT1 adult/malware lists). Adds
+    ``blocked boolean`` (NULL-host rows are never blocked).
+
+    Scale shape: matching runs on the DISTINCT-host dimension (10^7
+    hosts vs 10^12 pages), suffix-exploded (≤ label count per host)
+    into an equi-join against the broadcast blocklist (UT1 lists are
+    ~10^6 domains — broadcastable by nature); rows then join the hit
+    set on the uniform host key. No per-row scan of the list exists."""
+    b = F.broadcast(
+        blocked.select(
+            F.lower(F.col(blocked.columns[0])).alias("__bd")
+        ).distinct()
+    )
+    with_host = df.withColumn("__h", url_host(F.col(url_col)))
+    hit_hosts = (
+        with_host.select("__h")
+        .where(F.col("__h").isNotNull())
+        .distinct()
+        .select("__h", F.explode(host_suffixes(F.col("__h"))).alias("__s"))
+        .join(b, F.col("__s") == F.col("__bd"), "left_semi")
+        .select(F.col("__h").alias("__bh"))
+        .distinct()
+    )
+    return (
+        with_host.join(
+            hit_hosts, with_host["__h"] == F.col("__bh"), "left"
+        )
+        .withColumn("blocked", F.col("__bh").isNotNull())
+        .drop("__bh", "__h")
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame, blocked: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose url host is blocked (see domain_blocklist_flags);
+    NULL-host rows survive — a missing url is not a blocked url."""
+    flagged = domain_blocklist_flags(df, blocked, url_col)
+    return flagged.filter(~F.col("blocked")).drop("blocked")

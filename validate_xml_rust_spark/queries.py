@@ -1692,6 +1692,17 @@ def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from validate_xml_rust_spark.functions.urlnorm import canonical_dup_groups
 
     docs = _t(spark, sf_dir, "documents")
+    out = canonical_dup_groups(_synth_urls(docs))
+    return out.select(
+        "canonical_url",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_distinct_raw").cast("long").alias("n_distinct_raw"),
+    )
+
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Five deterministic raw spellings per logical page (shared by the
+    canonicalization and blocklist gate variants)."""
     g = F.floor(F.col("doc_id") / 5).cast("long")
     v = F.col("doc_id") % 5
     host = F.concat(F.lit("h"), (g % 7).cast("string"), F.lit(".example.com"))
@@ -1703,11 +1714,48 @@ def q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 3, F.concat(F.lit("https://"), host, stem, F.lit("?utm_source=feed&b=2&a=1")))
         .otherwise(F.concat(F.lit("https://"), host, stem, F.lit("?a=1&b=2")))
     )
-    out = canonical_dup_groups(docs.select(url.alias("url")))
-    return out.select(
-        "canonical_url",
-        F.col("n_raw").cast("long").alias("n_raw"),
-        F.col("n_distinct_raw").cast("long").alias("n_distinct_raw"),
+    return docs.select(url.alias("url"))
+
+
+def q_url_policy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dup-groups PLUS UT1-style domain-blocklist
+    matching (functions/urlnorm.py domain_blocklist_flags — the
+    C4/RefinedWeb blocked-domain curation step) over the same
+    synthesized raw urls. blocked_host matches exact registered hosts
+    through the www./port/scheme normalizations; blocked_suffix matches
+    every subdomain of a registered domain via the suffix-explode
+    equi-join. The oracle restates host extraction with the same RE2
+    steps and the suffix rule as equals-or-LIKE '%.domain'."""
+    from validate_xml_rust_spark.functions.urlnorm import (
+        domain_blocklist_flags,
+        url_host,
+    )
+
+    canon = q_url_canonical_dups(spark, sf_dir).select(
+        F.lit("canon").alias("variant"),
+        "canonical_url", "n_raw", "n_distinct_raw",
+    )
+    urls = _synth_urls(_t(spark, sf_dir, "documents"))
+
+    def blocked_counts(domains: list, tag: str) -> DataFrame:
+        bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+        hits = domain_blocklist_flags(urls, bl).filter(F.col("blocked"))
+        return (
+            hits.select(url_host(F.col("url")).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+            .select(
+                F.lit(tag).alias("variant"),
+                "canonical_url",
+                "n_raw",
+                F.lit(None).cast("long").alias("n_distinct_raw"),
+            )
+        )
+
+    return (
+        canon.unionByName(
+            blocked_counts(["h2.example.com", "h4.example.com"], "blocked_host")
+        ).unionByName(blocked_counts(["example.com"], "blocked_suffix"))
     )
 
 
@@ -1757,6 +1805,36 @@ canon AS (
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
        CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
 FROM canon GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _oracle_url_blocked(cond: str) -> str:
+    """Blocklist restatement over the same raw-url synthesis: canonical
+    host via the identical RE2 steps (userinfo, :port, (www.)+), then
+    equals-or-subdomain as ``h = d OR h LIKE '%.d'``."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, CAST(floor(doc_id / 5) AS BIGINT) AS g, doc_id % 5 AS v
+  FROM documents),
+raw AS (
+  SELECT CASE v
+    WHEN 0 THEN 'https://h' || (g % 7) || '.example.com/a/doc-' || g
+    WHEN 1 THEN 'https://www.h' || (g % 7) || '.example.com/a/doc-' || g || '/'
+    WHEN 2 THEN 'HTTPS://h' || (g % 7) || '.example.com:443/a/doc-' || g || '#frag'
+    WHEN 3 THEN 'https://h' || (g % 7) || '.example.com/a/doc-' || g
+                || '?utm_source=feed&b=2&a=1'
+    ELSE 'https://h' || (g % 7) || '.example.com/a/doc-' || g || '?a=1&b=2'
+    END AS url
+  FROM u),
+hostx AS (
+  SELECT lower(regexp_extract(trim(url), '{_URL_RE}', 1)) AS scheme,
+         regexp_replace(regexp_replace(regexp_replace(
+             lower(regexp_extract(trim(url), '{_URL_RE}', 2)),
+             '^[^@]*@', ''), ':[0-9]+$', ''), '^(www\\.)+', '') AS h
+  FROM raw)
+SELECT h AS canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(NULL AS BIGINT) AS n_distinct_raw
+FROM hostx WHERE scheme <> '' AND ({cond}) GROUP BY 1
 """
 
 
@@ -2667,6 +2745,24 @@ def _wrap_variant(label: str, sql: str) -> str:
     """Wrap a full oracle statement (WITH/ORDER/LIMIT allowed) as a
     variant-labeled subquery."""
     return f"SELECT '{label}' AS variant, t.* FROM (\n{sql}\n) t"
+
+
+ORACLE_URL_POLICY_SUITE = (
+    _wrap_variant("canon", ORACLE_URL_CANONICAL_DUPS)
+    + "\nUNION ALL\n"
+    + _wrap_variant(
+        "blocked_host",
+        _oracle_url_blocked(
+            "h IN ('h2.example.com', 'h4.example.com') "
+            "OR h LIKE '%.h2.example.com' OR h LIKE '%.h4.example.com'"
+        ),
+    )
+    + "\nUNION ALL\n"
+    + _wrap_variant(
+        "blocked_suffix",
+        _oracle_url_blocked("h = 'example.com' OR h LIKE '%.example.com'"),
+    )
+)
 
 
 def q_duplicate_custkeys_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3667,7 +3763,7 @@ QUERIES = {
     "fd_violations": q_fd_violations,
     "profile_diff": q_profile_diff,
     "drift_suite": q_drift_suite,
-    "url_canonical_dups": q_url_canonical_dups,
+    "url_canonical_dups": q_url_policy_suite,
     "salted_event_stats": q_salted_event_stats,
     "resume_pending": q_resume_pending,
     "incremental_validate": q_incremental_validate_suite,
@@ -3720,7 +3816,7 @@ ORACLES = {
     "fd_violations": ORACLE_FD_VIOLATIONS,
     "profile_diff": ORACLE_PROFILE_DIFF,
     "drift_suite": ORACLE_DRIFT_SUITE,
-    "url_canonical_dups": ORACLE_URL_CANONICAL_DUPS,
+    "url_canonical_dups": ORACLE_URL_POLICY_SUITE,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
     "resume_pending": ORACLE_RESUME_PENDING,
     "incremental_validate": ORACLE_INCREMENTAL_VALIDATE_SUITE,
