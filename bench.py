@@ -331,6 +331,21 @@ def main() -> None:
         )
     )
 
+    # CCNet-style bigram-LM scoring at pages scale: counts train on a
+    # deterministic ~2% hash-sample of the en pages (the bounded curated
+    # reference the recipe assumes), broadcast, then every page scores in
+    # one narrow pass + two BroadcastHashJoins + a per-url aggregate
+    from validate_xml_rust_spark.operators.textstats import lm_perplexity
+
+    _lm_ref = pg.filter(
+        (F.col("lang") == "en") & (F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+    ).select("text")
+    _force(lm_perplexity(pg, _lm_ref, id_col="url"))  # Arrow/codegen warmup
+    _sweep()
+    timings["lm_perplexity_pages"] = _time(
+        lambda: _force(lm_perplexity(pg, _lm_ref, id_col="url"))
+    )
+
     # declarative one-pass at pages scale: ONE spec carrying row checks +
     # two table-scope kinds (salted uniqueness on url, host-quality
     # keep/drop), executed through orchestrate.validate_full — the
