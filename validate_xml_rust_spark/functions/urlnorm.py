@@ -111,13 +111,13 @@ def url_host(url: Column) -> Column:
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(host)
 
 
-def host_suffixes(host: Column) -> Column:
-    """All dot-suffixes of a host (``a.b.c`` → [a.b.c, b.c, c]) — the
-    equi-join form of "equals or is a subdomain of". Bounded by the
-    label count (hosts have a handful of labels), so the explode is a
-    constant-factor map, never a fan-out."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
+def host_suffixes(labels: Column, n: Column) -> Column:
+    """All dot-suffixes of a pre-split host (``[a,b,c]`` → [a.b.c, b.c,
+    c]) — the equi-join form of "equals or is a subdomain of". Both
+    arguments must be PLAIN ATTRIBUTES materialized by a prior select
+    (the HOF-lambda rule: an embedded expression tree re-evaluates per
+    element). Bounded by the label count (hosts have a handful of
+    labels), so the explode is a constant-factor map, never a fan-out."""
     return F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(labels, i, n), "."),
@@ -128,12 +128,17 @@ def domain_blocklist_flags(
     df: DataFrame,
     blocked: DataFrame,
     url_col: str = "url",
+    domain_col: str = "domain",
+    host_out: str | None = None,
 ) -> DataFrame:
     """Flag rows whose url host equals OR is a subdomain of any blocked
     registered domain — the C4/RefinedWeb UT1-blocklist curation step
     (public recipe: Raffel et al. 2020 §2.2 block bad-word domains;
-    RefinedWeb uses the UT1 adult/malware lists). Adds
-    ``blocked boolean`` (NULL-host rows are never blocked).
+    RefinedWeb uses the UT1 adult/malware lists). ``blocked`` must
+    carry its registered domains in ``domain_col`` (UT1 list shape:
+    one domain per row). Adds ``blocked boolean`` (NULL-host rows are
+    never blocked); pass ``host_out`` to also keep the canonical host
+    key the match ran on, so callers never re-derive it.
 
     Scale shape: matching runs on the DISTINCT-host dimension (10^7
     hosts vs 10^12 pages), suffix-exploded (≤ label count per host)
@@ -141,33 +146,47 @@ def domain_blocklist_flags(
     ~10^6 domains — broadcastable by nature); rows then join the hit
     set on the uniform host key. No per-row scan of the list exists."""
     b = F.broadcast(
-        blocked.select(
-            F.lower(F.col(blocked.columns[0])).alias("__bd")
-        ).distinct()
+        blocked.select(F.lower(F.col(domain_col)).alias("__bd")).distinct()
     )
     with_host = df.withColumn("__h", url_host(F.col(url_col)))
     hit_hosts = (
         with_host.select("__h")
         .where(F.col("__h").isNotNull())
         .distinct()
-        .select("__h", F.explode(host_suffixes(F.col("__h"))).alias("__s"))
+        .select(
+            "__h",
+            F.split("__h", r"\.").alias("__labels"),
+        )
+        .withColumn("__n", F.size("__labels"))
+        .select(
+            "__h",
+            F.explode(
+                host_suffixes(F.col("__labels"), F.col("__n"))
+            ).alias("__s"),
+        )
         .join(b, F.col("__s") == F.col("__bd"), "left_semi")
         .select(F.col("__h").alias("__bh"))
         .distinct()
     )
-    return (
+    out = (
         with_host.join(
             hit_hosts, with_host["__h"] == F.col("__bh"), "left"
         )
         .withColumn("blocked", F.col("__bh").isNotNull())
-        .drop("__bh", "__h")
+        .drop("__bh")
     )
+    if host_out is None:
+        return out.drop("__h")
+    return out.withColumnRenamed("__h", host_out)
 
 
 def domain_blocklist_filter(
-    df: DataFrame, blocked: DataFrame, url_col: str = "url"
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
 ) -> DataFrame:
     """Drop rows whose url host is blocked (see domain_blocklist_flags);
     NULL-host rows survive — a missing url is not a blocked url."""
-    flagged = domain_blocklist_flags(df, blocked, url_col)
+    flagged = domain_blocklist_flags(df, blocked, url_col, domain_col)
     return flagged.filter(~F.col("blocked")).drop("blocked")

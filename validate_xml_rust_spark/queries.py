@@ -1728,7 +1728,6 @@ def q_url_policy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps and the suffix rule as equals-or-LIKE '%.domain'."""
     from validate_xml_rust_spark.functions.urlnorm import (
         domain_blocklist_flags,
-        url_host,
     )
 
     canon = q_url_canonical_dups(spark, sf_dir).select(
@@ -1739,9 +1738,11 @@ def q_url_policy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def blocked_counts(domains: list, tag: str) -> DataFrame:
         bl = spark.createDataFrame([(d,) for d in domains], "domain string")
-        hits = domain_blocklist_flags(urls, bl).filter(F.col("blocked"))
+        hits = domain_blocklist_flags(
+            urls, bl, host_out="canonical_url"
+        ).filter(F.col("blocked"))
         return (
-            hits.select(url_host(F.col("url")).alias("canonical_url"))
+            hits.select("canonical_url")
             .groupBy("canonical_url")
             .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
             .select(
