@@ -339,3 +339,32 @@ def test_curate_semantic_dedup_step(spark):
     sd = {s["step"]: s for s in res.report["steps"]}["semantic_dedup"]
     assert sd["dropped"] == 1
     res.release()
+
+
+def test_curate_gopher_filter_step(spark):
+    good = (
+        "the quick brown fox jumps over that lazy dog and it runs away "
+        "to be of good cheer with friends nearby every single day here"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "- a\n- b\n- c\n- d"),      # all-bullet → dropped
+            (2, "42 " * 30),                # numeric words → dropped
+            (3, good + " again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    res = curate(
+        docs, spark,
+        near_dup_threshold=None,
+        gopher_min_words=10,
+        pack_max_tokens=None,
+    )
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert "gopher_filter" in steps
+    assert steps["gopher_filter"]["dropped"] == 2
+    kept = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    assert kept == {0, 3}
+    # step is a pure filter: schema unchanged (no g_* columns leak)
+    assert set(res.kept.columns) == {"doc_id", "text"}

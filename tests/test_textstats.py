@@ -112,3 +112,50 @@ def test_lm_perplexity_smoothing_and_edges(spark):
         assert got[2] == (0, None) and got[3] == (0, None)
         exp4 = round(-(math.log(1.1 / 2.2) + math.log(2.1 / 2.2)) / 2, 6)
         assert got[4] == (2, exp4)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from validate_xml_rust_spark.operators.textstats import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and it runs away "
+        "to be of good cheer with friends nearby every single day now "
+        "more words keep coming here so the count clears fifty total "
+        "easily done with room to spare in this plain english sentence "
+        "that keeps going until the word counter is satisfied fully"
+    )
+    d = _d(
+        spark,
+        [
+            (0, good),                                    # passes all
+            (1, "too short to be of use"),                # word count
+            (2, "- one\n- two\n- three\n- four"),         # bullets (and count)
+            (3, good + "\nwait...\nmore...\nyes..."),     # ellipsis lines
+            (4, good + " " + "# " * 20),                  # symbol ratio
+            (5, "42 " * 60),                              # alpha frac + mean_wl
+            (6, None),                                    # NULL text
+        ],
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(d).collect()}
+    assert rows[0]["gopher_pass"] is True
+    assert rows[0]["g_stop_hits"] >= 2
+    assert rows[1]["gopher_pass"] is False and rows[1]["g_n_words"] < 50
+    assert rows[2]["g_bullet_frac"] == 1.0
+    assert rows[3]["g_ellipsis_frac"] > 0.3
+    assert rows[3]["gopher_pass"] is False
+    assert rows[4]["g_symbol_ratio"] > 0.1
+    assert rows[5]["g_alpha_frac"] == 0.0
+    assert rows[5]["g_mean_wl"] == 2.0
+    assert rows[6]["g_n_words"] == 0 and rows[6]["gopher_pass"] is False
+
+
+def test_gopher_rules_threshold_is_configurable(spark):
+    from validate_xml_rust_spark.operators.textstats import gopher_rules
+
+    text = (
+        "the cat and the dog went to the house of friends that have "
+        "come along with them today"
+    )  # 17 words, stopword-rich, clean
+    d = _d(spark, [(0, text)])
+    assert gopher_rules(d, min_words=10).collect()[0]["gopher_pass"] is True
+    assert gopher_rules(d, min_words=50).collect()[0]["gopher_pass"] is False

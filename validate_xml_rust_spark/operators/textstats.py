@@ -281,3 +281,96 @@ def lm_perplexity(
             F.col("log_ppl").cast("double").alias("log_ppl"),
         )
     )
+
+
+# Gopher rule-pack stop-word list (Rae et al. 2021, Appendix A1.1 —
+# "contains at least 2 of" these; public recipe, reused by MassiveText /
+# Dolma / RefinedWeb reproductions).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality rule pack (Rae et al. 2021, Appendix A1.1) as ONE
+    declarative preset: per-rule signals plus a composite ``gopher_pass``.
+    The reference's analog is the fixed schema-check battery applied to
+    every file (src/validator.rs:96-107) — here the battery is the
+    published web-text quality heuristics:
+
+    - ``g_n_words``       whitespace word count; rule: in [min, max]
+    - ``g_mean_wl``       non-whitespace chars / word; rule: in [3, 10]
+    - ``g_symbol_ratio``  (# + ellipsis occurrences) / word; rule: ≤ 0.1
+    - ``g_bullet_frac``   lines starting with a bullet; rule: ≤ 0.9
+    - ``g_ellipsis_frac`` lines ending with an ellipsis; rule: ≤ 0.3
+    - ``g_alpha_frac``    words containing a letter; rule: ≥ 0.8
+    - ``g_stop_hits``     distinct GOPHER_STOPWORDS present; rule: ≥ 2
+    - ``gopher_pass``     AND of all seven rules
+
+    Scale shape: pure Column expressions over the text column — JVM
+    whole-stage codegen, zero shuffle, zero Python; at 10^12 pages the
+    operator is scan-bound and composes with any filter pushdown. The
+    two HOF filters (bullet/ellipsis lines, alpha words) reference only
+    their lambda argument (the HOF plain-attribute rule) and run one
+    cheap regex per line/word. NULL text behaves as empty (fails the
+    word-count and stop-word rules, ratios 0)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    nw = F.size(words)
+    nw1 = F.greatest(nw, F.lit(1))
+    nonws = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.round(nonws / nw1, 6)
+    symbols = (
+        F.regexp_count(t, F.lit("#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    )
+    symbol_ratio = F.round(symbols / nw1, 6)
+    lines = F.split(t, "\n")
+    nl1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))) / nl1, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+        ) / nl1,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))) / nw1, 6
+    )
+    awords = F.filter(
+        F.split(F.lower(t), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    stop_hits = sum(
+        (
+            F.array_contains(awords, sw).cast("int")
+            for sw in GOPHER_STOPWORDS
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    out = (
+        df.withColumn("g_n_words", nw.cast("long"))
+        .withColumn("g_mean_wl", mean_wl)
+        .withColumn("g_symbol_ratio", symbol_ratio)
+        .withColumn("g_bullet_frac", bullet_frac)
+        .withColumn("g_ellipsis_frac", ellipsis_frac)
+        .withColumn("g_alpha_frac", alpha_frac)
+        .withColumn("g_stop_hits", stop_hits)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("g_n_words").between(min_words, max_words)
+        & F.col("g_mean_wl").between(3.0, 10.0)
+        & (F.col("g_symbol_ratio") <= 0.1)
+        & (F.col("g_bullet_frac") <= 0.9)
+        & (F.col("g_ellipsis_frac") <= 0.3)
+        & (F.col("g_alpha_frac") >= 0.8)
+        & (F.col("g_stop_hits") >= 2),
+    )

@@ -72,6 +72,7 @@ def curate(
     semantic_centroids: int = 16,
     excise_min_run: int | None = None,
     max_repetition: float | None = None,
+    gopher_min_words: int | None = None,
     lm_ref: DataFrame | None = None,
     max_log_ppl: float | None = None,
     sample_rate: float | None = None,
@@ -264,6 +265,23 @@ def curate(
         cur = log("repetition_filter", rep.filter(~F.col("repetitive")).drop(
             "unigram_rep", "bigram_rep", "repetitive"
         ))
+
+    if gopher_min_words is not None:
+        # Gopher rule-pack quality filter (Rae et al. 2021 A1.1): pure
+        # codegen'd Column predicates, so the step is a zero-shuffle
+        # scan of the predecessor checkpoint. Sits with the other
+        # heuristic quality filters, before the (costlier) LM filter.
+        from validate_xml_rust_spark.operators.textstats import gopher_rules
+
+        g = gopher_rules(cur, text_col, min_words=gopher_min_words)
+        cur = log(
+            "gopher_filter",
+            g.filter(F.col("gopher_pass")).drop(
+                "g_n_words", "g_mean_wl", "g_symbol_ratio", "g_bullet_frac",
+                "g_ellipsis_frac", "g_alpha_frac", "g_stop_hits",
+                "gopher_pass",
+            ),
+        )
 
     if max_log_ppl is not None:
         # CCNet-style LM filter: drop docs whose bigram-LM log-perplexity

@@ -2998,27 +2998,142 @@ FROM documents d LEFT JOIN lmsc USING (doc_id)
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule pack (operators/textstats.py gopher_rules —
+    Rae et al. 2021 Appendix A1.1) over deterministically perturbed
+    document text: each ``doc_id % 7`` class plants a different rule
+    violation (all-bullet lines, ellipsis endings, symbol soup, numeric
+    words, stop-word-rich prefix, pathological word length) so every
+    rule's signal and the composite ``gopher_pass`` vary across the
+    corpus. The oracle re-derives every signal from the same perturbed
+    text with DuckDB list/regex functions."""
+    from validate_xml_rust_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(7))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    text2 = (
+        F.when(
+            m == 1,
+            F.lit("- alpha beta\n- gamma delta\n- epsilon zeta\n- eta theta"),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("first thing...\nsecond thing...\nthird thing…\n"), t
+            ),
+        )
+        .when(m == 3, F.concat(t, F.lit(" "), F.repeat(F.lit("# "), 15)))
+        .when(m == 4, F.repeat(F.lit("42 "), 60))
+        .when(
+            m == 5,
+            F.concat(
+                F.lit("the deal is that we have to be of and with it "), t
+            ),
+        )
+        .when(m == 6, F.repeat(F.lit("supercalifragilisticexpialidocious "), 60))
+        .otherwise(t)
+    )
+    return gopher_rules(
+        docs.select("doc_id", text2.alias("text")), min_words=50
+    ).select(
+        "doc_id", "g_n_words", "g_mean_wl", "g_symbol_ratio",
+        "g_bullet_frac", "g_ellipsis_frac", "g_alpha_frac", "g_stop_hits",
+        "gopher_pass",
+    )
+
+
+# Lockstep with operators/textstats.py gopher_rules (RE2-safe regexes).
+ORACLE_GOPHER_RULES = r"""
+WITH gp AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 1 THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10)
+                  || '- epsilon zeta' || chr(10) || '- eta theta'
+      WHEN 2 THEN 'first thing...' || chr(10) || 'second thing...' || chr(10)
+                  || 'third thing…' || chr(10) || coalesce(text, '')
+      WHEN 3 THEN coalesce(text, '') || ' ' || repeat('# ', 15)
+      WHEN 4 THEN repeat('42 ', 60)
+      WHEN 5 THEN 'the deal is that we have to be of and with it '
+                  || coalesce(text, '')
+      WHEN 6 THEN repeat('supercalifragilisticexpialidocious ', 60)
+      ELSE coalesce(text, '')
+    END AS t
+  FROM documents
+), gw AS (
+  SELECT doc_id, t,
+    list_filter(regexp_split_to_array(trim(t), '\s+'),
+                x -> length(x) > 0) AS words,
+    regexp_split_to_array(t, '\n') AS ln,
+    list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                x -> length(x) > 0) AS aw
+  FROM gp
+), gs AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS g_n_words,
+    ROUND(length(regexp_replace(t, '\s+', '', 'g'))
+          / greatest(len(words), 1), 6) AS g_mean_wl,
+    ROUND((len(regexp_extract_all(t, '#'))
+           + len(regexp_extract_all(t, '\.\.\.'))
+           + len(regexp_extract_all(t, '…')))
+          / greatest(len(words), 1), 6) AS g_symbol_ratio,
+    ROUND(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]')))
+          / greatest(len(ln), 1), 6) AS g_bullet_frac,
+    ROUND(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+          / greatest(len(ln), 1), 6) AS g_ellipsis_frac,
+    ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          / greatest(len(words), 1), 6) AS g_alpha_frac,
+    CAST(CAST(list_contains(aw, 'the') AS INT)
+       + CAST(list_contains(aw, 'be') AS INT)
+       + CAST(list_contains(aw, 'to') AS INT)
+       + CAST(list_contains(aw, 'of') AS INT)
+       + CAST(list_contains(aw, 'and') AS INT)
+       + CAST(list_contains(aw, 'that') AS INT)
+       + CAST(list_contains(aw, 'have') AS INT)
+       + CAST(list_contains(aw, 'with') AS INT) AS BIGINT) AS g_stop_hits
+  FROM gw
+)
+SELECT doc_id, g_n_words, g_mean_wl, g_symbol_ratio, g_bullet_frac,
+       g_ellipsis_frac, g_alpha_frac, g_stop_hits,
+       (g_n_words BETWEEN 50 AND 100000)
+       AND (g_mean_wl BETWEEN 3.0 AND 10.0)
+       AND g_symbol_ratio <= 0.1
+       AND g_bullet_frac <= 0.9
+       AND g_ellipsis_frac <= 0.3
+       AND g_alpha_frac >= 0.8
+       AND g_stop_hits >= 2 AS gopher_pass
+FROM gs
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one row (F2/quality/Gopher-repetition
     /CCNet): token counts ⋈ heuristic quality components ⋈ repetition
-    ratios ⋈ bigram-LM perplexity on doc_id. Each sub-operator keeps its
-    own Arrow/expression path; the oracle joins four independent SQL
-    restatements."""
+    ratios ⋈ bigram-LM perplexity ⋈ Gopher rule-pack signals on doc_id.
+    Each sub-operator keeps its own Arrow/expression path; the oracle
+    joins five independent SQL restatements."""
     tok = q_token_stats(spark, sf_dir)
     qual = q_quality_scores(spark, sf_dir)
     rep = q_repetition_stats(spark, sf_dir)
     lm = q_lm_perplexity(spark, sf_dir)
-    return tok.join(qual, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
+    gopher = q_gopher_rules(spark, sf_dir)
+    return (
+        tok.join(qual, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
+        .join(gopher, "doc_id")
+    )
 
 
 ORACLE_TEXT_METRICS = f"""
 SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
        q.quality, r.unigram_rep, r.bigram_rep, r.repetitive,
-       l.n_bigrams, l.log_ppl
+       l.n_bigrams, l.log_ppl,
+       g.g_n_words, g.g_mean_wl, g.g_symbol_ratio, g.g_bullet_frac,
+       g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass
 FROM ({ORACLE_TOKEN_STATS}) t
 JOIN ({ORACLE_QUALITY_SCORES}) q USING (doc_id)
 JOIN ({ORACLE_REPETITION_STATS}) r USING (doc_id)
 JOIN ({ORACLE_LM_PERPLEXITY}) l USING (doc_id)
+JOIN ({ORACLE_GOPHER_RULES}) g USING (doc_id)
 """
 
 
