@@ -200,3 +200,87 @@ def test_chunk_documents_stride_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_mixture_epochs_upsamples_and_downsamples(spark):
+    from validate_xml_rust_spark.operators.curation import mixture_epochs
+
+    n = 400
+    rows = [(i, "en" if i % 2 == 0 else "web") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_epochs(
+        df, {"en": 2.5, "web": 0.25}, source_col="source", key_col="doc_id"
+    )
+    per = {
+        (r["doc_id"]): r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    en_ids = [i for i in range(n) if i % 2 == 0]
+    web_ids = [i for i in range(n) if i % 2 == 1]
+    # every en row has 2 or 3 copies; roughly half have 3
+    assert all(per[i] in (2, 3) for i in en_ids)
+    frac3 = sum(1 for i in en_ids if per[i] == 3) / len(en_ids)
+    assert 0.3 < frac3 < 0.7
+    # web rows appear at most once, ~25% of them
+    kept_web = [i for i in web_ids if i in per]
+    assert all(per[i] == 1 for i in kept_web)
+    assert 0.1 < len(kept_web) / len(web_ids) < 0.45
+    # epochs are dense from 0
+    eps = {
+        r["epoch"]
+        for r in out.filter(F.col("doc_id") == en_ids[0]).collect()
+    }
+    assert eps in ({0, 1}, {0, 1, 2})
+    # determinism: same plan re-built → identical membership
+    out2 = mixture_epochs(
+        df, {"en": 2.5, "web": 0.25}, source_col="source", key_col="doc_id"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_mixture_epochs_default_and_zero_factor(spark):
+    from validate_xml_rust_spark.operators.curation import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string"
+    )
+    # default_factor=1.0: unlisted sources pass through exactly once
+    out = mixture_epochs(df, {"a": 0.0}, source_col="source", key_col="doc_id")
+    got = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    assert got == {(2, 0), (3, 0)}
+    # default_factor=0.0 with empty factors drops everything
+    assert (
+        mixture_epochs(
+            df, {}, source_col="source", key_col="doc_id", default_factor=0.0
+        ).count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_epochs(df, {"a": -1.0}, source_col="source", key_col="doc_id")
+
+
+def test_mixture_factors_hits_token_budget(spark):
+    from validate_xml_rust_spark.operators.curation import (
+        mixture_epochs,
+        mixture_factors,
+    )
+
+    rows = [(i, "wiki" if i < 100 else "web", 10) for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    # wiki has 1k tokens, web 10k; ask for a 50/50 mix of 4k tokens
+    f = mixture_factors(
+        df, {"wiki": 0.5, "web": 0.5}, source_col="source",
+        token_budget=4000, token_col="n_tok",
+    )
+    assert abs(f["wiki"] - 2.0) < 1e-9  # 2000/1000 → 2 epochs
+    assert abs(f["web"] - 0.2) < 1e-9
+    out = mixture_epochs(df, f, source_col="source", key_col="doc_id",
+                         default_factor=0.0)
+    toks = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert toks["wiki"] == 2000  # integer factor → exact
+    assert 1400 <= toks["web"] <= 2600  # fractional → ~2000

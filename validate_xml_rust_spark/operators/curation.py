@@ -70,6 +70,90 @@ def stratified_sample(
     return df.filter(sample_ticket(F.col(key_col), seed) < thr)
 
 
+def mixture_epochs(
+    df: DataFrame,
+    factors: dict[str, float],
+    source_col: str,
+    key_col: str,
+    seed: str = "mx",
+    default_factor: float = 1.0,
+) -> DataFrame:
+    """Weighted mixture composition: replicate/sample each source of a
+    multi-source corpus by its mixing factor — the Pile "epochs per
+    subset" / GPT-3 Table 2.2 weighted-sampling recipe (Gao et al. 2020;
+    Brown et al. 2020), where high-quality sources are seen >1 time per
+    training run and bulk web sources <1 time.
+
+    Factor semantics per source s (``default_factor`` for unlisted):
+    every row gets ``floor(f_s)`` full copies, plus one extra copy iff
+    its deterministic md5 ticket over (key, source) falls under the
+    fractional part — so f_s = 2.5 yields epochs {0,1} for every row and
+    epoch 2 for a reproducible ~50% of rows; f_s = 0.25 keeps ~25% at
+    epoch 0; f_s = 0 drops the source. Adds ``epoch bigint``; row order
+    and all other columns pass through.
+
+    Scale shape: a when-chain factor lookup (n_sources is small), one
+    md5 per row, one explode — pure narrow expressions, zero shuffle,
+    zero Python; output size is exactly the token-budget arithmetic the
+    factors encode. Deterministic across runs/partitioning/engines —
+    the gate's DuckDB oracle re-derives membership nibble-by-nibble."""
+    import math
+
+    kcol: Column = F.lit(int(math.floor(default_factor)))
+    thr: Column = F.lit(
+        int((default_factor - math.floor(default_factor)) * TICKET_SPACE)
+    )
+    for s, fct in sorted(factors.items()):
+        if fct < 0:
+            raise ValueError(f"negative mixture factor for {s!r}: {fct}")
+        kf = int(math.floor(fct))
+        kcol = F.when(F.col(source_col) == s, F.lit(kf)).otherwise(kcol)
+        thr = F.when(
+            F.col(source_col) == s,
+            F.lit(int((fct - kf) * TICKET_SPACE)),
+        ).otherwise(thr)
+    tick = sample_ticket(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit("|"), F.col(source_col)
+        ),
+        seed,
+    )
+    n_copies = kcol + (tick < thr).cast("int")
+    arr = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # a generator can't sit inside a cast — explode first, cast after
+    return df.withColumn("epoch", F.explode(arr)).withColumn(
+        "epoch", F.col("epoch").cast("long")
+    )
+
+
+def mixture_factors(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str,
+    token_budget: int,
+    token_col: str,
+) -> dict[str, float]:
+    """Derive per-source mixing factors from TARGET corpus weights: for
+    target share w_s of a ``token_budget``-token training mix, the
+    factor is ``budget·w_s / tokens_s`` (tokens_s = source's total).
+    Feed the result to mixture_epochs. One bounded aggregate —
+    n_sources result rows — is the only action."""
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(F.col(token_col)).alias("t"))
+        .collect()
+    }
+    out: dict[str, float] = {}
+    for s, w in weights.items():
+        t = totals.get(s, 0)
+        if t and t > 0:
+            out[s] = token_budget * w / float(t)
+    return out
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,

@@ -3315,18 +3315,82 @@ FROM ({ORACLE_EXTRACT_TEXT_ROUNDTRIP}) e
 """
 
 
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture composition (curation.mixture_epochs — the
+    Pile/GPT-3 epochs-per-subset recipe) with lang as the source key:
+    en upsampled 2.5× (epochs {0,1} + a deterministic ~50% epoch 2),
+    de passed through once, fr downsampled to 25%, everything else
+    dropped. The oracle re-derives copy counts from the same md5
+    ticket and unnests range(n)."""
+    from validate_xml_rust_spark.operators.curation import mixture_epochs
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_epochs(
+        docs, {"en": 2.5, "de": 1.0, "fr": 0.25},
+        source_col="lang", key_col="doc_id", default_factor=0.0,
+    ).select("doc_id", "lang", "epoch")
+
+
+def _oracle_mix_ticket(key_sql: str, seed: str) -> str:
+    """Parametrized DuckDB restatement of curation.sample_ticket."""
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {key_sql}), "
+        "CAST(i AS INT), 1)) - 1) * power(16, 8 - i)))"
+    )
+
+
+ORACLE_MIXTURE_EPOCHS = f"""
+WITH mf AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+              WHEN 'fr' THEN 0 ELSE 0 END AS kf,
+    CASE lang WHEN 'en' THEN {int((2.5 - 2) * (1 << 32))}
+              WHEN 'de' THEN {int((1.0 - 1) * (1 << 32))}
+              WHEN 'fr' THEN {int((0.25 - 0) * (1 << 32))}
+              ELSE 0 END AS thr,
+    {_oracle_mix_ticket("CAST(doc_id AS VARCHAR) || '|' || lang", "mx")} AS tick
+  FROM documents
+), mn AS (
+  SELECT doc_id, lang,
+         kf + CASE WHEN tick < thr THEN 1 ELSE 0 END AS n
+  FROM mf
+)
+SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS epoch
+FROM mn WHERE n > 0
+"""
+
+
 def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed sampling, flat 25% + per-lang
-    stratified rates, one gate (variant, doc_id, lang)."""
-    a = q_hash_sample(spark, sf_dir).withColumn("variant", F.lit("flat"))
-    b = q_stratified_sample(spark, sf_dir).withColumn("variant", F.lit("stratified"))
-    return a.unionByName(b)
+    stratified rates + weighted mixture composition with upsampling
+    epochs, one gate (variant, doc_id, lang, epoch)."""
+    null_epoch = F.lit(None).cast("long").alias("epoch")
+    a = q_hash_sample(spark, sf_dir).select(
+        F.lit("flat").alias("variant"), "doc_id", "lang", null_epoch
+    )
+    b = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("variant"), "doc_id", "lang", null_epoch
+    )
+    c = q_mixture_epochs(spark, sf_dir).select(
+        F.lit("mixture").alias("variant"), "doc_id", "lang", "epoch"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 ORACLE_CONTENT_SAMPLE = (
-    _wrap_variant("flat", ORACLE_HASH_SAMPLE)
+    _wrap_variant(
+        "flat",
+        f"SELECT *, CAST(NULL AS BIGINT) AS epoch FROM ({ORACLE_HASH_SAMPLE})",
+    )
     + "\nUNION ALL\n"
-    + _wrap_variant("stratified", ORACLE_STRATIFIED_SAMPLE)
+    + _wrap_variant(
+        "stratified",
+        "SELECT *, CAST(NULL AS BIGINT) AS epoch FROM "
+        f"({ORACLE_STRATIFIED_SAMPLE})",
+    )
+    + "\nUNION ALL\n"
+    + _wrap_variant("mixture", ORACLE_MIXTURE_EPOCHS)
 )
 
 
