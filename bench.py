@@ -346,6 +346,28 @@ def main() -> None:
         lambda: _force(lm_perplexity(pg, _lm_ref, id_col="url"))
     )
 
+    # Gopher rule pack at pages scale: seven published quality rules as
+    # pure codegen'd Column expressions — zero shuffle, scan-bound
+    from validate_xml_rust_spark.operators.textstats import gopher_rules
+
+    timings["gopher_rules_pages"] = _time(
+        lambda: _force(gopher_rules(pg, min_words=10))
+    )
+
+    # weighted mixture composition at pages scale: when-chain factor
+    # lookup + md5 ticket + explode (epochs) — narrow, zero shuffle
+    from validate_xml_rust_spark.operators.curation import mixture_epochs
+
+    timings["mixture_pages"] = _time(
+        lambda: _force(
+            mixture_epochs(
+                pg.select("url", "lang"),
+                {"en": 1.5, "de": 1.0, "fr": 0.25},
+                source_col="lang", key_col="url", default_factor=0.5,
+            )
+        )
+    )
+
     # declarative one-pass at pages scale: ONE spec carrying row checks +
     # two table-scope kinds (salted uniqueness on url, host-quality
     # keep/drop), executed through orchestrate.validate_full — the

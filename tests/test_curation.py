@@ -284,3 +284,30 @@ def test_mixture_factors_hits_token_budget(spark):
     }
     assert toks["wiki"] == 2000  # integer factor → exact
     assert 1400 <= toks["web"] <= 2600  # fractional → ~2000
+
+
+def test_mixture_epochs_null_source_and_null_key(spark):
+    from validate_xml_rust_spark.operators.curation import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a")],
+        "doc_id long, source string",
+    )
+    # NULL source = unlisted → default factor applies (here 1.0)
+    out = {
+        (r["doc_id"], r["epoch"])
+        for r in mixture_epochs(
+            df, {"a": 2.0}, source_col="source", key_col="doc_id"
+        ).collect()
+    }
+    assert out == {(1, 0), (1, 1), (2, 0), (None, 0), (None, 1)}
+    # NULL key with a fractional factor: floor copies survive, no
+    # fractional draw (deterministic, never a silent drop)
+    out2 = {
+        (r["doc_id"], r["epoch"])
+        for r in mixture_epochs(
+            df, {"a": 1.9}, source_col="source", key_col="doc_id"
+        ).collect()
+        if r["doc_id"] is None
+    }
+    assert out2 == {(None, 0)}

@@ -112,13 +112,19 @@ def mixture_epochs(
             F.col(source_col) == s,
             F.lit(int((fct - kf) * TICKET_SPACE)),
         ).otherwise(thr)
+    # NULL source behaves as an unlisted source (default_factor) — the
+    # ticket key coalesces it so the fractional draw stays defined
+    # (concat with NULL would NULL the ticket and silently drop the row)
     tick = sample_ticket(
         F.concat(
-            F.col(key_col).cast("string"), F.lit("|"), F.col(source_col)
+            F.col(key_col).cast("string"), F.lit("|"),
+            F.coalesce(F.col(source_col), F.lit("")),
         ),
         seed,
     )
-    n_copies = kcol + (tick < thr).cast("int")
+    # NULL key → NULL ticket: no fractional draw, but the floor copies
+    # still apply (a row is never silently dropped by a NULL)
+    n_copies = kcol + F.coalesce((tick < thr).cast("int"), F.lit(0))
     arr = F.when(
         n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
     ).otherwise(F.array().cast("array<int>"))

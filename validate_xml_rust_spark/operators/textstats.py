@@ -312,18 +312,18 @@ def gopher_rules(
     - ``g_stop_hits``     distinct GOPHER_STOPWORDS present; rule: ≥ 2
     - ``gopher_pass``     AND of all seven rules
 
-    Scale shape: pure Column expressions over the text column — JVM
-    whole-stage codegen, zero shuffle, zero Python; at 10^12 pages the
-    operator is scan-bound and composes with any filter pushdown. The
-    two HOF filters (bullet/ellipsis lines, alpha words) reference only
-    their lambda argument (the HOF plain-attribute rule) and run one
-    cheap regex per line/word. NULL text behaves as empty (fails the
-    word-count and stop-word rules, ratios 0)."""
+    Scale shape: every signal is a codegen'd single-pass regexp_count /
+    rlike over the text — NO higher-order array functions (interpreted,
+    per-element regex — measured ~6× slower) and no materialized token
+    arrays; zero shuffle, zero Python. At 10^12 pages the operator is
+    scan-bound and composes with any filter pushdown. NULL text behaves
+    as empty (fails the word-count and stop-word rules, ratios 0)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
-    nw = F.size(words)
+    # count-of-runs formulations (identical semantics to split+filter,
+    # but whole-stage-codegen regex scans instead of interpreted HOFs)
+    nw = F.regexp_count(t, F.lit(r"\S+"))
     nw1 = F.greatest(nw, F.lit(1))
-    nonws = F.length(F.regexp_replace(t, r"\s+", ""))
+    nonws = F.length(t) - F.regexp_count(t, F.lit(r"\s"))
     mean_wl = F.round(nonws / nw1, 6)
     symbols = (
         F.regexp_count(t, F.lit("#"))
@@ -331,26 +331,24 @@ def gopher_rules(
         + F.regexp_count(t, F.lit("…"))
     )
     symbol_ratio = F.round(symbols / nw1, 6)
-    lines = F.split(t, "\n")
-    nl1 = F.greatest(F.size(lines), F.lit(1))
+    nl1 = F.regexp_count(t, F.lit("\n")) + F.lit(1)
+    # (?m): ^/$ anchor per line; [ \t] (not \s) so a match never spans
+    # lines; the $-anchor admits at most one ellipsis match per line
     bullet_frac = F.round(
-        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))) / nl1, 6
+        F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-*•]")) / nl1, 6
     )
     ellipsis_frac = F.round(
-        F.size(
-            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
-        ) / nl1,
-        6,
+        F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$")) / nl1, 6
     )
+    # one greedy match per whitespace-delimited token containing a letter
     alpha_frac = F.round(
-        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))) / nw1, 6
+        F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*")) / nw1, 6
     )
-    awords = F.filter(
-        F.split(F.lower(t), "[^a-z0-9]+"), lambda x: F.length(x) > 0
-    )
+    # presence of each stop word as a maximal [a-z0-9] run
+    lt = F.lower(t)
     stop_hits = sum(
         (
-            F.array_contains(awords, sw).cast("int")
+            lt.rlike(f"(^|[^a-z0-9]){sw}([^a-z0-9]|$)").cast("int")
             for sw in GOPHER_STOPWORDS
         ),
         start=F.lit(0),

@@ -3077,9 +3077,9 @@ WITH gp AS (
            + len(regexp_extract_all(t, '\.\.\.'))
            + len(regexp_extract_all(t, '…')))
           / greatest(len(words), 1), 6) AS g_symbol_ratio,
-    ROUND(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]')))
+    ROUND(len(list_filter(ln, x -> regexp_matches(x, '^[ \t]*[-*•]')))
           / greatest(len(ln), 1), 6) AS g_bullet_frac,
-    ROUND(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+    ROUND(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$')))
           / greatest(len(ln), 1), 6) AS g_ellipsis_frac,
     ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
           / greatest(len(words), 1), 6) AS g_alpha_frac,
@@ -3349,7 +3349,9 @@ WITH mf AS (
               WHEN 'de' THEN {int((1.0 - 1) * (1 << 32))}
               WHEN 'fr' THEN {int((0.25 - 0) * (1 << 32))}
               ELSE 0 END AS thr,
-    {_oracle_mix_ticket("CAST(doc_id AS VARCHAR) || '|' || lang", "mx")} AS tick
+    {_oracle_mix_ticket(
+        "CAST(doc_id AS VARCHAR) || '|' || coalesce(lang, '')", "mx"
+    )} AS tick
   FROM documents
 ), mn AS (
   SELECT doc_id, lang,
