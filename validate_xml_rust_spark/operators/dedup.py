@@ -98,6 +98,55 @@ def exact_dedup(
     return fp.join(keep, fcol, "left").filter(survive).drop(*drop_cols)
 
 
+def tune_lsh_params(
+    threshold: float,
+    num_perm: int = 32,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> dict:
+    """Choose MinHash-LSH banding ``(bands, rows_per_band)`` for a target
+    Jaccard ``threshold`` — the standard S-curve recipe (Leskovec/
+    Rajaraman/Ullman, Mining of Massive Datasets §3.4: a pair of
+    similarity s collides with probability 1−(1−s^r)^b; the curve's
+    knee sits near (1/b)^(1/r)). Over every factorization b·r =
+    num_perm, minimizes the weighted false-positive/false-negative
+    probability mass (∫ of the curve below the threshold, ∫ of its
+    complement above) by driver-side numeric integration — pure
+    arithmetic, no Spark job.
+
+    Returns ``{"bands", "rows_per_band", "fp", "fn", "knee"}``; feed
+    ``bands`` (and ``num_perm``) to minhash_candidates / near_dedup.
+    Raising ``fn_weight`` buys recall with more, shorter bands;
+    ``fp_weight`` buys candidate-set precision with longer rows."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1): {threshold}")
+    best: dict | None = None
+    steps = 500
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best["_err"]:
+            best = {
+                "bands": b, "rows_per_band": r,
+                "fp": round(fp, 6), "fn": round(fn, 6),
+                "knee": round((1.0 / b) ** (1.0 / r), 6),
+                "_err": err,
+            }
+    assert best is not None
+    best.pop("_err")
+    return best
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
