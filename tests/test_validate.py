@@ -375,3 +375,36 @@ def test_verdict_diff_unknown_and_null_statuses(spark):
     # identity still holds with unknown/NULL statuses in play
     assert verdict_diff(old, old).count() == 0
     assert verdict_diff(old.repartition(8), old.repartition(1)).count() == 0
+
+
+def test_gopher_constraint_kind(spark):
+    good_text = (
+        "the quick brown fox jumps over that lazy dog and it runs away "
+        "to be of good cheer with friends nearby every single day now "
+        "more words keep coming here so the count clears fifty total "
+        "easily done with room to spare in this plain english sentence "
+        "that keeps going until the word counter is satisfied fully"
+    )
+    spec = Spec(
+        "gopher-v1",
+        (Constraint("text_gopher", "text", "gopher", {"min_words": 10}),),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en", "de"])
+    ok = _verdict(spark, ("https://a/1", None, b"x", good_text, "en"), reg)
+    assert ok["status"] == "valid"
+    # numeric soup: fails alpha_words + mean_word_len + stop_words —
+    # the observed_value names the failing rules
+    res = validate(
+        _rows(spark, [("https://a/2", None, b"x", "42 " * 30, "en")]),
+        spark, reg,
+    )
+    bad = res.verdicts.collect()[0]
+    assert bad["status"] == "invalid"
+    viol = res.violations().collect()[0]
+    assert "alpha_words" in viol["observed_value"]
+    assert "stop_words" in viol["observed_value"]
+    assert "mean_word_len" in viol["observed_value"]
+    assert "bullet_lines" not in viol["observed_value"]
+    # NULL text passes — not_null owns null-ness
+    nul = _verdict(spark, ("https://a/3", None, b"x", None, "en"), reg)
+    assert nul["status"] == "valid"

@@ -318,18 +318,32 @@ def gopher_rules(
     arrays; zero shuffle, zero Python. At 10^12 pages the operator is
     scan-bound and composes with any filter pushdown. NULL text behaves
     as empty (fails the word-count and stop-word rules, ratios 0)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    sig = gopher_signals(F.col(text_col), min_words, max_words)
+    out = df
+    for name, expr in sig.items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def gopher_signals(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """Expression builder behind gopher_rules (and the ``gopher`` spec
+    constraint kind): the seven rule signals plus the composite, keyed
+    by output column name, every one a codegen'd regexp_count/rlike
+    expression over ``text``."""
+    t = F.coalesce(text, F.lit(""))
     # count-of-runs formulations (identical semantics to split+filter,
     # but whole-stage-codegen regex scans instead of interpreted HOFs)
     nw = F.regexp_count(t, F.lit(r"\S+"))
     nw1 = F.greatest(nw, F.lit(1))
     nonws = F.length(t) - F.regexp_count(t, F.lit(r"\s"))
     mean_wl = F.round(nonws / nw1, 6)
-    symbols = (
-        F.regexp_count(t, F.lit("#"))
-        + F.regexp_count(t, F.lit(r"\.\.\."))
-        + F.regexp_count(t, F.lit("…"))
-    )
+    # one fused scan: the alternatives can't overlap, so the count equals
+    # the sum of the three individual counts
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
     symbol_ratio = F.round(symbols / nw1, 6)
     nl1 = F.regexp_count(t, F.lit("\n")) + F.lit(1)
     # (?m): ^/$ anchor per line; [ \t] (not \s) so a match never spans
@@ -340,9 +354,12 @@ def gopher_rules(
     ellipsis_frac = F.round(
         F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$")) / nl1, 6
     )
-    # one greedy match per whitespace-delimited token containing a letter
+    # one match per whitespace-delimited token containing a letter. The
+    # leading (^|\s) pins candidate starts to token boundaries so
+    # token-interior positions fail in O(1) — the naive \S*[A-Za-z]\S*
+    # backtracks O(len²) on long letter-free runs (numeric soup)
     alpha_frac = F.round(
-        F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*")) / nw1, 6
+        F.regexp_count(t, F.lit(r"(^|\s)[^\sA-Za-z]*[A-Za-z]\S*")) / nw1, 6
     )
     # presence of each stop word as a maximal [a-z0-9] run
     lt = F.lower(t)
@@ -353,22 +370,22 @@ def gopher_rules(
         ),
         start=F.lit(0),
     ).cast("long")
-    out = (
-        df.withColumn("g_n_words", nw.cast("long"))
-        .withColumn("g_mean_wl", mean_wl)
-        .withColumn("g_symbol_ratio", symbol_ratio)
-        .withColumn("g_bullet_frac", bullet_frac)
-        .withColumn("g_ellipsis_frac", ellipsis_frac)
-        .withColumn("g_alpha_frac", alpha_frac)
-        .withColumn("g_stop_hits", stop_hits)
+    sig: dict[str, Column] = {
+        "g_n_words": nw.cast("long"),
+        "g_mean_wl": mean_wl,
+        "g_symbol_ratio": symbol_ratio,
+        "g_bullet_frac": bullet_frac,
+        "g_ellipsis_frac": ellipsis_frac,
+        "g_alpha_frac": alpha_frac,
+        "g_stop_hits": stop_hits,
+    }
+    sig["gopher_pass"] = (
+        sig["g_n_words"].between(min_words, max_words)
+        & sig["g_mean_wl"].between(3.0, 10.0)
+        & (sig["g_symbol_ratio"] <= 0.1)
+        & (sig["g_bullet_frac"] <= 0.9)
+        & (sig["g_ellipsis_frac"] <= 0.3)
+        & (sig["g_alpha_frac"] >= 0.8)
+        & (sig["g_stop_hits"] >= 2)
     )
-    return out.withColumn(
-        "gopher_pass",
-        F.col("g_n_words").between(min_words, max_words)
-        & F.col("g_mean_wl").between(3.0, 10.0)
-        & (F.col("g_symbol_ratio") <= 0.1)
-        & (F.col("g_bullet_frac") <= 0.9)
-        & (F.col("g_ellipsis_frac") <= 0.3)
-        & (F.col("g_alpha_frac") >= 0.8)
-        & (F.col("g_stop_hits") >= 2),
-    )
+    return sig

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 ROW_KINDS = frozenset(
     {"not_null", "regex", "range", "isin", "length", "utf8", "expr",
-     "pandas_check", "repetition"}
+     "pandas_check", "repetition", "gopher"}
 )
 TABLE_KINDS = frozenset(
     {"unique", "referential", "drift", "contamination", "near_dup", "fd",
@@ -205,6 +205,37 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
             c.constraint_id, c.column, c.severity, fail,
             ratio.cast("string"), msg,
         )
+    elif c.kind == "gopher":
+        # Gopher quality rule pack (Rae et al. 2021 A1.1) as ONE
+        # declarative row constraint: seven codegen'd regexp signals,
+        # fail when the composite doesn't pass. Observed value names the
+        # failing rules so the violation row is actionable. NULL text
+        # passes (not_null owns null-ness).
+        from validate_xml_rust_spark.operators.textstats import gopher_signals
+
+        sig = gopher_signals(
+            col,
+            int(p.get("min_words", 50)),
+            int(p.get("max_words", 100_000)),
+        )
+        fail = col.isNotNull() & ~sig["gopher_pass"]
+        failed_rules = F.array(
+            F.when(
+                ~sig["g_n_words"].between(
+                    int(p.get("min_words", 50)), int(p.get("max_words", 100_000))
+                ),
+                F.lit("word_count"),
+            ),
+            F.when(~sig["g_mean_wl"].between(3.0, 10.0), F.lit("mean_word_len")),
+            F.when(sig["g_symbol_ratio"] > 0.1, F.lit("symbol_ratio")),
+            F.when(sig["g_bullet_frac"] > 0.9, F.lit("bullet_lines")),
+            F.when(sig["g_ellipsis_frac"] > 0.3, F.lit("ellipsis_lines")),
+            F.when(sig["g_alpha_frac"] < 0.8, F.lit("alpha_words")),
+            F.when(sig["g_stop_hits"] < 2, F.lit("stop_words")),
+        )
+        obs = F.concat_ws(",", failed_rules)
+        msg = f"{c.column} fails the Gopher quality rule pack"
+        return CompiledCheck(c.constraint_id, c.column, c.severity, fail, obs, msg)
     elif c.kind == "pandas_check":
         # Arrow-batched named validator (functions/pandas_checks.py) — the
         # "pandas/Arrow UDF batch validator" slot of the north star. Null
