@@ -368,3 +368,31 @@ def test_curate_gopher_filter_step(spark):
     assert kept == {0, 3}
     # step is a pure filter: schema unchanged (no g_* columns leak)
     assert set(res.kept.columns) == {"doc_id", "text"}
+
+
+def test_curate_mixture_step(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words", "wiki" if i < 20 else "web")
+         for i in range(120)],
+        "doc_id long, text string, lang string",
+    )
+    res = curate(
+        docs, spark,
+        near_dup_threshold=None,
+        mixture={"wiki": 3.0, "web": 0.5},
+        pack_max_tokens=32,
+    )
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert "mixture" in steps
+    # 20 wiki × 3 + ~50 web; upsampling makes "dropped" negative
+    m = steps["mixture"]
+    assert m["rows_out"] == 60 + (m["rows_out"] - 60)
+    assert 85 <= m["rows_out"] <= 135
+    assert m["dropped"] == m["rows_in"] - m["rows_out"]
+    assert "epoch" in res.kept.columns
+    wiki = res.kept.filter(F.col("lang") == "wiki")
+    assert wiki.count() == 60
+    assert {r["epoch"] for r in wiki.collect()} == {0, 1, 2}
+    # epoch copies still pack (duplicate ids are legal pack entries)
+    assert res.packs is not None
+    assert res.packs.count() == res.kept.count()

@@ -159,3 +159,24 @@ def test_gopher_rules_threshold_is_configurable(spark):
     d = _d(spark, [(0, text)])
     assert gopher_rules(d, min_words=10).collect()[0]["gopher_pass"] is True
     assert gopher_rules(d, min_words=50).collect()[0]["gopher_pass"] is False
+
+
+def test_repetition_dup_line_frac(spark):
+    from validate_xml_rust_spark.operators.textstats import repetition_stats
+
+    d = _d(
+        spark,
+        [
+            (0, "one\ntwo\nthree"),            # all distinct → 0
+            (1, "same\nsame\nsame\nsame"),      # 3 of 4 duplicated
+            (2, "a\n\n\na"),                    # empties ignored → 1 of 2
+            (3, None),
+            (4, "no newlines at all"),
+        ],
+    )
+    got = {r["doc_id"]: r["dup_line_frac"] for r in repetition_stats(d).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 0.75
+    assert got[2] == 0.5
+    assert got[3] == 0.0
+    assert got[4] == 0.0

@@ -137,8 +137,13 @@ def repetition_stats(
       (1 − distinct/total; pure expressions, codegen),
     - ``bigram_rep``  — fraction of duplicated word bigrams (Arrow numpy
       over positional gram hashes — see texthash.gram_repetition_udf),
-    - ``repetitive``  — either ratio above ``flag_threshold`` (the
-      boilerplate/spam drop signal).
+    - ``dup_line_frac`` — fraction of duplicated non-empty lines
+      (Gopher's duplicate-line signal; array_remove + array_distinct,
+      both codegen'd — no lambda HOF),
+    - ``repetitive``  — unigram or bigram ratio above ``flag_threshold``
+      (the boilerplate/spam drop signal; dup_line_frac is reported but
+      deliberately not folded into the flag — line-level policy belongs
+      to the corpus-level boilerplate operator).
     """
     from validate_xml_rust_spark.functions.texthash import gram_repetition_udf
 
@@ -149,9 +154,15 @@ def repetition_stats(
         n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
     ).otherwise(F.lit(0.0))
     bi = gram_repetition_udf(F.col(text_col), k=2)
+    lines = F.array_remove(F.split(t, "\n"), "")
+    nl = F.size(lines)
+    dup_lines = F.when(
+        nl > 0, F.round(1.0 - F.size(F.array_distinct(lines)) / nl, 6)
+    ).otherwise(F.lit(0.0))
     return (
         df.withColumn("unigram_rep", uni)
         .withColumn("bigram_rep", bi)
+        .withColumn("dup_line_frac", dup_lines)
         .withColumn(
             "repetitive",
             (F.col("unigram_rep") > flag_threshold)

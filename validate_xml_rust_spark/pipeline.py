@@ -76,6 +76,9 @@ def curate(
     lm_ref: DataFrame | None = None,
     max_log_ppl: float | None = None,
     sample_rate: float | None = None,
+    mixture: dict[str, float] | None = None,
+    mixture_source_col: str = "lang",
+    mixture_default: float = 1.0,
     pack_max_tokens: int | None = None,
     pack_shards: int = 32,
     contamination_n: int = 8,
@@ -323,6 +326,23 @@ def curate(
         from validate_xml_rust_spark.operators.curation import hash_sample
 
         cur = log("sample", hash_sample(cur, sample_rate, id_col))
+
+    if mixture is not None:
+        # weighted mixture composition LAST (the training-mix assembly
+        # step): per-source epochs-per-subset replication/sampling. Adds
+        # an ``epoch`` column; rows_out can EXCEED rows_in (upsampling —
+        # the step's "dropped" goes negative, reading as rows added).
+        # Epoch copies of a doc share its pack shard (pack_shard keys on
+        # id), which only affects pack adjacency, not budgets.
+        from validate_xml_rust_spark.operators.curation import mixture_epochs
+
+        cur = log(
+            "mixture",
+            mixture_epochs(
+                cur, mixture, source_col=mixture_source_col,
+                key_col=id_col, default_factor=mixture_default,
+            ),
+        )
 
     kept_ids = prev_ids
     packs = None

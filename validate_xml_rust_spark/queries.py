@@ -2185,7 +2185,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs).select(
-        "doc_id", "unigram_rep", "bigram_rep", "repetitive"
+        "doc_id", "unigram_rep", "bigram_rep", "dup_line_frac", "repetitive"
     )
 
 
@@ -2202,14 +2202,21 @@ g AS (
                 list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
               ELSE [array_to_string(w, ' ')] END AS bg
   FROM toks),
-r AS (
+ln AS (
   SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\n'),
+                     x -> x <> '') AS lns
+  FROM documents),
+r AS (
+  SELECT g.doc_id,
          CASE WHEN len(w) = 0 THEN 0.0
               ELSE round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) END AS unigram_rep,
          CASE WHEN len(bg) = 0 THEN 0.0
-              ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS bigram_rep
-  FROM g)
-SELECT doc_id, unigram_rep, bigram_rep,
+              ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS bigram_rep,
+         CASE WHEN len(lns) = 0 THEN 0.0
+              ELSE round(1 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 6) END AS dup_line_frac
+  FROM g JOIN ln USING (doc_id))
+SELECT doc_id, unigram_rep, bigram_rep, dup_line_frac,
        (unigram_rep > 0.2 OR bigram_rep > 0.2) AS repetitive
 FROM r
 """
@@ -3125,7 +3132,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_METRICS = f"""
 SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
-       q.quality, r.unigram_rep, r.bigram_rep, r.repetitive,
+       q.quality, r.unigram_rep, r.bigram_rep, r.dup_line_frac, r.repetitive,
        l.n_bigrams, l.log_ppl,
        g.g_n_words, g.g_mean_wl, g.g_symbol_ratio, g.g_bullet_frac,
        g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass
