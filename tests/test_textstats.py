@@ -180,3 +180,48 @@ def test_repetition_dup_line_frac(spark):
     assert got[2] == 0.5
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_repetition_ngram_coverage_fractions(spark):
+    """Pin the Gopher char-coverage arithmetic on hand-computable docs."""
+    from validate_xml_rust_spark.operators.textstats import repetition_stats
+
+    d = _d(
+        spark,
+        [
+            # "ab cd" ×3: top2 = 3·4/12, top3 = 2·6/12, top4 = 2·8/12
+            # (>1 is legal: overlapping occurrences each contribute),
+            # 5-grams both unique → dup5 = 0
+            (0, "ab cd ab cd ab cd"),
+            # 5-gram "v w x y z" at positions 1 and 8 → coverage 10/14
+            (1, "v w x y z a b v w x y z c d"),
+            (2, "one two three four five six"),  # nothing repeats
+            (3, None),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert rows[0]["top2_char_frac"] == 1.0
+    assert rows[0]["top3_char_frac"] == 1.0
+    assert rows[0]["top4_char_frac"] == round(2 * 8 / 12, 6)
+    assert rows[0]["dup5_char_frac"] == 0.0
+    assert rows[1]["top2_char_frac"] == round(2 * 2 / 14, 6)
+    assert rows[1]["dup5_char_frac"] == round(10 / 14, 6)
+    assert rows[1]["dup10_char_frac"] == 0.0
+    assert rows[1]["rep_ngram_pass"] is False
+    assert rows[2]["top2_char_frac"] == 0.0
+    assert rows[2]["dup5_char_frac"] == 0.0
+    assert rows[2]["rep_ngram_pass"] is True
+    assert rows[3]["rep_ngram_pass"] is True  # empty doc: all signals 0
+
+
+def test_repetition_ngram_coverage_overlap_counts_once(spark):
+    """Self-overlapping duplicated grams cover each position once."""
+    from validate_xml_rust_spark.operators.textstats import repetition_stats
+
+    d = _d(spark, [(0, "a a a a a a a a a a")])  # 10 × "a"
+    r = repetition_stats(d).collect()[0]
+    # bigram (a a) ×9, gram chars 2, total chars 10
+    assert r["top2_char_frac"] == round(9 * 2 / 10, 6)
+    # every position inside a duplicated 5-gram → exactly 1.0, not 6×5/10
+    assert r["dup5_char_frac"] == 1.0
+    assert r["rep_ngram_pass"] is False

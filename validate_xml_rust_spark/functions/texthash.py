@@ -292,6 +292,91 @@ def gram_repetition_udf(text: Column, k: int = 2) -> Column:
     return rep(token_hashes(text))
 
 
+NGRAM_COVERAGE_TOP_NS = (2, 3, 4)
+NGRAM_COVERAGE_DUP_NS = (5, 10)
+NGRAM_COVERAGE_STRUCT = (
+    "struct<bigram_rep:double,"
+    + ",".join(f"top{n}:double" for n in NGRAM_COVERAGE_TOP_NS)
+    + ","
+    + ",".join(f"dup{n}:double" for n in NGRAM_COVERAGE_DUP_NS)
+    + ">"
+)
+
+
+def ngram_coverage_udf(token_hashes_col: Column, token_lens_col: Column) -> Column:
+    """Gopher n-gram character-coverage repetition signals (Rae et al.
+    2021, Appendix A1.1) in ONE Arrow hop over precomputed token hashes
+    + token char lengths:
+
+    - ``top{n}`` (n ∈ 2,3,4) — fraction of content characters covered by
+      the most frequent word n-gram: max-count gram (char-weight breaks
+      count ties) × its occurrence count × its token chars ÷ total token
+      chars; 0.0 when no n-gram repeats (max count < 2).
+    - ``dup{n}`` (n ∈ 5,10) — fraction of content characters inside ANY
+      duplicated n-gram: token positions covered by ≥1 occurrence of a
+      gram appearing >1 time (start/stop edge histogram + cumsum, each
+      position counted once), char-weighted.
+    - ``bigram_rep`` — 1 − distinct/total positional bigrams (the
+      pre-existing signal, folded in so the suite keeps one Python hop).
+
+    "Content characters" = Σ len(token) — separators excluded on both
+    engines, so the DuckDB oracle restates the exact same arithmetic
+    over gram STRINGS (hash-domain vs string-domain equivalence, as in
+    the Jaccard oracles). Values are raw doubles; callers round."""
+    ns = sorted({2, *NGRAM_COVERAGE_TOP_NS, *NGRAM_COVERAGE_DUP_NS})
+    mults = {n: _window_multipliers(n) for n in ns}
+    top_ns, dup_ns = NGRAM_COVERAGE_TOP_NS, NGRAM_COVERAGE_DUP_NS
+
+    @F.pandas_udf(NGRAM_COVERAGE_STRUCT)
+    def cov(hashes: pd.Series, lens: pd.Series) -> pd.DataFrame:
+        m = len(hashes)
+        cols: dict[str, np.ndarray] = {
+            "bigram_rep": np.zeros(m),
+            **{f"top{n}": np.zeros(m) for n in top_ns},
+            **{f"dup{n}": np.zeros(m) for n in dup_ns},
+        }
+        with np.errstate(over="ignore"):
+            for i, (h, ln) in enumerate(zip(hashes, lens)):
+                if h is None or len(h) == 0:
+                    continue
+                lv = np.asarray(ln, dtype=np.int64)
+                total = lv.sum()
+                if total <= 0:
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                cs = np.concatenate(([0], np.cumsum(lv)))
+                for n in ns:
+                    if len(x) < n:
+                        continue
+                    grams = _combine_shingles_seq(x, n, mults[n])
+                    uniq, first, inv, cnt = np.unique(
+                        grams, return_index=True, return_inverse=True,
+                        return_counts=True,
+                    )
+                    if n == 2:
+                        cols["bigram_rep"][i] = 1.0 - len(uniq) / len(grams)
+                    if n in top_ns:
+                        mx = cnt.max()
+                        if mx >= 2:
+                            gchars = cs[n:] - cs[:-n]
+                            cols[f"top{n}"][i] = (
+                                mx * gchars[first[cnt == mx]].max() / total
+                            )
+                    if n in dup_ns:
+                        starts = np.nonzero(cnt[inv] > 1)[0]
+                        if len(starts):
+                            edges = np.zeros(len(lv) + 1, dtype=np.int64)
+                            np.add.at(edges, starts, 1)
+                            np.add.at(
+                                edges, np.minimum(starts + n, len(lv)), -1
+                            )
+                            covered = np.cumsum(edges[:-1]) > 0
+                            cols[f"dup{n}"][i] = lv[covered].sum() / total
+        return pd.DataFrame(cols)
+
+    return cov(token_hashes_col, token_lens_col)
+
+
 def minhash_signature_from_text(text: Column, k: int = 3, num_perm: int = 32) -> Column:
     """Fused shingle+MinHash in ONE Arrow round trip: token hashes JVM-side,
     then window-combine + permutation-min in numpy. The hot path for

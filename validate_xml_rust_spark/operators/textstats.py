@@ -136,16 +136,32 @@ def repetition_stats(
     - ``unigram_rep`` — fraction of duplicated word tokens
       (1 − distinct/total; pure expressions, codegen),
     - ``bigram_rep``  — fraction of duplicated word bigrams (Arrow numpy
-      over positional gram hashes — see texthash.gram_repetition_udf),
+      over positional gram hashes — texthash.ngram_coverage_udf),
     - ``dup_line_frac`` — fraction of duplicated non-empty lines
       (Gopher's duplicate-line signal; array_remove + array_distinct,
       both codegen'd — no lambda HOF),
+    - ``top{2,3,4}_char_frac`` — fraction of content characters covered
+      by the most frequent word n-gram (Gopher "most common n-gram"
+      rules; 0 when nothing repeats),
+    - ``dup{5,10}_char_frac`` — fraction of content characters inside
+      duplicated n-grams, each position counted once (Gopher "duplicate
+      n-gram" rules at the two threshold extremes),
+    - ``rep_ngram_pass`` — the published Gopher thresholds over those
+      five (top2 ≤ .20, top3 ≤ .18, top4 ≤ .16, dup5 ≤ .15, dup10 ≤ .10),
     - ``repetitive``  — unigram or bigram ratio above ``flag_threshold``
       (the boilerplate/spam drop signal; dup_line_frac is reported but
       deliberately not folded into the flag — line-level policy belongs
       to the corpus-level boilerplate operator).
+
+    The five coverage fractions + bigram_rep share ONE Arrow hop
+    (texthash.ngram_coverage_udf) over JVM-computed token hashes and
+    token char lengths; everything else is codegen'd expressions.
     """
-    from validate_xml_rust_spark.functions.texthash import gram_repetition_udf
+    from validate_xml_rust_spark.functions.texthash import (
+        ngram_coverage_udf,
+        token_hashes,
+        tokens,
+    )
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(F.lower(F.trim(t)), r"[^a-z0-9]+"), lambda x: F.length(x) > 0)
@@ -153,21 +169,37 @@ def repetition_stats(
     uni = F.when(
         n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
     ).otherwise(F.lit(0.0))
-    bi = gram_repetition_udf(F.col(text_col), k=2)
     lines = F.array_remove(F.split(t, "\n"), "")
     nl = F.size(lines)
     dup_lines = F.when(
         nl > 0, F.round(1.0 - F.size(F.array_distinct(lines)) / nl, 6)
     ).otherwise(F.lit(0.0))
-    return (
-        df.withColumn("unigram_rep", uni)
-        .withColumn("bigram_rep", bi)
+    token_lens = F.transform(tokens(t), lambda x: F.length(x).cast("int"))
+    out = df.withColumn(
+        "__cov", ngram_coverage_udf(token_hashes(t), token_lens)
+    )
+    out = (
+        out.withColumn("unigram_rep", uni)
+        .withColumn("bigram_rep", F.round(F.col("__cov.bigram_rep"), 6))
         .withColumn("dup_line_frac", dup_lines)
-        .withColumn(
-            "repetitive",
-            (F.col("unigram_rep") > flag_threshold)
-            | (F.col("bigram_rep") > flag_threshold),
-        )
+        .withColumn("top2_char_frac", F.round(F.col("__cov.top2"), 6))
+        .withColumn("top3_char_frac", F.round(F.col("__cov.top3"), 6))
+        .withColumn("top4_char_frac", F.round(F.col("__cov.top4"), 6))
+        .withColumn("dup5_char_frac", F.round(F.col("__cov.dup5"), 6))
+        .withColumn("dup10_char_frac", F.round(F.col("__cov.dup10"), 6))
+        .drop("__cov")
+    )
+    return out.withColumn(
+        "rep_ngram_pass",
+        (F.col("top2_char_frac") <= 0.20)
+        & (F.col("top3_char_frac") <= 0.18)
+        & (F.col("top4_char_frac") <= 0.16)
+        & (F.col("dup5_char_frac") <= 0.15)
+        & (F.col("dup10_char_frac") <= 0.10),
+    ).withColumn(
+        "repetitive",
+        (F.col("unigram_rep") > flag_threshold)
+        | (F.col("bigram_rep") > flag_threshold),
     )
 
 

@@ -2185,16 +2185,54 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs).select(
-        "doc_id", "unigram_rep", "bigram_rep", "dup_line_frac", "repetitive"
+        "doc_id", "unigram_rep", "bigram_rep", "dup_line_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        "dup5_char_frac", "dup10_char_frac", "rep_ngram_pass",
+        "repetitive",
     )
 
 
-ORACLE_REPETITION_STATS = r"""
+def _oracle_gram_cte(n: int) -> str:
+    """Positional word n-gram CTEs for one n: gram string + its token
+    char sum (gn{n}), per-gram counts (c{n}), the top-gram char mass
+    (top{n}: max count, char-weight tie-break, 0 when max count < 2 —
+    the same selection ngram_coverage_udf makes in hash domain), and the
+    duplicated-gram covered-position char mass (cc{n}: union of [i, i+n)
+    over occurrences of grams with count > 1, each position once)."""
+    return f"""
+gn{n} AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS g,
+         list_sum(list_transform(w[i:i+{n - 1}], x -> CAST(length(x) AS BIGINT))) AS gc
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n} + 2)) AS i FROM toks)),
+c{n} AS (
+  SELECT doc_id, g, count(*) AS c, min(gc) AS gc
+  FROM gn{n} GROUP BY doc_id, g),
+top{n} AS (
+  SELECT doc_id,
+         CASE WHEN max(c) < 2 THEN 0
+              ELSE max(CASE WHEN c = mx THEN c * gc END)
+         END AS chars
+  FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mx FROM c{n})
+  GROUP BY doc_id),
+cc{n} AS (
+  SELECT cv.doc_id, sum(CAST(length(t.w[CAST(cv.p AS INT)]) AS BIGINT)) AS chars
+  FROM (SELECT DISTINCT doc_id, p FROM
+         (SELECT gn{n}.doc_id, unnest(range(gn{n}.i, gn{n}.i + {n})) AS p
+          FROM gn{n} JOIN (SELECT doc_id, g FROM c{n} WHERE c > 1) d{n}
+          USING (doc_id, g))) cv
+  JOIN toks t USING (doc_id) GROUP BY cv.doc_id)"""
+
+
+ORACLE_REPETITION_STATS = (
+    r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
                      x -> length(x) > 0) AS w
   FROM documents),
+tc AS (
+  SELECT doc_id, coalesce(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))), 0) AS tchars
+  FROM toks),
 g AS (
   SELECT doc_id, w,
          CASE WHEN len(w) = 0 THEN []
@@ -2206,7 +2244,9 @@ ln AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(coalesce(text,''), '\n'),
                      x -> x <> '') AS lns
-  FROM documents),
+  FROM documents),"""
+    + ",".join(_oracle_gram_cte(n) for n in (2, 3, 4, 5, 10))
+    + r""",
 r AS (
   SELECT g.doc_id,
          CASE WHEN len(w) = 0 THEN 0.0
@@ -2214,12 +2254,26 @@ r AS (
          CASE WHEN len(bg) = 0 THEN 0.0
               ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS bigram_rep,
          CASE WHEN len(lns) = 0 THEN 0.0
-              ELSE round(1 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 6) END AS dup_line_frac
-  FROM g JOIN ln USING (doc_id))
+              ELSE round(1 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 6) END AS dup_line_frac,
+         CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(top2.chars, 0) AS DOUBLE) / tchars, 6) END AS top2_char_frac,
+         CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(top3.chars, 0) AS DOUBLE) / tchars, 6) END AS top3_char_frac,
+         CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(top4.chars, 0) AS DOUBLE) / tchars, 6) END AS top4_char_frac,
+         CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(cc5.chars, 0) AS DOUBLE) / tchars, 6) END AS dup5_char_frac,
+         CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(cc10.chars, 0) AS DOUBLE) / tchars, 6) END AS dup10_char_frac
+  FROM g JOIN ln USING (doc_id) JOIN tc USING (doc_id)
+  LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+  LEFT JOIN top4 USING (doc_id) LEFT JOIN cc5 USING (doc_id)
+  LEFT JOIN cc10 USING (doc_id))
 SELECT doc_id, unigram_rep, bigram_rep, dup_line_frac,
+       top2_char_frac, top3_char_frac, top4_char_frac,
+       dup5_char_frac, dup10_char_frac,
+       (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+        AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+        AND dup10_char_frac <= 0.10) AS rep_ngram_pass,
        (unigram_rep > 0.2 OR bigram_rep > 0.2) AS repetitive
 FROM r
 """
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3132,7 +3186,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_METRICS = f"""
 SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
-       q.quality, r.unigram_rep, r.bigram_rep, r.dup_line_frac, r.repetitive,
+       q.quality, r.unigram_rep, r.bigram_rep, r.dup_line_frac,
+       r.top2_char_frac, r.top3_char_frac, r.top4_char_frac,
+       r.dup5_char_frac, r.dup10_char_frac, r.rep_ngram_pass, r.repetitive,
        l.n_bigrams, l.log_ppl,
        g.g_n_words, g.g_mean_wl, g.g_symbol_ratio, g.g_bullet_frac,
        g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass
