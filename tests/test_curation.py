@@ -311,3 +311,73 @@ def test_mixture_epochs_null_source_and_null_key(spark):
         if r["doc_id"] is None
     }
     assert out2 == {(None, 0)}
+
+
+def _dsir_corpus(spark):
+    # 0-3 German-ish (target vocab), 4-7 English-ish, 8 empty, 9 NULL
+    rows = [
+        (0, "der hund und die katze und der vogel", "de"),
+        (1, "die sonne und der mond und die sterne", "de"),
+        (2, "der baum und die blume und der garten", "de"),
+        (3, "die stadt und der fluss und die brücke", "de"),
+        (4, "the cat and the dog and the bird", "en"),
+        (5, "the sun and the moon and the stars", "en"),
+        (6, "der hund und the cat zusammen", "mix"),
+        (7, "completely unrelated zebra xylophone quark", "en"),
+        (8, "", "en"),
+        (9, None, "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_weights_orders_by_target_likeness(spark):
+    from validate_xml_rust_spark.operators.curation import dsir_weights
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("lang") == "de")
+    got = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    assert len(got) == 10
+    # equal-length docs: pure-target beats pure-English outright; logw is
+    # a bag-likelihood SUM, so cross-length comparisons go per-gram
+    assert got[0]["logw"] > got[4]["logw"]
+    per_gram = {k: r["logw"] / r["n_grams"] for k, r in got.items() if r["n_grams"]}
+    assert per_gram[0] > per_gram[6] > per_gram[4]
+    assert per_gram[6] > per_gram[7]
+    # gram-less docs: neutral evidence
+    assert got[8]["logw"] == 0.0 and got[8]["n_grams"] == 0
+    assert got[9]["logw"] == 0.0 and got[9]["n_grams"] == 0
+    # bag size: unigrams + bigrams (doc 7: 5 words -> 5 + 4)
+    assert got[7]["n_grams"] == 9
+
+
+def test_dsir_resample_topk_and_gumbel(spark):
+    from validate_xml_rust_spark.operators.curation import (
+        dsir_resample,
+        dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("lang") == "de")
+    hard = dsir_resample(docs, target, k=4, gumbel=False)
+    assert hard.count() == 4
+    # hard top-4 = top-4 by (logw desc, key) from the weights frame
+    # (gram-less docs sit at neutral 0 and may legitimately outrank
+    # negative-sum docs — DSIR composes AFTER quality/length filters)
+    w = dsir_weights(docs, target).collect()
+    expect = {
+        r["doc_id"]
+        for r in sorted(w, key=lambda r: (-round(r["logw"], 6), r["doc_id"]))[:4]
+    }
+    assert {r["doc_id"] for r in hard.collect()} == expect
+    # all original columns survive, plus the ranking score
+    assert set(hard.columns) == {"doc_id", "text", "lang", "dsir_score"}
+
+    soft = dsir_resample(docs, target, k=6, seed="dsir")
+    assert soft.count() == 6
+    # deterministic: same seed, same selection, run-over-run
+    again = {r["doc_id"] for r in dsir_resample(docs, target, k=6).collect()}
+    assert {r["doc_id"] for r in soft.collect()} == again
+
+    # raw-stats-on-a-sample path still scores every row
+    w = dsir_weights(docs, target, raw_sample_rate=0.5)
+    assert w.count() == 10

@@ -396,3 +396,26 @@ def test_curate_mixture_step(spark):
     # epoch copies still pack (duplicate ids are legal pack entries)
     assert res.packs is not None
     assert res.packs.count() == res.kept.count()
+
+
+def test_curate_dsir_select_step(spark):
+    rows = [(i, f"der hund und die katze nummer {i}", "de") for i in range(10)]
+    rows += [(i, f"the cat and the dog number {i}", "en") for i in range(10, 40)]
+    rows += [(None, "the null id row", "en"), (5, "duplicate id five", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.filter(F.col("lang") == "de")
+    res = curate(
+        docs, spark,
+        near_dup_threshold=None,
+        dsir_target=target, dsir_k=8,
+    )
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert "dsir_select" in steps
+    # 8 selected + NULL-id and dup-id rows pass through (3 rows: the
+    # NULL plus both id=5 copies)
+    assert steps["dsir_select"]["rows_out"] == 8 + 3
+    # schema unchanged (no dsir_score leak)
+    assert set(res.kept.columns) == {"doc_id", "text", "lang"}
+    # the German target rows dominate the selection
+    kept_langs = [r["lang"] for r in res.kept.filter(F.col("doc_id").isNotNull()).collect()]
+    assert kept_langs.count("de") >= 6

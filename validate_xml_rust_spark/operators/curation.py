@@ -160,6 +160,178 @@ def mixture_factors(
     return out
 
 
+def _word_bigrams(tok_col: Column) -> Column:
+    """Positional word-bigram strings of a MATERIALIZED token-array
+    column (plain attribute — embedding an expression tree here would
+    re-tokenize per element, the O(len²) HOF trap); empty below 2
+    tokens, and the sequence is guarded (sequence(2, 1) counts DOWN)."""
+    n = F.size(tok_col)
+    bg = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok_col, i - 1), F.element_at(tok_col, i)
+        ),
+    )
+    return F.when(n >= 2, bg).otherwise(F.array().cast("array<string>"))
+
+
+def _dsir_gram_buckets(
+    frame: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    seed: str,
+    key_col: str | None,
+) -> DataFrame:
+    """Hashed bag-of-ngrams rows for DSIR: one row per word unigram and
+    bigram OCCURRENCE (multiplicity kept — it's a bag, not a set), with
+    its md5-derived feature bucket ``b`` in [0, n_buckets). md5 (not
+    xxhash64) so the DuckDB oracle recomputes the identical bucket."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+
+    keys = [F.col(key_col).alias("__k")] if key_col else []
+    toks = frame.select(*keys, tokens(F.col(text_col)).alias("__w"))
+    grams = toks.select(
+        *(["__k"] if key_col else []),
+        F.explode(
+            F.concat(F.col("__w"), _word_bigrams(F.col("__w")))
+        ).alias("__g"),
+    )
+    return grams.withColumn(
+        "b", sample_ticket(F.col("__g"), seed) % F.lit(n_buckets)
+    ).drop("__g")
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    raw_sample_rate: float | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023
+    — public recipe): score every raw document by how target-like it is
+    under hashed bag-of-ngrams bigram models of the TARGET corpus vs the
+    RAW corpus.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets`` md5
+    buckets; each corpus reduces to add-α-smoothed bucket probabilities
+    p̂[b] = (c_b + α)/(T + α·B), and a document's log importance weight
+    is Σ_grams (ln p̂_target[b(g)] − ln p̂_raw[b(g)]). Output: one row
+    per input doc — ``(key_col, n_grams bigint, logw double)``; docs
+    with no grams get logw = 0 (ratio 1 under no evidence).
+
+    Scale shape (the lm_perplexity shape): each corpus reduces ONCE to a
+    ≤n_buckets-row count table — both broadcast; the scoring pass is one
+    narrow explode + two BroadcastHashJoins + a groupBy(key). Totals ride
+    the plan as broadcast one-row aggregates (no eager driver job). The
+    raw-side stats need a full corpus pass; at 10^12 docs pass
+    ``raw_sample_rate`` to estimate them on a deterministic hash sample
+    instead (the paper fits its raw model on a subset too) — scoring
+    still covers every row."""
+    B = int(n_buckets)
+    a = float(alpha)
+    tcol = target_text_col if target_text_col is not None else text_col
+
+    ct = (
+        _dsir_gram_buckets(target, tcol, B, seed, None)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    raw = df if raw_sample_rate is None else hash_sample(
+        df, raw_sample_rate, key_col, seed + "_raw"
+    )
+    cr = (
+        _dsir_gram_buckets(raw, text_col, B, seed, None)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    # totals as broadcast one-row aggregates — a driver-side .collect()
+    # here would run each reference reduction twice (plan-build job)
+    tt = F.broadcast(ct.agg(F.sum("__ct").alias("__tt")))
+    tr = F.broadcast(cr.agg(F.sum("__cr").alias("__tr")))
+
+    lr = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
+        / (F.col("__tt").cast("double") + F.lit(a * B))
+    ) - F.log(
+        (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(a))
+        / (F.col("__tr").cast("double") + F.lit(a * B))
+    )
+    scored = (
+        _dsir_gram_buckets(df, text_col, B, seed, key_col)
+        .join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b", "left")
+        .crossJoin(tt)
+        .crossJoin(tr)
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(lr).alias("logw"),
+        )
+    )
+    return (
+        df.select(F.col(key_col))
+        .join(scored.withColumnRenamed("__k", key_col), key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("logw", F.lit(0.0)).cast("double").alias("logw"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    raw_sample_rate: float | None = None,
+    gumbel: bool = True,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Select ``k`` raw documents by DSIR importance weight. With
+    ``gumbel=True`` (default) this is exact Gumbel-top-k sampling
+    without replacement from softmax(logw/temperature) — the paper's
+    resampling step — with the Gumbel draw derived from the md5 ticket
+    (u = (ticket+0.5)/2³², g = −ln(−ln u)): deterministic across runs,
+    partitionings, and engines, and it breaks ties between exact-dup
+    docs (equal logw, different keys). ``gumbel=False`` degrades to
+    hard top-k by weight.
+
+    Output: the selected input rows + ``dsir_score`` (the ranking key,
+    rounded 6dp). Selection is orderBy(score, key).limit(k) —
+    TakeOrdered, a distributed per-partition top-k + driver merge, NOT a
+    global sort — and the k selected keys broadcast back onto the corpus
+    for the row join."""
+    w = dsir_weights(
+        df, target, key_col, text_col, target_text_col,
+        n_buckets, alpha, seed, raw_sample_rate,
+    )
+    score = F.col("logw") / F.lit(float(temperature))
+    if gumbel:
+        u = (
+            sample_ticket(F.col(key_col), seed + "_g").cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(TICKET_SPACE))
+        score = score + (-F.log(-F.log(u)))
+    pick = (
+        w.withColumn("dsir_score", F.round(score, 6))
+        .orderBy(F.desc("dsir_score"), F.col(key_col))
+        .limit(int(k))
+        .select(key_col, "dsir_score")
+    )
+    return df.join(F.broadcast(pick), key_col)
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,

@@ -76,6 +76,8 @@ def curate(
     lm_ref: DataFrame | None = None,
     max_log_ppl: float | None = None,
     sample_rate: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
     mixture: dict[str, float] | None = None,
     mixture_source_col: str = "lang",
     mixture_default: float = 1.0,
@@ -326,6 +328,36 @@ def curate(
         from validate_xml_rust_spark.operators.curation import hash_sample
 
         cur = log("sample", hash_sample(cur, sample_rate, id_col))
+
+    if dsir_target is not None and dsir_k is not None:
+        # DSIR importance selection (Xie et al. 2023): keep the dsir_k
+        # most target-like rows by hashed-ngram importance weight. Same
+        # id contract as lm_filter: only unique non-NULL ids are
+        # scorable (the weight groupBy would merge dup-id bags and the
+        # key join would drop NULLs) — NULL-id/dup-id rows pass through
+        # verbatim, outside the k budget. The ranking score is internal
+        # here; step schema is unchanged.
+        from validate_xml_rust_spark.operators.curation import dsir_resample
+
+        ds_id_n = (
+            cur.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__idn"))
+        )
+        ds_counted = cur.join(ds_id_n, id_col, "left")
+        ds_scorable = ds_counted.filter(F.col("__idn") == 1).drop("__idn")
+        ds_pass = ds_counted.filter(
+            F.col(id_col).isNull() | (F.col("__idn") > 1)
+        ).drop("__idn")
+        cur = log(
+            "dsir_select",
+            dsir_resample(
+                ds_scorable, dsir_target, k=dsir_k,
+                key_col=id_col, text_col=text_col,
+            )
+            .drop("dsir_score")
+            .unionByName(ds_pass.select(*ds_scorable.columns)),
+        )
 
     if mixture is not None:
         # weighted mixture composition LAST (the training-mix assembly

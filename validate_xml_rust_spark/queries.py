@@ -3426,36 +3426,114 @@ FROM mn WHERE n > 0
 """
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (curation.dsir_resample, Xie et al.
+    2023): select the 150 documents most German-like under hashed
+    unigram+bigram bucket models of target (lang='de') vs the whole
+    corpus, via deterministic Gumbel-top-k. The oracle re-derives every
+    md5 bucket, both smoothed bucket models, each doc's log importance
+    weight, the ticket-derived Gumbel draw, and the top-150 selection
+    nibble-by-nibble in SQL."""
+    from validate_xml_rust_spark.operators.curation import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    return dsir_resample(docs, target, k=150).select(
+        "doc_id", "lang", "dsir_score"
+    )
+
+
+ORACLE_DSIR_SAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2 THEN
+                  list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+                ELSE [] END) AS g
+  FROM toks),
+gb AS (
+  SELECT doc_id, CAST({_oracle_mix_ticket("g", "dsir")} AS BIGINT) % 4096 AS b
+  FROM grams),
+ct AS (
+  SELECT b, count(*) AS c FROM gb JOIN documents USING (doc_id)
+  WHERE documents.lang = 'de' GROUP BY b),
+tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM ct),
+cr AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+tr AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM cr),
+lw AS (
+  SELECT gb.doc_id,
+         sum(ln((coalesce(ct.c, 0) + 1.0) / (tt.t + 4096.0))
+             - ln((coalesce(cr.c, 0) + 1.0) / (tr.t + 4096.0))) AS logw
+  FROM gb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), tt, tr
+  GROUP BY gb.doc_id),
+sc AS (
+  SELECT d.doc_id, d.lang,
+         round(coalesce(lw.logw, 0)
+               + (-ln(-ln(({_oracle_mix_ticket(
+                   "CAST(d.doc_id AS VARCHAR)", "dsir_g"
+               )} + 0.5) / 4294967296.0))), 6) AS dsir_score
+  FROM documents d LEFT JOIN lw USING (doc_id))
+SELECT doc_id, lang, dsir_score FROM sc
+ORDER BY dsir_score DESC, doc_id LIMIT 150
+"""
+
+
 def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed sampling, flat 25% + per-lang
     stratified rates + weighted mixture composition with upsampling
-    epochs, one gate (variant, doc_id, lang, epoch)."""
+    epochs + DSIR importance resampling, one gate
+    (variant, doc_id, lang, epoch, score)."""
     null_epoch = F.lit(None).cast("long").alias("epoch")
+    null_score = F.lit(None).cast("double").alias("score")
     a = q_hash_sample(spark, sf_dir).select(
-        F.lit("flat").alias("variant"), "doc_id", "lang", null_epoch
+        F.lit("flat").alias("variant"), "doc_id", "lang", null_epoch,
+        null_score,
     )
     b = q_stratified_sample(spark, sf_dir).select(
-        F.lit("stratified").alias("variant"), "doc_id", "lang", null_epoch
+        F.lit("stratified").alias("variant"), "doc_id", "lang", null_epoch,
+        null_score,
     )
     c = q_mixture_epochs(spark, sf_dir).select(
-        F.lit("mixture").alias("variant"), "doc_id", "lang", "epoch"
+        F.lit("mixture").alias("variant"), "doc_id", "lang", "epoch",
+        null_score,
     )
-    return a.unionByName(b).unionByName(c)
+    d = q_dsir_sample(spark, sf_dir).select(
+        F.lit("dsir").alias("variant"), "doc_id", "lang", null_epoch,
+        F.col("dsir_score").alias("score"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 ORACLE_CONTENT_SAMPLE = (
     _wrap_variant(
         "flat",
-        f"SELECT *, CAST(NULL AS BIGINT) AS epoch FROM ({ORACLE_HASH_SAMPLE})",
+        "SELECT *, CAST(NULL AS BIGINT) AS epoch, CAST(NULL AS DOUBLE) AS score "
+        f"FROM ({ORACLE_HASH_SAMPLE})",
     )
     + "\nUNION ALL\n"
     + _wrap_variant(
         "stratified",
-        "SELECT *, CAST(NULL AS BIGINT) AS epoch FROM "
-        f"({ORACLE_STRATIFIED_SAMPLE})",
+        "SELECT *, CAST(NULL AS BIGINT) AS epoch, CAST(NULL AS DOUBLE) AS score "
+        f"FROM ({ORACLE_STRATIFIED_SAMPLE})",
     )
     + "\nUNION ALL\n"
-    + _wrap_variant("mixture", ORACLE_MIXTURE_EPOCHS)
+    + _wrap_variant(
+        "mixture",
+        "SELECT *, CAST(NULL AS DOUBLE) AS score FROM "
+        f"({ORACLE_MIXTURE_EPOCHS})",
+    )
+    + "\nUNION ALL\n"
+    + _wrap_variant(
+        "dsir",
+        "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS epoch, "
+        f"dsir_score AS score FROM ({ORACLE_DSIR_SAMPLE})",
+    )
 )
 
 
