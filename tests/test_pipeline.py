@@ -384,10 +384,12 @@ def test_curate_mixture_step(spark):
     )
     steps = {s["step"]: s for s in res.report["steps"]}
     assert "mixture" in steps
-    # 20 wiki × 3 + ~50 web; upsampling makes "dropped" negative
+    # 20 wiki × 3 exactly, plus a ~50% web draw; upsampling makes
+    # "dropped" negative
     m = steps["mixture"]
-    assert m["rows_out"] == 60 + (m["rows_out"] - 60)
-    assert 85 <= m["rows_out"] <= 135
+    web_n = res.kept.filter(F.col("lang") == "web").count()
+    assert m["rows_out"] == 60 + web_n
+    assert 25 <= web_n <= 75
     assert m["dropped"] == m["rows_in"] - m["rows_out"]
     assert "epoch" in res.kept.columns
     wiki = res.kept.filter(F.col("lang") == "wiki")

@@ -221,8 +221,12 @@ def dsir_weights(
     buckets; each corpus reduces to add-α-smoothed bucket probabilities
     p̂[b] = (c_b + α)/(T + α·B), and a document's log importance weight
     is Σ_grams (ln p̂_target[b(g)] − ln p̂_raw[b(g)]). Output: one row
-    per input doc — ``(key_col, n_grams bigint, logw double)``; docs
-    with no grams get logw = 0 (ratio 1 under no evidence).
+    per DISTINCT non-NULL key — ``(key_col, n_grams bigint, logw
+    double)``; docs with no grams get logw = 0 (ratio 1 under no
+    evidence). Rows sharing a key are one logical document whose bag is
+    the union of the copies' grams; NULL-key rows contribute grams to
+    the raw model but are not scored (the pipeline's dsir_select step
+    routes them around the operator verbatim).
 
     Scale shape (the lm_perplexity shape): each corpus reduces ONCE to a
     ≤n_buckets-row count table — both broadcast; the scoring pass is one
@@ -251,8 +255,15 @@ def dsir_weights(
     )
     # totals as broadcast one-row aggregates — a driver-side .collect()
     # here would run each reference reduction twice (plan-build job)
-    tt = F.broadcast(ct.agg(F.sum("__ct").alias("__tt")))
-    tr = F.broadcast(cr.agg(F.sum("__cr").alias("__tr")))
+    # coalesce: an empty/gram-less model corpus must behave as total 0
+    # (every bucket at the α floor), exactly as the oracle's
+    # coalesce(sum(c), 0) does — NULL here would NULL every logw
+    tt = F.broadcast(
+        ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+    )
+    tr = F.broadcast(
+        cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"))
+    )
 
     lr = F.log(
         (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
@@ -274,7 +285,9 @@ def dsir_weights(
         )
     )
     return (
-        df.select(F.col(key_col))
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col))
+        .distinct()
         .join(scored.withColumnRenamed("__k", key_col), key_col, "left")
         .select(
             key_col,
@@ -308,7 +321,12 @@ def dsir_resample(
     hard top-k by weight.
 
     Output: the selected input rows + ``dsir_score`` (the ranking key,
-    rounded 6dp). Selection is orderBy(score, key).limit(k) —
+    rounded 6dp). Selection is over k DISTINCT keys (dsir_weights emits
+    one row per distinct non-NULL key); every input row bearing a
+    selected key is returned, so duplicate-key inputs can yield >k rows
+    and NULL-key rows are never selected — the pipeline's dsir_select
+    step routes both cases around the operator explicitly. Selection
+    itself is orderBy(score, key).limit(k) —
     TakeOrdered, a distributed per-partition top-k + driver merge, NOT a
     global sort — and the k selected keys broadcast back onto the corpus
     for the row join."""

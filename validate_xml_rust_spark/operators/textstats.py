@@ -159,12 +159,14 @@ def repetition_stats(
     """
     from validate_xml_rust_spark.functions.texthash import (
         ngram_coverage_udf,
-        token_hashes,
         tokens,
     )
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.lower(F.trim(t)), r"[^a-z0-9]+"), lambda x: F.length(x) > 0)
+    # tokenize ONCE into a plain attribute: the filter-HOF inside
+    # tokens() is interpreted and CollapseProject won't dedupe it, so
+    # referencing tokens(t) from each consumer would run the split 3×
+    words = F.col("__toks")
     n = F.size(words)
     uni = F.when(
         n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
@@ -174,9 +176,12 @@ def repetition_stats(
     dup_lines = F.when(
         nl > 0, F.round(1.0 - F.size(F.array_distinct(lines)) / nl, 6)
     ).otherwise(F.lit(0.0))
-    token_lens = F.transform(tokens(t), lambda x: F.length(x).cast("int"))
-    out = df.withColumn(
-        "__cov", ngram_coverage_udf(token_hashes(t), token_lens)
+    out = df.withColumn("__toks", tokens(t)).withColumn(
+        "__cov",
+        ngram_coverage_udf(
+            F.transform(words, lambda x: F.xxhash64(x)),
+            F.transform(words, lambda x: F.length(x).cast("int")),
+        ),
     )
     out = (
         out.withColumn("unigram_rep", uni)
@@ -187,7 +192,7 @@ def repetition_stats(
         .withColumn("top4_char_frac", F.round(F.col("__cov.top4"), 6))
         .withColumn("dup5_char_frac", F.round(F.col("__cov.dup5"), 6))
         .withColumn("dup10_char_frac", F.round(F.col("__cov.dup10"), 6))
-        .drop("__cov")
+        .drop("__cov", "__toks")
     )
     return out.withColumn(
         "rep_ngram_pass",
