@@ -368,6 +368,29 @@ def main() -> None:
         )
     )
 
+    # DSIR importance selection at pages scale: both bucket models are
+    # bounded (target = deterministic ~2% de sample; raw estimated on a
+    # 5% hash sample — the documented scale path) and broadcast; scoring
+    # is one narrow gram explode + two BroadcastHashJoins + groupBy(url);
+    # selection is TakeOrdered top-100k, not a global sort
+    from validate_xml_rust_spark.operators.curation import dsir_resample
+
+    _ds_target = pg.filter(
+        (F.col("lang") == "de") & (F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+    ).select("text")
+
+    def _run_dsir() -> None:
+        _force(
+            dsir_resample(
+                pg.select("url", "text"), _ds_target, k=100_000,
+                key_col="url", raw_sample_rate=0.05,
+            )
+        )
+
+    _run_dsir()  # Arrow/codegen warmup
+    _sweep()
+    timings["dsir_select_pages"] = _time(_run_dsir)
+
     # declarative one-pass at pages scale: ONE spec carrying row checks +
     # two table-scope kinds (salted uniqueness on url, host-quality
     # keep/drop), executed through orchestrate.validate_full — the
