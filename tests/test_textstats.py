@@ -225,3 +225,29 @@ def test_repetition_ngram_coverage_overlap_counts_once(spark):
     # every position inside a duplicated 5-gram → exactly 1.0, not 6×5/10
     assert r["dup5_char_frac"] == 1.0
     assert r["rep_ngram_pass"] is False
+
+
+def test_repetition_line_para_char_fractions(spark):
+    from validate_xml_rust_spark.operators.textstats import repetition_stats
+
+    d = _d(
+        spark,
+        [
+            # lines: "dup"x2 + "unique-longer" → char frac 6/19;
+            # one paragraph (no blank line) → para signals 0
+            (0, "dup\nunique-longer\ndup"),
+            # paragraphs: "same para"x2 + "other" → dup_para_frac 1/3,
+            # char frac 18/23; each para is one line so lines dup too
+            (1, "same para\n\nother\n\nsame para"),
+            (2, None),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert rows[0]["dup_line_char_frac"] == round(6 / 19, 6)
+    assert rows[0]["dup_para_frac"] == 0.0
+    assert rows[0]["dup_para_char_frac"] == 0.0
+    assert rows[1]["dup_para_frac"] == round(1 - 2 / 3, 6)
+    assert rows[1]["dup_para_char_frac"] == round(18 / 23, 6)
+    assert rows[1]["rep_dup_pass"] is False
+    assert rows[2]["dup_line_char_frac"] == 0.0
+    assert rows[2]["rep_dup_pass"] is True

@@ -299,14 +299,37 @@ NGRAM_COVERAGE_STRUCT = (
     + ",".join(f"top{n}:double" for n in NGRAM_COVERAGE_TOP_NS)
     + ","
     + ",".join(f"dup{n}:double" for n in NGRAM_COVERAGE_DUP_NS)
-    + ">"
+    + ",dup_line_char:double,dup_para_char:double>"
 )
 
 
-def ngram_coverage_udf(token_hashes_col: Column, token_lens_col: Column) -> Column:
-    """Gopher n-gram character-coverage repetition signals (Rae et al.
-    2021, Appendix A1.1) in ONE Arrow hop over precomputed token hashes
-    + token char lengths:
+def _dup_char_frac(hashes, lens) -> float:
+    """Σ len over ALL occurrences of values appearing >1 time ÷ Σ len
+    (the Gopher duplicate-line/paragraph CHARACTER fraction)."""
+    if hashes is None or len(hashes) == 0:
+        return 0.0
+    lv = np.asarray(lens, dtype=np.int64)
+    total = lv.sum()
+    if total <= 0:
+        return 0.0
+    _, inv, cnt = np.unique(
+        np.asarray(hashes, dtype=np.int64), return_inverse=True,
+        return_counts=True,
+    )
+    return float(lv[cnt[inv] > 1].sum() / total)
+
+
+def ngram_coverage_udf(
+    token_hashes_col: Column,
+    token_lens_col: Column,
+    line_hashes_col: Column,
+    line_lens_col: Column,
+    para_hashes_col: Column,
+    para_lens_col: Column,
+) -> Column:
+    """The Gopher repetition character-coverage signal set (Rae et al.
+    2021, Appendix A1.1) in ONE Arrow hop over precomputed hash + char
+    length arrays (tokens, non-empty lines, non-blank paragraphs):
 
     - ``top{n}`` (n ∈ 2,3,4) — fraction of content characters covered by
       the most frequent word n-gram: max-count gram (char-weight breaks
@@ -316,27 +339,42 @@ def ngram_coverage_udf(token_hashes_col: Column, token_lens_col: Column) -> Colu
       duplicated n-gram: token positions covered by ≥1 occurrence of a
       gram appearing >1 time (start/stop edge histogram + cumsum, each
       position counted once), char-weighted.
+    - ``dup_line_char`` / ``dup_para_char`` — fraction of line/paragraph
+      characters on ALL occurrences of a line/paragraph value appearing
+      >1 time (every occurrence counts — Gopher's "characters within
+      duplicate lines/paragraphs").
     - ``bigram_rep`` — 1 − distinct/total positional bigrams (the
       pre-existing signal, folded in so the suite keeps one Python hop).
 
-    "Content characters" = Σ len(token) — separators excluded on both
-    engines, so the DuckDB oracle restates the exact same arithmetic
-    over gram STRINGS (hash-domain vs string-domain equivalence, as in
-    the Jaccard oracles). Values are raw doubles; callers round."""
+    "Content characters" = Σ len(unit) over the respective unit array —
+    separators excluded on both engines, so the DuckDB oracle restates
+    the exact same arithmetic over gram/line/paragraph STRINGS
+    (hash-domain vs string-domain equivalence, as in the Jaccard
+    oracles). Values are raw doubles; callers round."""
     ns = sorted({2, *NGRAM_COVERAGE_TOP_NS, *NGRAM_COVERAGE_DUP_NS})
     mults = {n: _window_multipliers(n) for n in ns}
     top_ns, dup_ns = NGRAM_COVERAGE_TOP_NS, NGRAM_COVERAGE_DUP_NS
 
     @F.pandas_udf(NGRAM_COVERAGE_STRUCT)
-    def cov(hashes: pd.Series, lens: pd.Series) -> pd.DataFrame:
+    def cov(
+        hashes: pd.Series, lens: pd.Series,
+        lhashes: pd.Series, llens: pd.Series,
+        phashes: pd.Series, plens: pd.Series,
+    ) -> pd.DataFrame:
         m = len(hashes)
         cols: dict[str, np.ndarray] = {
             "bigram_rep": np.zeros(m),
             **{f"top{n}": np.zeros(m) for n in top_ns},
             **{f"dup{n}": np.zeros(m) for n in dup_ns},
+            "dup_line_char": np.zeros(m),
+            "dup_para_char": np.zeros(m),
         }
         with np.errstate(over="ignore"):
-            for i, (h, ln) in enumerate(zip(hashes, lens)):
+            for i, (h, ln, lh, ll, ph, pl) in enumerate(
+                zip(hashes, lens, lhashes, llens, phashes, plens)
+            ):
+                cols["dup_line_char"][i] = _dup_char_frac(lh, ll)
+                cols["dup_para_char"][i] = _dup_char_frac(ph, pl)
                 if h is None or len(h) == 0:
                     continue
                 lv = np.asarray(ln, dtype=np.int64)
@@ -374,7 +412,11 @@ def ngram_coverage_udf(token_hashes_col: Column, token_lens_col: Column) -> Colu
                             cols[f"dup{n}"][i] = lv[covered].sum() / total
         return pd.DataFrame(cols)
 
-    return cov(token_hashes_col, token_lens_col)
+    return cov(
+        token_hashes_col, token_lens_col,
+        line_hashes_col, line_lens_col,
+        para_hashes_col, para_lens_col,
+    )
 
 
 def minhash_signature_from_text(text: Column, k: int = 3, num_perm: int = 32) -> Column:

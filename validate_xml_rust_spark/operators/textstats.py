@@ -137,25 +137,32 @@ def repetition_stats(
       (1 − distinct/total; pure expressions, codegen),
     - ``bigram_rep``  — fraction of duplicated word bigrams (Arrow numpy
       over positional gram hashes — texthash.ngram_coverage_udf),
-    - ``dup_line_frac`` — fraction of duplicated non-empty lines
-      (Gopher's duplicate-line signal; array_remove + array_distinct,
-      both codegen'd — no lambda HOF),
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of duplicated
+      non-empty lines / non-blank paragraphs (array_remove/filter +
+      array_distinct over a materialized split, codegen'd),
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      line/paragraph characters on occurrences of duplicated values
+      (Gopher's character-fraction variants),
     - ``top{2,3,4}_char_frac`` — fraction of content characters covered
       by the most frequent word n-gram (Gopher "most common n-gram"
       rules; 0 when nothing repeats),
     - ``dup{5,10}_char_frac`` — fraction of content characters inside
       duplicated n-grams, each position counted once (Gopher "duplicate
       n-gram" rules at the two threshold extremes),
-    - ``rep_ngram_pass`` — the published Gopher thresholds over those
-      five (top2 ≤ .20, top3 ≤ .18, top4 ≤ .16, dup5 ≤ .15, dup10 ≤ .10),
+    - ``rep_ngram_pass`` — the published Gopher n-gram thresholds
+      (top2 ≤ .20, top3 ≤ .18, top4 ≤ .16, dup5 ≤ .15, dup10 ≤ .10),
+    - ``rep_dup_pass`` — the published Gopher line/paragraph thresholds
+      (dup line/para frac ≤ .30, dup line/para char frac ≤ .20); the
+      full Gopher repetition verdict is rep_ngram_pass AND rep_dup_pass,
     - ``repetitive``  — unigram or bigram ratio above ``flag_threshold``
-      (the boilerplate/spam drop signal; dup_line_frac is reported but
-      deliberately not folded into the flag — line-level policy belongs
-      to the corpus-level boilerplate operator).
+      (the boilerplate/spam drop signal; the line/para signals are
+      reported but deliberately not folded into the flag — line-level
+      POLICY belongs to the corpus-level boilerplate operator).
 
-    The five coverage fractions + bigram_rep share ONE Arrow hop
-    (texthash.ngram_coverage_udf) over JVM-computed token hashes and
-    token char lengths; everything else is codegen'd expressions.
+    The char-coverage fractions + bigram_rep share ONE Arrow hop
+    (texthash.ngram_coverage_udf) over JVM-computed hash/length arrays
+    of tokens, lines, and paragraphs — each split materialized once;
+    everything else is codegen'd expressions.
     """
     from validate_xml_rust_spark.functions.texthash import (
         ngram_coverage_udf,
@@ -171,40 +178,79 @@ def repetition_stats(
     uni = F.when(
         n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
     ).otherwise(F.lit(0.0))
-    lines = F.array_remove(F.split(t, "\n"), "")
+    lines = F.col("__lines")
     nl = F.size(lines)
     dup_lines = F.when(
         nl > 0, F.round(1.0 - F.size(F.array_distinct(lines)) / nl, 6)
     ).otherwise(F.lit(0.0))
-    out = df.withColumn("__toks", tokens(t)).withColumn(
-        "__cov",
-        ngram_coverage_udf(
-            F.transform(words, lambda x: F.xxhash64(x)),
-            F.transform(words, lambda x: F.length(x).cast("int")),
-        ),
+    paras = F.col("__paras")
+    npar = F.size(paras)
+    dup_paras = F.when(
+        npar > 0, F.round(1.0 - F.size(F.array_distinct(paras)) / npar, 6)
+    ).otherwise(F.lit(0.0))
+
+    def _h(col: Column) -> Column:
+        return F.transform(col, lambda x: F.xxhash64(x))
+
+    def _l(col: Column) -> Column:
+        return F.transform(col, lambda x: F.length(x).cast("int"))
+
+    out = (
+        df.withColumn("__toks", tokens(t))
+        .withColumn("__lines", F.array_remove(F.split(t, "\n"), ""))
+        .withColumn(
+            "__paras",
+            F.filter(
+                F.split(t, r"\n{2,}"), lambda x: F.length(F.trim(x)) > 0
+            ),
+        )
+        .withColumn(
+            "__cov",
+            ngram_coverage_udf(
+                _h(words), _l(words), _h(lines), _l(lines),
+                _h(paras), _l(paras),
+            ),
+        )
     )
     out = (
         out.withColumn("unigram_rep", uni)
         .withColumn("bigram_rep", F.round(F.col("__cov.bigram_rep"), 6))
         .withColumn("dup_line_frac", dup_lines)
+        .withColumn("dup_para_frac", dup_paras)
+        .withColumn(
+            "dup_line_char_frac", F.round(F.col("__cov.dup_line_char"), 6)
+        )
+        .withColumn(
+            "dup_para_char_frac", F.round(F.col("__cov.dup_para_char"), 6)
+        )
         .withColumn("top2_char_frac", F.round(F.col("__cov.top2"), 6))
         .withColumn("top3_char_frac", F.round(F.col("__cov.top3"), 6))
         .withColumn("top4_char_frac", F.round(F.col("__cov.top4"), 6))
         .withColumn("dup5_char_frac", F.round(F.col("__cov.dup5"), 6))
         .withColumn("dup10_char_frac", F.round(F.col("__cov.dup10"), 6))
-        .drop("__cov", "__toks")
+        .drop("__cov", "__toks", "__lines", "__paras")
     )
-    return out.withColumn(
-        "rep_ngram_pass",
-        (F.col("top2_char_frac") <= 0.20)
-        & (F.col("top3_char_frac") <= 0.18)
-        & (F.col("top4_char_frac") <= 0.16)
-        & (F.col("dup5_char_frac") <= 0.15)
-        & (F.col("dup10_char_frac") <= 0.10),
-    ).withColumn(
-        "repetitive",
-        (F.col("unigram_rep") > flag_threshold)
-        | (F.col("bigram_rep") > flag_threshold),
+    return (
+        out.withColumn(
+            "rep_ngram_pass",
+            (F.col("top2_char_frac") <= 0.20)
+            & (F.col("top3_char_frac") <= 0.18)
+            & (F.col("top4_char_frac") <= 0.16)
+            & (F.col("dup5_char_frac") <= 0.15)
+            & (F.col("dup10_char_frac") <= 0.10),
+        )
+        .withColumn(
+            "rep_dup_pass",
+            (F.col("dup_line_frac") <= 0.30)
+            & (F.col("dup_para_frac") <= 0.30)
+            & (F.col("dup_line_char_frac") <= 0.20)
+            & (F.col("dup_para_char_frac") <= 0.20),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("unigram_rep") > flag_threshold)
+            | (F.col("bigram_rep") > flag_threshold),
+        )
     )
 
 

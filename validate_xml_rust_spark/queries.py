@@ -2186,9 +2186,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs).select(
         "doc_id", "unigram_rep", "bigram_rep", "dup_line_frac",
+        "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac",
         "top2_char_frac", "top3_char_frac", "top4_char_frac",
         "dup5_char_frac", "dup10_char_frac", "rep_ngram_pass",
-        "repetitive",
+        "rep_dup_pass", "repetitive",
     )
 
 
@@ -2244,7 +2245,26 @@ ln AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(coalesce(text,''), '\n'),
                      x -> x <> '') AS lns
-  FROM documents),"""
+  FROM documents),
+pr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\n{2,}'),
+                     x -> trim(x) <> '') AS ps
+  FROM documents),
+lstat AS (
+  SELECT doc_id,
+         coalesce(sum(c * length(l)), 0) AS tot,
+         coalesce(sum(CASE WHEN c > 1 THEN c * length(l) END), 0) AS dup
+  FROM (SELECT doc_id, l, count(*) AS c
+        FROM (SELECT doc_id, unnest(lns) AS l FROM ln) GROUP BY doc_id, l)
+  GROUP BY doc_id),
+pstat AS (
+  SELECT doc_id,
+         coalesce(sum(c * length(p)), 0) AS tot,
+         coalesce(sum(CASE WHEN c > 1 THEN c * length(p) END), 0) AS dup
+  FROM (SELECT doc_id, p, count(*) AS c
+        FROM (SELECT doc_id, unnest(ps) AS p FROM pr) GROUP BY doc_id, p)
+  GROUP BY doc_id),"""
     + ",".join(_oracle_gram_cte(n) for n in (2, 3, 4, 5, 10))
     + r""",
 r AS (
@@ -2255,21 +2275,33 @@ r AS (
               ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) END AS bigram_rep,
          CASE WHEN len(lns) = 0 THEN 0.0
               ELSE round(1 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 6) END AS dup_line_frac,
+         CASE WHEN len(ps) = 0 THEN 0.0
+              ELSE round(1 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps), 6) END AS dup_para_frac,
+         CASE WHEN coalesce(lstat.tot, 0) = 0 THEN 0.0
+              ELSE round(CAST(lstat.dup AS DOUBLE) / lstat.tot, 6) END AS dup_line_char_frac,
+         CASE WHEN coalesce(pstat.tot, 0) = 0 THEN 0.0
+              ELSE round(CAST(pstat.dup AS DOUBLE) / pstat.tot, 6) END AS dup_para_char_frac,
          CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(top2.chars, 0) AS DOUBLE) / tchars, 6) END AS top2_char_frac,
          CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(top3.chars, 0) AS DOUBLE) / tchars, 6) END AS top3_char_frac,
          CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(top4.chars, 0) AS DOUBLE) / tchars, 6) END AS top4_char_frac,
          CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(cc5.chars, 0) AS DOUBLE) / tchars, 6) END AS dup5_char_frac,
          CASE WHEN tchars = 0 THEN 0.0 ELSE round(CAST(coalesce(cc10.chars, 0) AS DOUBLE) / tchars, 6) END AS dup10_char_frac
   FROM g JOIN ln USING (doc_id) JOIN tc USING (doc_id)
+  JOIN pr USING (doc_id)
+  LEFT JOIN lstat USING (doc_id) LEFT JOIN pstat USING (doc_id)
   LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
   LEFT JOIN top4 USING (doc_id) LEFT JOIN cc5 USING (doc_id)
   LEFT JOIN cc10 USING (doc_id))
 SELECT doc_id, unigram_rep, bigram_rep, dup_line_frac,
+       dup_para_frac, dup_line_char_frac, dup_para_char_frac,
        top2_char_frac, top3_char_frac, top4_char_frac,
        dup5_char_frac, dup10_char_frac,
        (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
         AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
         AND dup10_char_frac <= 0.10) AS rep_ngram_pass,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20)
+       AS rep_dup_pass,
        (unigram_rep > 0.2 OR bigram_rep > 0.2) AS repetitive
 FROM r
 """
@@ -3187,8 +3219,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_METRICS = f"""
 SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
        q.quality, r.unigram_rep, r.bigram_rep, r.dup_line_frac,
+       r.dup_para_frac, r.dup_line_char_frac, r.dup_para_char_frac,
        r.top2_char_frac, r.top3_char_frac, r.top4_char_frac,
-       r.dup5_char_frac, r.dup10_char_frac, r.rep_ngram_pass, r.repetitive,
+       r.dup5_char_frac, r.dup10_char_frac, r.rep_ngram_pass,
+       r.rep_dup_pass, r.repetitive,
        l.n_bigrams, l.log_ppl,
        g.g_n_words, g.g_mean_wl, g.g_symbol_ratio, g.g_bullet_frac,
        g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass
