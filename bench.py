@@ -354,6 +354,14 @@ def main() -> None:
         lambda: _force(gopher_rules(pg, min_words=10))
     )
 
+    # C4 rule pack at pages scale: line split materialized once, one
+    # filter pass + page flags, text rebuilt — zero shuffle, zero Python
+    from validate_xml_rust_spark.operators.textstats import c4_rules
+
+    timings["c4_rules_pages"] = _time(
+        lambda: _force(c4_rules(pg, min_lines=2))
+    )
+
     # weighted mixture composition at pages scale: when-chain factor
     # lookup + md5 ticket + explode (epochs) — narrow, zero shuffle
     from validate_xml_rust_spark.operators.curation import mixture_epochs

@@ -421,3 +421,20 @@ def test_curate_dsir_select_step(spark):
     # the German target rows dominate the selection
     kept_langs = [r["lang"] for r in res.kept.filter(F.col("doc_id").isNotNull()).collect()]
     assert kept_langs.count("de") >= 6
+
+
+def test_curate_c4_clean_step(spark):
+    keep = "\n".join(
+        [f"Good sentence number {i} with plenty of words." for i in range(4)]
+        + ["bad line"]
+    )
+    docs = spark.createDataFrame(
+        [(0, keep), (1, "Lorem ipsum { short.")],
+        "doc_id long, text string",
+    )
+    res = curate(docs, spark, near_dup_threshold=None, c4_min_lines=3)
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert steps["c4_clean"]["rows_out"] == 1
+    assert set(res.kept.columns) == {"doc_id", "text"}
+    txt = res.kept.collect()[0]["text"]
+    assert "bad line" not in txt and txt.count("\n") == 3

@@ -251,3 +251,37 @@ def test_repetition_line_para_char_fractions(spark):
     assert rows[1]["rep_dup_pass"] is False
     assert rows[2]["dup_line_char_frac"] == 0.0
     assert rows[2]["rep_dup_pass"] is True
+
+
+def test_c4_rules_line_and_page_gates(spark):
+    from validate_xml_rust_spark.operators.textstats import c4_rules
+
+    good = "\n".join(
+        [
+            "This is a proper sentence with enough words.",  # kept
+            "short line.",                        # <5 words → dropped
+            "No terminal punctuation here at all",  # no punct → dropped
+            'He said "stop right there and wait."',  # kept
+            "Enable javascript to view this page.",  # javascript → dropped
+            "Another good sentence rounds this out!",  # kept
+        ]
+    )
+    d = _d(
+        spark,
+        [
+            (0, good),
+            (1, "Lorem Ipsum dolor sit amet filler text."),
+            (2, "function f() { return 1; } is code with words."),
+            (3, "One good sentence is not enough lines."),
+            (4, None),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in c4_rules(d).collect()}
+    assert rows[0]["c4_lines_total"] == 6 and rows[0]["c4_lines_kept"] == 3
+    assert rows[0]["c4_pass"] is True
+    assert rows[0]["c4_text"].count("\n") == 2
+    assert "javascript" not in rows[0]["c4_text"].lower()
+    assert rows[1]["c4_has_lorem"] is True and rows[1]["c4_pass"] is False
+    assert rows[2]["c4_has_brace"] is True and rows[2]["c4_pass"] is False
+    assert rows[3]["c4_lines_kept"] == 1 and rows[3]["c4_pass"] is False
+    assert rows[4]["c4_text"] == "" and rows[4]["c4_pass"] is False

@@ -408,3 +408,31 @@ def test_gopher_constraint_kind(spark):
     # NULL text passes — not_null owns null-ness
     nul = _verdict(spark, ("https://a/3", None, b"x", None, "en"), reg)
     assert nul["status"] == "valid"
+
+
+def test_c4_constraint_kind(spark):
+    good_text = "\n".join(
+        ["This line has five good words."] * 3
+    )
+    spec = Spec(
+        "c4-v1",
+        (Constraint("text_c4", "text", "c4", {"min_lines": 2}),),
+    )
+    reg = SpecRegistry().add(spec, route_keys=["en"])
+    ok = _verdict(spark, ("https://a/1", None, b"x", good_text, "en"), reg)
+    assert ok["status"] == "valid"
+    res = validate(
+        _rows(
+            spark,
+            [("https://a/2", None, b"x", "lorem ipsum { no punct", "en")],
+        ),
+        spark, reg,
+    )
+    assert res.verdicts.collect()[0]["status"] == "invalid"
+    viol = res.violations().collect()[0]
+    assert "lorem_ipsum" in viol["observed_value"]
+    assert "curly_brace" in viol["observed_value"]
+    assert "too_few_kept_lines" in viol["observed_value"]
+    # NULL text passes — not_null owns null-ness
+    nul = _verdict(spark, ("https://a/3", None, b"x", None, "en"), reg)
+    assert nul["status"] == "valid"

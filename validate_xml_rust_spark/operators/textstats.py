@@ -128,6 +128,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# every column repetition_stats adds — pipeline steps that use it as a
+# pure filter drop exactly this set so signals never leak into the kept
+# schema
+REPETITION_COLUMNS: tuple[str, ...] = (
+    "unigram_rep", "bigram_rep", "dup_line_frac", "dup_para_frac",
+    "dup_line_char_frac", "dup_para_char_frac",
+    "top2_char_frac", "top3_char_frac", "top4_char_frac",
+    "dup5_char_frac", "dup10_char_frac",
+    "rep_ngram_pass", "rep_dup_pass", "repetitive",
+)
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", flag_threshold: float = 0.2
 ) -> DataFrame:
@@ -374,6 +386,77 @@ def lm_perplexity(
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.col("log_ppl").cast("double").alias("log_ppl"),
         )
+    )
+
+
+# every column c4_rules adds (pipeline drop-list; see REPETITION_COLUMNS)
+C4_COLUMNS: tuple[str, ...] = (
+    "c4_text", "c4_lines_total", "c4_lines_kept",
+    "c4_has_lorem", "c4_has_brace", "c4_pass",
+)
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning rule pack (Raffel et al. 2020 §2.2 — the public
+    colossal-clean-crawled-corpus recipe, reused by Dolma/RefinedWeb
+    reproductions), as line-level rewrite + page-level gate:
+
+    line-level (kept lines are rebuilt into ``c4_text``, newline-joined,
+    original order):
+    - keep only lines ending in terminal punctuation (. ! ? ")
+    - keep only lines with ≥ ``min_words_per_line`` whitespace words
+    - drop lines containing the word "javascript" (case-insensitive)
+
+    page-level signals + gate:
+    - ``c4_lines_total`` / ``c4_lines_kept`` — non-empty lines before
+      and after the line rules
+    - ``c4_has_lorem``  — page contains "lorem ipsum" (case-insensitive)
+    - ``c4_has_brace``  — page contains "{" (code marker)
+    - ``c4_pass``       — no lorem/brace and ≥ ``min_lines`` kept lines
+      (the paper's ≥3-sentence rule at line granularity)
+
+    Scale shape: one materialized line split (plain attribute — the HOF
+    lambdas reference elements only), one filter pass with three cheap
+    per-line predicates, page flags as codegen'd contains(); zero
+    shuffle, zero Python. The predicates avoid lookarounds so the
+    DuckDB oracle restates them verbatim under RE2."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.withColumn(
+        "__lines", F.array_remove(F.split(t, "\n"), "")
+    ).withColumn("__kept", c4_kept_lines(F.col("__lines"), min_words_per_line))
+    return (
+        out.withColumn("c4_text", F.array_join(F.col("__kept"), "\n"))
+        .withColumn("c4_lines_total", F.size("__lines").cast("long"))
+        .withColumn("c4_lines_kept", F.size("__kept").cast("long"))
+        .withColumn("c4_has_lorem", F.lower(t).contains("lorem ipsum"))
+        .withColumn("c4_has_brace", t.contains("{"))
+        .withColumn(
+            "c4_pass",
+            ~F.col("c4_has_lorem")
+            & ~F.col("c4_has_brace")
+            & (F.col("c4_lines_kept") >= min_lines),
+        )
+        .drop("__lines", "__kept")
+    )
+
+
+def c4_kept_lines(lines: Column, min_words_per_line: int = 5) -> Column:
+    """The C4 line filter over a non-empty-lines array column: keep
+    lines ending in terminal punctuation, with ≥ min_words words, not
+    mentioning "javascript". ``lines`` should be a plain attribute when
+    the result is consumed more than once (materialize the split
+    first — c4_rules does)."""
+    return F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]\\s*$')
+        & (F.size(F.filter(F.split(x, r"\s+"), lambda w: F.length(w) > 0))
+           >= min_words_per_line)
+        & ~F.lower(x).contains("javascript"),
     )
 
 

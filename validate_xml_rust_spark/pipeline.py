@@ -71,6 +71,7 @@ def curate(
     vec_col: str = "embedding",
     semantic_centroids: int = 16,
     excise_min_run: int | None = None,
+    c4_min_lines: int | None = None,
     max_repetition: float | None = None,
     gopher_min_words: int | None = None,
     lm_ref: DataFrame | None = None,
@@ -263,13 +264,38 @@ def curate(
             cur.join(clean, cur[id_col] == F.col("__kid"), "left_semi"),
         )
 
+    if c4_min_lines is not None:
+        # C4 line-level cleaning (Raffel et al. 2020): rewrite text to
+        # the kept lines and drop pages failing the page gate. Runs
+        # BEFORE the repetition/Gopher/LM judges so they score the
+        # cleaned text. Pure codegen filter+rewrite, zero shuffle; the
+        # text column is REPLACED (docs failing the page gate — which
+        # includes every NULL/empty text — are dropped, so no NULL
+        # passthrough contract applies).
+        from validate_xml_rust_spark.operators.textstats import (
+            C4_COLUMNS,
+            c4_rules,
+        )
+
+        cur = log(
+            "c4_clean",
+            c4_rules(cur, text_col, min_lines=c4_min_lines)
+            .filter(F.col("c4_pass"))
+            .withColumn(text_col, F.col("c4_text"))
+            .drop(*C4_COLUMNS),
+        )
+
     if max_repetition is not None:
-        from validate_xml_rust_spark.operators.textstats import repetition_stats
+        from validate_xml_rust_spark.operators.textstats import (
+            REPETITION_COLUMNS,
+            repetition_stats,
+        )
 
         rep = repetition_stats(cur, text_col, flag_threshold=max_repetition)
-        cur = log("repetition_filter", rep.filter(~F.col("repetitive")).drop(
-            "unigram_rep", "bigram_rep", "repetitive"
-        ))
+        cur = log(
+            "repetition_filter",
+            rep.filter(~F.col("repetitive")).drop(*REPETITION_COLUMNS),
+        )
 
     if gopher_min_words is not None:
         # Gopher rule-pack quality filter (Rae et al. 2021 A1.1): pure

@@ -3199,20 +3199,63 @@ FROM gs
 """
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rule pack (textstats.c4_rules, Raffel et al. 2020):
+    line-level terminal-punctuation / ≥5-word / javascript filters with
+    rebuilt text, page-level lorem-ipsum / curly-brace / ≥3-kept-lines
+    gate. The rebuilt text gates through the source_plumbing suite
+    (payload variant); the signals here."""
+    from validate_xml_rust_spark.operators.textstats import c4_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_rules(docs).select(
+        "doc_id", "c4_text", "c4_lines_total", "c4_lines_kept",
+        "c4_has_lorem", "c4_has_brace", "c4_pass",
+    )
+
+
+ORACLE_C4_RULES = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\n'),
+                     x -> x <> '') AS lns,
+         lower(coalesce(text,'')) AS lt, coalesce(text,'') AS t
+  FROM documents),
+k AS (
+  SELECT doc_id, lns, lt, t,
+         list_filter(lns, x ->
+           regexp_matches(x, '[.!?"]\s*$')
+           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+       CAST(len(lns) AS BIGINT) AS c4_lines_total,
+       CAST(len(kept) AS BIGINT) AS c4_lines_kept,
+       contains(lt, 'lorem ipsum') AS c4_has_lorem,
+       contains(t, '{') AS c4_has_brace,
+       (NOT contains(lt, 'lorem ipsum') AND NOT contains(t, '{')
+        AND len(kept) >= 3) AS c4_pass
+FROM k
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one row (F2/quality/Gopher-repetition
-    /CCNet): token counts ⋈ heuristic quality components ⋈ repetition
-    ratios ⋈ bigram-LM perplexity ⋈ Gopher rule-pack signals on doc_id.
-    Each sub-operator keeps its own Arrow/expression path; the oracle
-    joins five independent SQL restatements."""
+    /CCNet/C4): token counts ⋈ heuristic quality components ⋈ repetition
+    ratios ⋈ bigram-LM perplexity ⋈ Gopher rule-pack ⋈ C4 rule-pack
+    signals on doc_id. Each sub-operator keeps its own Arrow/expression
+    path; the oracle joins six independent SQL restatements."""
     tok = q_token_stats(spark, sf_dir)
     qual = q_quality_scores(spark, sf_dir)
     rep = q_repetition_stats(spark, sf_dir)
     lm = q_lm_perplexity(spark, sf_dir)
     gopher = q_gopher_rules(spark, sf_dir)
+    c4 = q_c4_rules(spark, sf_dir).drop("c4_text")
     return (
         tok.join(qual, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
-        .join(gopher, "doc_id")
+        .join(gopher, "doc_id").join(c4, "doc_id")
     )
 
 
@@ -3225,12 +3268,17 @@ SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
        r.rep_dup_pass, r.repetitive,
        l.n_bigrams, l.log_ppl,
        g.g_n_words, g.g_mean_wl, g.g_symbol_ratio, g.g_bullet_frac,
-       g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass
+       g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass,
+       c.c4_lines_total, c.c4_lines_kept, c.c4_has_lorem, c.c4_has_brace,
+       c.c4_pass
 FROM ({ORACLE_TOKEN_STATS}) t
 JOIN ({ORACLE_QUALITY_SCORES}) q USING (doc_id)
 JOIN ({ORACLE_REPETITION_STATS}) r USING (doc_id)
 JOIN ({ORACLE_LM_PERPLEXITY}) l USING (doc_id)
 JOIN ({ORACLE_GOPHER_RULES}) g USING (doc_id)
+JOIN (SELECT doc_id, c4_lines_total, c4_lines_kept, c4_has_lorem,
+             c4_has_brace, c4_pass FROM ({ORACLE_C4_RULES}) c0) c
+USING (doc_id)
 """
 
 
@@ -3391,8 +3439,8 @@ FROM ({ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR}) r
 
 def q_source_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-discovery predicates (S2-S4) + byte-identical text
-    extraction (north-rule invariant), harmonized to
-    (variant, doc_id, payload)."""
+    extraction (north-rule invariant) + the C4 line-rule text rebuild,
+    harmonized to (variant, doc_id, payload)."""
     scan = q_scan_url_filters(spark, sf_dir).select(
         F.lit("scan").alias("variant"), "doc_id", F.col("url").alias("payload")
     )
@@ -3400,7 +3448,11 @@ def q_source_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("extract").alias("variant"), "doc_id",
         F.col("extracted").alias("payload"),
     )
-    return scan.unionByName(rt)
+    c4 = q_c4_rules(spark, sf_dir).select(
+        F.lit("c4").alias("variant"), "doc_id",
+        F.col("c4_text").alias("payload"),
+    )
+    return scan.unionByName(rt).unionByName(c4)
 
 
 ORACLE_SOURCE_PLUMBING = f"""
@@ -3409,6 +3461,9 @@ FROM ({ORACLE_SCAN_URL_FILTERS}) s
 UNION ALL
 SELECT 'extract', doc_id, extracted
 FROM ({ORACLE_EXTRACT_TEXT_ROUNDTRIP}) e
+UNION ALL
+SELECT 'c4', doc_id, c4_text
+FROM ({ORACLE_C4_RULES}) c
 """
 
 

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 ROW_KINDS = frozenset(
     {"not_null", "regex", "range", "isin", "length", "utf8", "expr",
-     "pandas_check", "repetition", "gopher"}
+     "pandas_check", "repetition", "gopher", "c4"}
 )
 TABLE_KINDS = frozenset(
     {"unique", "referential", "drift", "contamination", "near_dup", "fd",
@@ -235,6 +235,33 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
         )
         obs = F.concat_ws(",", failed_rules)
         msg = f"{c.column} fails the Gopher quality rule pack"
+        return CompiledCheck(c.constraint_id, c.column, c.severity, fail, obs, msg)
+    elif c.kind == "c4":
+        # C4 page gate (Raffel et al. 2020 §2.2) as a declarative row
+        # constraint: fail pages containing "lorem ipsum" / "{" or with
+        # fewer than min_lines lines surviving the C4 line filter.
+        # Observed value names the failing rules. NULL text passes
+        # (not_null owns null-ness).
+        from validate_xml_rust_spark.operators.textstats import c4_kept_lines
+
+        t = F.coalesce(col, F.lit(""))
+        min_wpl = int(p.get("min_words_per_line", 5))
+        min_lines = int(p.get("min_lines", 3))
+        kept_n = F.size(
+            c4_kept_lines(F.array_remove(F.split(t, "\n"), ""), min_wpl)
+        )
+        has_lorem = F.lower(t).contains("lorem ipsum")
+        has_brace = t.contains("{")
+        fail = col.isNotNull() & (
+            has_lorem | has_brace | (kept_n < min_lines)
+        )
+        failed_rules = F.array(
+            F.when(has_lorem, F.lit("lorem_ipsum")),
+            F.when(has_brace, F.lit("curly_brace")),
+            F.when(kept_n < min_lines, F.lit("too_few_kept_lines")),
+        )
+        obs = F.concat_ws(",", failed_rules)
+        msg = f"{c.column} fails the C4 page gate"
         return CompiledCheck(c.constraint_id, c.column, c.severity, fail, obs, msg)
     elif c.kind == "pandas_check":
         # Arrow-batched named validator (functions/pandas_checks.py) — the
