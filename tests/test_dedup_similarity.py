@@ -776,3 +776,25 @@ def test_tune_lsh_params_drives_near_dedup(spark):
         threshold=0.6, num_perm=32, bands=p["bands"],
     )
     assert 0 < out.count() < 300
+
+
+def test_dedup_weights_soft_groups(spark):
+    from validate_xml_rust_spark.operators.dedup import dedup_weights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same  text here"),      # normalizes equal to 1
+            (1, "same text here"),
+            (2, "unique content one"),
+            (3, None),                   # NULL text: never a duplicate
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_weights(docs).collect()}
+    assert got[0]["n_copies"] == 2 and got[0]["weight"] == 0.5
+    assert got[1]["fp"] == got[0]["fp"]
+    assert got[2]["n_copies"] == 1 and got[2]["weight"] == 1.0
+    for i in (3, 4):
+        assert got[i]["n_copies"] == 1 and got[i]["weight"] == 1.0
+        assert got[i]["fp"] is None

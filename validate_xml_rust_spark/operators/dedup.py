@@ -98,6 +98,38 @@ def exact_dedup(
     return fp.join(keep, fcol, "left").filter(survive).drop(*drop_cols)
 
 
+def dedup_weights(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft dedup — downweight, don't drop (the loss-weighting
+    alternative to hard removal used by public LM-data ablations):
+    every row gets its exact-content group size and ``weight`` =
+    1/n_copies, so a training run sees one EFFECTIVE copy of each
+    duplicated document without the pipeline having to choose a keeper.
+    Output: ``(id_col, fp, n_copies bigint, weight double)``.
+
+    NULL text ⇒ NULL fingerprint: such rows are not duplicates of each
+    other (same rule as exact_dedup) — they get n_copies 1, weight 1.
+
+    Scale shape: one shuffle on the uniform md5 fingerprint key for the
+    group count; the join back is on the same key, so the count and the
+    join co-partition (no second corpus-wide repartition). At 10^12
+    docs this is exactly the exact_dedup plan with a count instead of a
+    min."""
+    f = fingerprint(df, text_col).select(
+        id_col, F.col("fingerprint").alias("fp")
+    )
+    c = f.filter(F.col("fp").isNotNull()).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return f.join(c, "fp", "left").select(
+        id_col,
+        "fp",
+        F.coalesce("__n", F.lit(1)).cast("long").alias("n_copies"),
+        F.round(F.lit(1.0) / F.coalesce("__n", F.lit(1)), 6).alias("weight"),
+    )
+
+
 def tune_lsh_params(
     threshold: float,
     num_perm: int = 32,

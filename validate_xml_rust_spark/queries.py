@@ -3004,23 +3004,27 @@ LEFT JOIN spanstats s USING (doc_id)
 
 
 def q_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical content fingerprints (F5) + substring excision: the
-    per-doc md5 fingerprint over the sf documents table, the exact-dup
-    groups over the planted corpus, and the passage-excision output
-    (fp = md5 of the surviving text; n_dup = tokens removed, plus an
-    excise_spans variant carrying the merged-span count), harmonized to
-    (variant, doc_id, fp, n_dup)."""
+    """Canonical content fingerprints (F5) + substring excision + soft
+    dedup: the per-doc md5 fingerprint over the sf documents table, the
+    exact-dup groups over the planted corpus, the passage-excision
+    output (fp = md5 of the surviving text; n_dup = tokens removed,
+    plus an excise_spans variant carrying the merged-span count), and
+    per-doc soft-dedup weights (n_dup = group size, w = 1/n),
+    harmonized to (variant, doc_id, fp, n_dup, w)."""
+    null_w = F.lit(None).cast("double").alias("w")
     fp = q_doc_fingerprints(spark, sf_dir).select(
         F.lit("doc_fp").alias("variant"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("fp_md5").alias("fp"),
         F.lit(None).cast("long").alias("n_dup"),
+        null_w,
     )
     grp = q_exact_dup_groups(spark, sf_dir).select(
         F.lit("dup_group").alias("variant"),
         F.col("keep_id").cast("long").alias("doc_id"),
         F.col("fingerprint").alias("fp"),
         F.col("n_dup").cast("long").alias("n_dup"),
+        null_w,
     )
     exc = q_excise_passages(spark, sf_dir)
     exc_text = exc.select(
@@ -3030,29 +3034,69 @@ def q_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stays NULL) — hash the empty string for those, like the oracle
         F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("fp"),
         F.col("n_tokens_removed").cast("long").alias("n_dup"),
+        null_w,
     )
     exc_spans = exc.filter(F.col("n_spans") > 0).select(
         F.lit("excise_spans").alias("variant"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(None).cast("string").alias("fp"),
         F.col("n_spans").cast("long").alias("n_dup"),
+        null_w,
     )
-    return fp.unionByName(grp).unionByName(exc_text).unionByName(exc_spans)
+    soft = q_dedup_weights(spark, sf_dir).select(
+        F.lit("soft_weight").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fp",
+        F.col("n_copies").alias("n_dup"),
+        F.col("weight").alias("w"),
+    )
+    return (
+        fp.unionByName(grp).unionByName(exc_text).unionByName(exc_spans)
+        .unionByName(soft)
+    )
+
+
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (dedup.dedup_weights): per-doc exact-content group
+    size and 1/n loss weight — the downweight-don't-drop alternative to
+    exact_dedup. The oracle recomputes the md5 groups and weights."""
+    from validate_xml_rust_spark.operators.dedup import dedup_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_weights(docs)
+
+
+ORACLE_DEDUP_WEIGHTS = r"""
+WITH f AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+c AS (SELECT fp, count(*) AS n FROM f WHERE fp IS NOT NULL GROUP BY fp)
+SELECT f.doc_id, f.fp,
+       CAST(coalesce(c.n, 1) AS BIGINT) AS n_copies,
+       round(1.0 / coalesce(c.n, 1), 6) AS weight
+FROM f LEFT JOIN c USING (fp)
+"""
 
 
 ORACLE_FINGERPRINT_SUITE = f"""
 SELECT 'doc_fp' AS variant, CAST(doc_id AS BIGINT) AS doc_id, fp_md5 AS fp,
-       CAST(NULL AS BIGINT) AS n_dup
+       CAST(NULL AS BIGINT) AS n_dup, CAST(NULL AS DOUBLE) AS w
 FROM ({ORACLE_DOC_FINGERPRINTS}) f
 UNION ALL
-SELECT 'dup_group', CAST(keep_id AS BIGINT), fingerprint, CAST(n_dup AS BIGINT)
+SELECT 'dup_group', CAST(keep_id AS BIGINT), fingerprint, CAST(n_dup AS BIGINT),
+       CAST(NULL AS DOUBLE)
 FROM ({ORACLE_EXACT_DUP_GROUPS}) g
 UNION ALL
-SELECT 'excise', CAST(doc_id AS BIGINT), fp, n_removed
+SELECT 'excise', CAST(doc_id AS BIGINT), fp, n_removed, CAST(NULL AS DOUBLE)
 FROM ({ORACLE_EXCISE_PASSAGES}) e
 UNION ALL
-SELECT 'excise_spans', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR), n_spans
+SELECT 'excise_spans', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR), n_spans,
+       CAST(NULL AS DOUBLE)
 FROM ({ORACLE_EXCISE_PASSAGES}) e2 WHERE n_spans > 0
+UNION ALL
+SELECT 'soft_weight', CAST(doc_id AS BIGINT), fp, n_copies,
+       CAST(weight AS DOUBLE)
+FROM ({ORACLE_DEDUP_WEIGHTS}) s
 """
 
 
