@@ -285,3 +285,34 @@ def test_c4_rules_line_and_page_gates(spark):
     assert rows[2]["c4_has_brace"] is True and rows[2]["c4_pass"] is False
     assert rows[3]["c4_lines_kept"] == 1 and rows[3]["c4_pass"] is False
     assert rows[4]["c4_text"] == "" and rows[4]["c4_pass"] is False
+
+
+def test_perplexity_buckets_terciles(spark):
+    from validate_xml_rust_spark.operators.textstats import perplexity_buckets
+
+    ref_text = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (0, "the cat sat on the mat", "en"),       # most reference-like
+        (1, "the dog sat on the rug today", "en"),
+        (2, "zebra xylophone quark entropy", "en"),  # OOV → worst
+        (3, "cat", "en"),                          # <2 tokens → NULL bucket
+        (4, "the cat sat on the mat", "de"),       # own group: sole doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ref = spark.createDataFrame([(ref_text,)], "text string")
+    got = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(docs, ref, group_col="lang").collect()
+    }
+    assert got[0]["ppl_bucket"] == "head"
+    assert got[2]["ppl_bucket"] == "tail"
+    assert got[3]["ppl_bucket"] is None
+    # buckets are per-group: the lone de doc is its own head
+    assert got[4]["ppl_bucket"] == "head"
+    # ungrouped: global terciles still cover head..tail
+    glob = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(docs, ref).collect()
+    }
+    assert glob[3] is None
+    assert {glob[0], glob[2]} == {"head", "tail"}

@@ -460,6 +460,69 @@ def c4_kept_lines(lines: Column, min_words_per_line: int = 5) -> Column:
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    group_col: str | None = None,
+    alpha: float = 0.1,
+    broadcast_ref: bool = True,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
+    §4.3 — the public recipe splits each language's corpus into three
+    equal buckets by LM perplexity; "head" is the most reference-like
+    third, and downstream consumers pick buckets instead of a hard
+    threshold). Scores via ``lm_perplexity``, then buckets each doc
+    against its group's (``group_col``, e.g. language) exact log_ppl
+    terciles: ``ppl_bucket`` ∈ head/middle/tail, NULL for unscorable
+    docs (<2 tokens). Output: ``(id_col[, group_col], n_bigrams,
+    log_ppl, ppl_bucket)``.
+
+    Determinism: cut points are exact interpolating percentiles over
+    the 6dp-rounded scores, themselves rounded 6dp, so bucket
+    membership is reproducible across engines (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). A NULL ``group_col`` row never equi-joins
+    its cuts and lands in 'tail' — give NULL groups a label upstream if
+    they matter.
+
+    Scale shape: scoring is the lm_perplexity plan (broadcast count
+    maps, no corpus shuffle); the cuts are one exact-percentile
+    aggregate per group over 6dp-ROUNDED scores — bounded distinct
+    values per group (≤ ~3·10⁷ for any realistic log_ppl range), so the
+    per-group percentile map stays small even at 10^12 docs; the cut
+    table (n_groups × 2 doubles) broadcasts back."""
+    scores = lm_perplexity(
+        df, ref, id_col=id_col, text_col=text_col,
+        ref_text_col=ref_text_col, alpha=alpha,
+        broadcast_ref=broadcast_ref,
+    )
+    grouping = [group_col] if group_col else []
+    if group_col:
+        scores = scores.join(df.select(id_col, group_col), id_col)
+    cut = scores.groupBy(*grouping).agg(
+        F.round(F.expr(f"percentile(log_ppl, {cuts[0]!r})"), 6).alias("__t1"),
+        F.round(F.expr(f"percentile(log_ppl, {cuts[1]!r})"), 6).alias("__t2"),
+    )
+    joined = (
+        scores.join(F.broadcast(cut), grouping, "left")
+        if grouping
+        else scores.crossJoin(F.broadcast(cut))
+    )
+    bucket = (
+        F.when(F.col("log_ppl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("log_ppl") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("log_ppl") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        id_col, *grouping, "n_bigrams", "log_ppl",
+        bucket.alias("ppl_bucket"),
+    )
+
+
 # Gopher rule-pack stop-word list (Rae et al. 2021, Appendix A1.1 —
 # "contains at least 2 of" these; public recipe, reused by MassiveText /
 # Dolma / RefinedWeb reproductions).

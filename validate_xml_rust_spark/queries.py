@@ -3105,13 +3105,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2019's perplexity bucketing with an add-α bigram LM): train on
     the lang='en' partition, score EVERY document. Lower log_ppl = more
     reference-like; non-English docs score high (the CCNet filtering
-    signal). The oracle retrains the same counts and restates the
-    smoothed mean negative log-likelihood from scratch in SQL."""
-    from validate_xml_rust_spark.operators.textstats import lm_perplexity
+    signal). Each doc additionally gets its CCNet head/middle/tail
+    bucket against its OWN language's exact log_ppl terciles
+    (textstats.perplexity_buckets). The oracle retrains the same
+    counts, restates the smoothed mean negative log-likelihood, and
+    re-derives the per-language quantile_cont cuts + bucket labels from
+    scratch in SQL."""
+    from validate_xml_rust_spark.operators.textstats import perplexity_buckets
 
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("lang") == "en").select("text")
-    return lm_perplexity(docs, ref)
+    return perplexity_buckets(docs, ref, group_col="lang").select(
+        "doc_id", "n_bigrams", "log_ppl", "ppl_bucket"
+    )
 
 
 ORACLE_LM_PERPLEXITY = """
@@ -3129,9 +3135,19 @@ lmsc AS (SELECT lmdb.doc_id, count(*) AS n,
               round(-avg(ln((coalesce(lmrb.c2, 0) + 0.1)
                           / (coalesce(lmru.c1, 0) + 0.1 * lmv.V))), 6) AS log_ppl
        FROM lmdb LEFT JOIN lmrb USING (bg) LEFT JOIN lmru USING (w1), lmv
-       GROUP BY lmdb.doc_id)
-SELECT d.doc_id, CAST(coalesce(lmsc.n, 0) AS BIGINT) AS n_bigrams, lmsc.log_ppl
+       GROUP BY lmdb.doc_id),
+lmct AS (SELECT d.lang,
+              round(quantile_cont(lmsc.log_ppl, 1.0/3.0), 6) AS t1,
+              round(quantile_cont(lmsc.log_ppl, 2.0/3.0), 6) AS t2
+       FROM documents d JOIN lmsc USING (doc_id)
+       WHERE lmsc.log_ppl IS NOT NULL GROUP BY d.lang)
+SELECT d.doc_id, CAST(coalesce(lmsc.n, 0) AS BIGINT) AS n_bigrams, lmsc.log_ppl,
+       CASE WHEN lmsc.log_ppl IS NULL THEN NULL
+            WHEN lmsc.log_ppl <= lmct.t1 THEN 'head'
+            WHEN lmsc.log_ppl <= lmct.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
 FROM documents d LEFT JOIN lmsc USING (doc_id)
+LEFT JOIN lmct ON lmct.lang = d.lang
 """
 
 
@@ -3313,6 +3329,7 @@ SELECT t.*, q.alpha_ratio, q.punct_ratio, q.stopword_ratio, q.mean_word_len,
        l.n_bigrams, l.log_ppl,
        g.g_n_words, g.g_mean_wl, g.g_symbol_ratio, g.g_bullet_frac,
        g.g_ellipsis_frac, g.g_alpha_frac, g.g_stop_hits, g.gopher_pass,
+       l.ppl_bucket,
        c.c4_lines_total, c.c4_lines_kept, c.c4_has_lorem, c.c4_has_brace,
        c.c4_pass
 FROM ({ORACLE_TOKEN_STATS}) t
