@@ -798,3 +798,35 @@ def test_dedup_weights_soft_groups(spark):
     for i in (3, 4):
         assert got[i]["n_copies"] == 1 and got[i]["weight"] == 1.0
         assert got[i]["fp"] is None
+
+
+def test_diversity_sample_caps_dense_clusters(spark):
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.similarity import diversity_sample
+
+    # two well-separated clusters: 60 vectors near (0,0), 5 near (10,10)
+    rows = [
+        (i, [0.0 + (i % 7) * 0.01, 0.0 + (i % 5) * 0.01]) for i in range(60)
+    ] + [(100 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)] + [(200, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    got = diversity_sample(emb, 10, centroids=cents).collect()
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    # sparse cluster keeps everything (rate 1); dense cluster is capped
+    # near the target (rate-based, not an exact quota)
+    assert sorted(by_cluster[1]) == [100, 101, 102, 103, 104]
+    assert 3 <= len(by_cluster[0]) <= 20
+    assert all(v < 60 for v in by_cluster[0])
+    # NULL vector rows are excluded
+    assert 200 not in {r["vec_id"] for r in got}
+    # deterministic across repartitioning
+    again = {
+        r["vec_id"]
+        for r in diversity_sample(
+            emb.repartition(7), 10, centroids=cents
+        ).collect()
+    }
+    assert again == {r["vec_id"] for r in got}

@@ -302,6 +302,66 @@ def ivf_topk_indexed(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def diversity_sample(
+    df: DataFrame,
+    target_per_cluster: int,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: str = "div",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling over an embedding column —
+    the embedding-space analog of stratified_sample (the public
+    density-equalizing selection idea behind SemDeDup-style prototype
+    pruning and DataComp cluster-coverage ablations): cap every k-means
+    cluster's contribution at ~``target_per_cluster`` rows, so dense
+    regions stop dominating the training mix while sparse regions keep
+    full coverage.
+
+    Mechanism: assign each vector to its nearest centroid (Arrow argmin
+    — ``centroids`` is a (k, dim) array, or an ``ivf_train`` model is
+    fit here), count cluster sizes (bounded k-row aggregate), derive a
+    per-cluster keep rate min(1, target/n_c) as a 32-bit ticket
+    threshold floor(target·2³²/n_c), and keep rows whose deterministic
+    md5 ticket falls under their cluster's threshold. Membership is
+    reproducible across runs/partitionings/engines; counts per cluster
+    are ~target (rate-based, not an exact quota — exactness would need
+    a per-cluster sort, a skew-prone Window this deliberately avoids:
+    AQE never splits Window skew).
+
+    Rows with NULL vectors carry no cluster evidence and are excluded —
+    route them around the operator if they should survive. Output: the
+    selected rows + ``cluster_id``.
+
+    Scale shape: assignment is one Arrow pass, the count is a k-row
+    aggregate, the threshold join broadcasts; the keep decision is a
+    stateless per-row predicate. Zero corpus shuffle."""
+    from validate_xml_rust_spark.operators.curation import (
+        TICKET_SPACE,
+        sample_ticket,
+    )
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train(df, vec_col, n_centroids, id_col=id_col)
+    )
+    a = ivf_assign(df.filter(F.col(vec_col).isNotNull()), cents, vec_col)
+    cn = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.least(
+        F.lit(TICKET_SPACE).cast("long"),
+        F.floor(
+            F.lit(float(target_per_cluster) * TICKET_SPACE) / F.col("__n")
+        ).cast("long"),
+    )
+    return (
+        a.join(F.broadcast(cn), "cluster_id")
+        .filter(sample_ticket(F.col(id_col), seed) < thr)
+        .drop("__n")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

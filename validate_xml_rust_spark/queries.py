@@ -2314,6 +2314,15 @@ FROM r
 # ---------------------------------------------------------------------------
 
 # the md5-derived 32-bit sampling ticket, restated for DuckDB: Σ nibble·16^k
+def _oracle_mix_ticket(key_sql: str, seed: str) -> str:
+    """Parametrized DuckDB restatement of curation.sample_ticket."""
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {key_sql}), "
+        "CAST(i AS INT), 1)) - 1) * power(16, 8 - i)))"
+    )
+
+
 _ORACLE_TICKET = (
     "list_sum(list_transform(range(1, 9), i -> "
     "(strpos('0123456789abcdef', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), "
@@ -3363,15 +3372,65 @@ ORACLE_LANGID_LABELED = (
 )
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (similarity.diversity_sample):
+    centroids = the vec_id<8 vectors (data-derived so the oracle can
+    reconstruct them, like the embedding-drift anchors), target 20 per
+    cluster. The oracle re-derives the argmin assignment, the cluster
+    counts, each cluster's floor(target·2³²/n) ticket threshold, and
+    every membership decision nibble-by-nibble in SQL. cluster_id rides
+    the suite's cos_sim slot (cast double)."""
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.similarity import diversity_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ],
+        dtype="float64",
+    )
+    return diversity_sample(emb, 20, centroids=cents, seed="div").select(
+        "vec_id", F.col("cluster_id").cast("double").alias("cos_sim")
+    )
+
+
+ORACLE_DIVERSITY_SAMPLE = f"""
+WITH anch AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8),
+a AS (
+  SELECT e.vec_id,
+         (SELECT aid FROM (
+             SELECT an.aid AS aid,
+                    list_sum(list_transform(list_zip(e.embedding, an.av),
+                      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+             FROM anch an) t ORDER BY d2, aid LIMIT 1) AS cid
+  FROM embeddings e WHERE e.embedding IS NOT NULL),
+cn AS (SELECT cid, count(*) AS n FROM a GROUP BY cid),
+thr AS (SELECT cid,
+               LEAST(4294967296, CAST(floor((20.0 * 4294967296) / n) AS BIGINT)) AS th
+        FROM cn)
+SELECT a.vec_id, CAST(a.cid AS DOUBLE) AS cos_sim
+FROM a JOIN thr USING (cid)
+WHERE {_oracle_mix_ticket("CAST(a.vec_id AS VARCHAR)", "div")} < th
+"""
+
+
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k, all three retrieval paths (L1/similarity): brute-force
     cosine (the exactness baseline), IVF probe (nprobe=3/8 — equality with
-    the brute-force oracle asserts exact recall@10), and sign-LSH bucketed
-    search over the planted vectors (exact recall@3)."""
+    the brute-force oracle asserts exact recall@10), sign-LSH bucketed
+    search over the planted vectors (exact recall@3), and cluster-balanced
+    diversity sampling (membership + assignment re-derived in SQL)."""
     a = q_ann_topk(spark, sf_dir).withColumn("variant", F.lit("brute"))
     b = q_ivf_ann_topk(spark, sf_dir).withColumn("variant", F.lit("ivf"))
     c = q_ann_topk_lsh(spark, sf_dir).withColumn("variant", F.lit("lsh"))
-    return a.unionByName(b).unionByName(c)
+    d = q_diversity_sample(spark, sf_dir).withColumn(
+        "variant", F.lit("diversity")
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 ORACLE_ANN_SUITE = (
@@ -3380,6 +3439,8 @@ ORACLE_ANN_SUITE = (
     + _wrap_variant("ivf", ORACLE_ANN_TOPK)
     + "\nUNION ALL\n"
     + _wrap_variant("lsh", ORACLE_ANN_TOPK_LSH)
+    + "\nUNION ALL\n"
+    + _wrap_variant("diversity", ORACLE_DIVERSITY_SAMPLE)
 )
 
 
@@ -3542,15 +3603,6 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"en": 2.5, "de": 1.0, "fr": 0.25},
         source_col="lang", key_col="doc_id", default_factor=0.0,
     ).select("doc_id", "lang", "epoch")
-
-
-def _oracle_mix_ticket(key_sql: str, seed: str) -> str:
-    """Parametrized DuckDB restatement of curation.sample_ticket."""
-    return (
-        "list_sum(list_transform(range(1, 9), i -> "
-        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {key_sql}), "
-        "CAST(i AS INT), 1)) - 1) * power(16, 8 - i)))"
-    )
 
 
 ORACLE_MIXTURE_EPOCHS = f"""
