@@ -830,3 +830,25 @@ def test_diversity_sample_caps_dense_clusters(spark):
         ).collect()
     }
     assert again == {r["vec_id"] for r in got}
+
+
+def test_diversity_sample_count_sample_path(spark):
+    import numpy as np
+
+    from validate_xml_rust_spark.operators.similarity import diversity_sample
+
+    rows = [(i, [float(i % 3), 0.0]) for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    exact = diversity_sample(emb, 10, centroids=cents)
+    est = diversity_sample(emb, 10, centroids=cents, count_sample_rate=0.5)
+    # estimated counts change thresholds but never drop a cluster, and
+    # both paths stay deterministic
+    assert est.select("cluster_id").distinct().count() == 3
+    assert {r["vec_id"] for r in est.collect()} == {
+        r["vec_id"]
+        for r in diversity_sample(
+            emb, 10, centroids=cents, count_sample_rate=0.5
+        ).collect()
+    }
+    assert exact.count() > 0 and est.count() > 0

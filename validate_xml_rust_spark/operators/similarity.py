@@ -310,6 +310,7 @@ def diversity_sample(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: str = "div",
+    count_sample_rate: float | None = None,
 ) -> DataFrame:
     """Cluster-balanced diversity sampling over an embedding column —
     the embedding-space analog of stratified_sample (the public
@@ -334,11 +335,19 @@ def diversity_sample(
     route them around the operator if they should survive. Output: the
     selected rows + ``cluster_id``.
 
-    Scale shape: assignment is one Arrow pass, the count is a k-row
-    aggregate, the threshold join broadcasts; the keep decision is a
-    stateless per-row predicate. Zero corpus shuffle."""
+    Scale shape: the rate derivation needs cluster sizes, so by default
+    the corpus runs through the Arrow assignment TWICE (the count
+    branch and the probe branch are separate subtrees — no persist is
+    hidden here). Rates only need approximate sizes, so at volume pass
+    ``count_sample_rate`` to bound the count pass to a deterministic
+    hash sample (sizes scale back up by 1/rate before the threshold
+    floor); the probe pass still covers every row. The count itself is
+    a k-row aggregate, the threshold join broadcasts, and the keep
+    decision is a stateless per-row predicate — zero corpus shuffle
+    either way."""
     from validate_xml_rust_spark.operators.curation import (
         TICKET_SPACE,
+        hash_sample,
         sample_ticket,
     )
 
@@ -347,16 +356,33 @@ def diversity_sample(
         if centroids is not None
         else ivf_train(df, vec_col, n_centroids, id_col=id_col)
     )
-    a = ivf_assign(df.filter(F.col(vec_col).isNotNull()), cents, vec_col)
-    cn = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
+    nn = df.filter(F.col(vec_col).isNotNull())
+    a = ivf_assign(nn, cents, vec_col)
+    counted = (
+        a
+        if count_sample_rate is None
+        else ivf_assign(
+            hash_sample(nn, count_sample_rate, id_col, seed + "_cn"),
+            cents, vec_col,
+        )
+    )
+    scale = 1.0 if count_sample_rate is None else 1.0 / count_sample_rate
+    cn = counted.groupBy("cluster_id").agg(
+        F.ceil(F.count(F.lit(1)) * F.lit(scale)).cast("long").alias("__n")
+    )
+    # left join + coalesce(1): a cluster the count sample missed is by
+    # construction tiny — keep it whole (rate 1), never drop it (an
+    # inner join here would silently erase exactly the sparse clusters
+    # this operator exists to preserve)
     thr = F.least(
         F.lit(TICKET_SPACE).cast("long"),
         F.floor(
-            F.lit(float(target_per_cluster) * TICKET_SPACE) / F.col("__n")
+            F.lit(float(target_per_cluster) * TICKET_SPACE)
+            / F.coalesce(F.col("__n"), F.lit(1))
         ).cast("long"),
     )
     return (
-        a.join(F.broadcast(cn), "cluster_id")
+        a.join(F.broadcast(cn), "cluster_id", "left")
         .filter(sample_ticket(F.col(id_col), seed) < thr)
         .drop("__n")
     )

@@ -489,11 +489,17 @@ def perplexity_buckets(
     they matter.
 
     Scale shape: scoring is the lm_perplexity plan (broadcast count
-    maps, no corpus shuffle); the cuts are one exact-percentile
-    aggregate per group over 6dp-ROUNDED scores — bounded distinct
-    values per group (≤ ~3·10⁷ for any realistic log_ppl range), so the
-    per-group percentile map stays small even at 10^12 docs; the cut
-    table (n_groups × 2 doubles) broadcasts back."""
+    maps, no corpus shuffle); the scored table (id, group, 2 numbers —
+    narrow) is persist()ed because BOTH the tercile aggregate and the
+    final bucket projection consume it — without the persist the whole
+    scoring subtree would execute twice. Callers own the cache
+    lifetime (spark.catalog.clearCache() or unpersist on the returned
+    frame's source — the bench sweeps between timings). The cuts are
+    one exact-percentile aggregate per group over 6dp-ROUNDED scores —
+    bounded distinct values per group (≤ ~3·10⁷ for any realistic
+    log_ppl range), so the per-group percentile map stays small even
+    at 10^12 docs; the cut table (n_groups × 2 doubles) broadcasts
+    back."""
     scores = lm_perplexity(
         df, ref, id_col=id_col, text_col=text_col,
         ref_text_col=ref_text_col, alpha=alpha,
@@ -501,7 +507,10 @@ def perplexity_buckets(
     )
     grouping = [group_col] if group_col else []
     if group_col:
+        # attach the group INSIDE the persisted subtree: one narrow
+        # id-keyed join, paid once — not a third corpus scan after
         scores = scores.join(df.select(id_col, group_col), id_col)
+    scores = scores.persist()
     cut = scores.groupBy(*grouping).agg(
         F.round(F.expr(f"percentile(log_ppl, {cuts[0]!r})"), 6).alias("__t1"),
         F.round(F.expr(f"percentile(log_ppl, {cuts[1]!r})"), 6).alias("__t2"),

@@ -241,7 +241,12 @@ def compile_constraint(c: Constraint) -> CompiledCheck:
         # constraint: fail pages containing "lorem ipsum" / "{" or with
         # fewer than min_lines lines surviving the C4 line filter.
         # Observed value names the failing rules. NULL text passes
-        # (not_null owns null-ness).
+        # (not_null owns null-ness). Cost note: kept_n is an interpreted
+        # line-filter HOF referenced by BOTH the predicate and the
+        # observed_value array — the second evaluation happens only on
+        # FAILING rows (obs is conditional), the same cost shape as the
+        # gopher kind's signal re-references; a constraint row cannot
+        # materialize intermediates, so this is the floor.
         from validate_xml_rust_spark.operators.textstats import c4_kept_lines
 
         t = F.coalesce(col, F.lit(""))
