@@ -852,3 +852,33 @@ def test_diversity_sample_count_sample_path(spark):
         ).collect()
     }
     assert exact.count() > 0 and est.count() > 0
+
+
+def test_near_dedup_quality_keeper(spark):
+    from validate_xml_rust_spark.operators.dedup import near_dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, base, 1.0),                      # near-dup group, min id
+        (1, base + " extended with tail", 5.0),  # highest score → keeper
+        (2, base + " extended other", 3.0),
+        (9, "totally different content about ships and sails", 0.1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    # default policy keeps min id
+    kept_min = {
+        r["doc_id"]
+        for r in near_dedup(docs, threshold=0.5, num_perm=64).collect()
+    }
+    assert kept_min == {0, 9}
+    # quality policy keeps the highest-score member instead
+    kept_q = {
+        r["doc_id"]
+        for r in near_dedup(
+            docs, threshold=0.5, num_perm=64, keeper_score_col="q"
+        ).collect()
+    }
+    assert kept_q == {1, 9}

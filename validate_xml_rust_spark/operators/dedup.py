@@ -443,6 +443,43 @@ def connected_components(
     return labels
 
 
+def quality_keepers(
+    comp: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keeper choice per near-dup component (the
+    keep-the-best-copy policy real pipelines prefer over keep-min-id —
+    e.g. keep the longest / highest-quality member): ``comp`` is the
+    (id, component) labeling from connected_components, ``scored``
+    carries (id_col, score_col); keeper = the member with the MAXIMUM
+    score, ties broken to the minimum id. Returns (id, keeper) for
+    every component member.
+
+    ANSI-safe argmax: max-score per component, then min-id among the
+    max-score members — two aggregates over the (tiny, dup-subgraph-
+    only) component table, no struct-negation tricks (-id overflows
+    under ANSI at LONG_MIN) and no max_by (nondeterministic on ties).
+
+    Both inputs are read MORE THAN ONCE by the three-way derivation —
+    pass small or materialized frames (near_dedup checkpoints the
+    dup-ids-only score slice before calling; the gate reuses its
+    checkpointed comp)."""
+    sc = scored.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+    )
+    j = comp.join(sc, "id")
+    mx = j.groupBy("component").agg(F.max("__s").alias("__mx"))
+    kp = (
+        j.join(mx, "component")
+        .filter(F.col("__s") == F.col("__mx"))
+        .groupBy("component")
+        .agg(F.min("id").alias("keeper"))
+    )
+    return j.join(kp, "component").select("id", "keeper")
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -450,10 +487,14 @@ def near_dedup(
     threshold: float = 0.8,
     broadcast_drop: bool = True,
     stats: dict | None = None,
+    keeper_score_col: str | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash pairs → connected
-    components → keep the min-id row of each component. Rows not in any
+    components → keep one row of each component: the min-id member by
+    default, or — with ``keeper_score_col`` naming a score column on
+    ``df`` — the highest-score member (ties to min id; the
+    keep-the-best-copy policy, see quality_keepers). Rows not in any
     pair survive untouched (the common case — components cover only the
     near-dup subgraph). ``broadcast_drop=False`` for corpora where the
     duplicate set itself is too large to broadcast (falls back to a
@@ -480,14 +521,32 @@ def near_dedup(
         df, id_col, text_col, threshold=threshold, eager=True, **minhash_kwargs
     )
     comp = connected_components(pairs)
+    if keeper_score_col is None:
+        drop_frame = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("__drop")
+        )
+    else:
+        # quality-aware keeper: slice the corpus to (id, score) for dup
+        # ids only (one column-pruned pass through a broadcast semi
+        # join) and materialize it — quality_keepers reads its inputs
+        # multiple times, and without the checkpoint each read would
+        # re-scan the corpus
+        sc_small, sc_ids = eager_checkpoint(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(keeper_score_col).alias("__kscore"),
+            ).join(F.broadcast(comp.select("id")), "id", "left_semi")
+        )
+        keep = quality_keepers(comp, sc_small, "id", "__kscore")
+        drop_frame = keep.filter(F.col("id") != F.col("keeper")).select(
+            F.col("id").alias("__drop")
+        )
     # materialize the (tiny — dup ids only) drop set, then release the
     # pairs and final-label checkpoints: the caller's anti-join references
     # only the drop blocks, so nothing near-dup-sized outlives the call
-    drop, drop_ids = eager_checkpoint(
-        comp.filter(F.col("id") != F.col("component")).select(
-            F.col("id").alias("__drop")
-        )
-    )
+    drop, drop_ids = eager_checkpoint(drop_frame)
+    if keeper_score_col is not None:
+        release_blocks(df.sparkSession.sparkContext, sc_ids)
     if stats is not None:
         stats["ckpt_block_ids"] = drop_ids
     release_blocks(df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp))

@@ -4213,7 +4213,7 @@ def q_near_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (tiny) label rows, then free the pairs/labels
     # checkpoints (DataFrame.unpersist can't reach them — CLAUDE.md);
     # only the O(components)-row result block outlives the call
-    out, _ = eager_checkpoint(
+    labels, _ = eager_checkpoint(
         comp.select(
             F.col("id").cast("long").alias("id"),
             F.col("component").cast("long").alias("component"),
@@ -4222,7 +4222,22 @@ def q_near_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_blocks(
         spark.sparkContext, block_ids_of(pairs) | block_ids_of(comp)
     )
-    return out
+    # quality-aware keeper variant: keep the LONGEST member of each
+    # component (ties to min id) — the keep-the-best-copy policy; the
+    # oracle re-derives the argmax over the same closure labels
+    from validate_xml_rust_spark.operators.dedup import quality_keepers
+
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("__len"),
+    )
+    keep = quality_keepers(labels, scored, "id", "__len").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("keeper").cast("long").alias("component"),
+    )
+    return labels.withColumn("variant", F.lit("min_label")).unionByName(
+        keep.withColumn("variant", F.lit("quality_keeper"))
+    )
 
 
 ORACLE_NEAR_DEDUP_COMPONENTS = rf"""
@@ -4248,9 +4263,24 @@ e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
 reach(s, d) AS (
   SELECT s, d FROM e
   UNION
-  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
-SELECT s AS id, CAST(least(s, min(d)) AS BIGINT) AS component
-FROM reach GROUP BY s
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+lab AS (
+  SELECT s AS id, CAST(least(s, min(d)) AS BIGINT) AS component
+  FROM reach GROUP BY s),
+ln2 AS (
+  SELECT doc_id AS id, length(coalesce(text, '')) AS sc
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+mx2 AS (
+  SELECT lab.component, max(ln2.sc) AS mxs
+  FROM lab JOIN ln2 USING (id) GROUP BY lab.component),
+kp2 AS (
+  SELECT lab.component, CAST(min(lab.id) AS BIGINT) AS keeper
+  FROM lab JOIN ln2 USING (id)
+  JOIN mx2 ON mx2.component = lab.component AND ln2.sc = mx2.mxs
+  GROUP BY lab.component)
+SELECT 'min_label' AS variant, id, component FROM lab
+UNION ALL
+SELECT 'quality_keeper', lab.id, kp2.keeper FROM lab JOIN kp2 USING (component)
 """
 
 
