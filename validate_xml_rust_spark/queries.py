@@ -3808,7 +3808,7 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
 
 def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's top-level declarative API (orchestrate.validate_full):
-    ONE spec declares row checks (not_null, range) plus six table-scope
+    ONE spec declares row checks (not_null, range, C4 page gate) plus six table-scope
     constraint kinds — uniqueness, referential, functional dependency,
     host-quality keep/drop, PSI drift, and the CCNet-style bigram-LM
     budget — routed by lang (en/de/fr govern the spec; es/zh rows are
@@ -3864,6 +3864,9 @@ def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             # so the threshold needs no margin)
             Constraint("lm_en", "text", "lm_quality",
                        {"ref_table": "lm_ref", "max_log_ppl": 3.5}),
+            # C4 page gate as a row kind: lorem-ipsum/brace pages and
+            # pages with <2 lines surviving the C4 line filter violate
+            Constraint("c4_page", "text", "c4", {"min_lines": 2}),
         ),
     )
     registry = SpecRegistry().add(spec, route_keys=routed)
@@ -3996,12 +3999,28 @@ lmqsc AS (SELECT lmqdb.doc_id,
   GROUP BY lmqdb.doc_id),
 lmq AS (
   SELECT 'lm_en' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
-  FROM lmqsc WHERE lp > 3.5)
+  FROM lmqsc WHERE lp > 3.5),
+c4v AS (
+  SELECT 'c4_page' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM (
+    SELECT text,
+           contains(lower(coalesce(text, '')), 'lorem ipsum') AS lor,
+           contains(coalesce(text, ''), '{{') AS brc,
+           len(list_filter(
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'),
+                         x -> x <> ''),
+             x -> regexp_matches(x, '[.!?"]\\s*$')
+               AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(x), 'javascript'))) AS kept_n
+    FROM scoped) s
+  WHERE s.text IS NOT NULL AND (s.lor OR s.brc OR s.kept_n < 2))
 SELECT * FROM (
   SELECT * FROM row_v UNION ALL SELECT * FROM uq UNION ALL
   SELECT * FROM refv UNION ALL SELECT * FROM fd UNION ALL
   SELECT * FROM hq UNION ALL SELECT * FROM hq_dom UNION ALL
-  SELECT * FROM psi UNION ALL SELECT * FROM lmq) all_v
+  SELECT * FROM psi UNION ALL SELECT * FROM lmq UNION ALL
+  SELECT * FROM c4v) all_v
 WHERE n_violations > 0
 """
 
