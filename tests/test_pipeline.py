@@ -438,3 +438,36 @@ def test_curate_c4_clean_step(spark):
     assert set(res.kept.columns) == {"doc_id", "text"}
     txt = res.kept.collect()[0]["text"]
     assert "bad line" not in txt and txt.count("\n") == 3
+
+
+def test_curate_ppl_bucket_filter_step(spark):
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat and the dog sat on the rug",)],
+        "text string",
+    )
+    rows = [(i, "the cat sat on the mat number %d" % i) for i in range(6)]
+    rows += [(10 + i, "zebra xylophone quark entropy flux %d" % i) for i in range(3)]
+    rows += [(20, "x"), (None, "the null id row")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    res = curate(
+        docs, spark,
+        near_dup_threshold=None,
+        lm_ref=ref, lm_keep_buckets={"head", "middle"},
+    )
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert "ppl_bucket_filter" in steps
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    # tail (OOV docs) dropped, reference-like head kept, unscorable
+    # (1-token) and NULL-id rows kept
+    assert set(range(6)) <= kept
+    assert 20 in kept and None in kept
+    assert len(kept & {10, 11, 12}) <= 1
+    assert steps["ppl_bucket_filter"]["dropped"] >= 2
+    res.release()
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert after - before == set()  # the operator's score cache released

@@ -470,6 +470,7 @@ def perplexity_buckets(
     alpha: float = 0.1,
     broadcast_ref: bool = True,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    handles: dict | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
     §4.3 — the public recipe splits each language's corpus into three
@@ -493,8 +494,10 @@ def perplexity_buckets(
     narrow) is persist()ed because BOTH the tercile aggregate and the
     final bucket projection consume it — without the persist the whole
     scoring subtree would execute twice. Callers own the cache
-    lifetime (spark.catalog.clearCache() or unpersist on the returned
-    frame's source — the bench sweeps between timings). The cuts are
+    lifetime: pass ``handles`` to receive ``handles['scores']`` (the
+    persisted frame) and unpersist once a downstream action has
+    materialized (the curate step does; the bench sweeps between
+    timings). The cuts are
     one exact-percentile aggregate per group over 6dp-ROUNDED scores —
     bounded distinct values per group (≤ ~3·10⁷ for any realistic
     log_ppl range), so the per-group percentile map stays small even
@@ -511,6 +514,8 @@ def perplexity_buckets(
         # id-keyed join, paid once — not a third corpus scan after
         scores = scores.join(df.select(id_col, group_col), id_col)
     scores = scores.persist()
+    if handles is not None:
+        handles["scores"] = scores
     cut = scores.groupBy(*grouping).agg(
         F.round(F.expr(f"percentile(log_ppl, {cuts[0]!r})"), 6).alias("__t1"),
         F.round(F.expr(f"percentile(log_ppl, {cuts[1]!r})"), 6).alias("__t2"),

@@ -76,6 +76,8 @@ def curate(
     gopher_min_words: int | None = None,
     lm_ref: DataFrame | None = None,
     max_log_ppl: float | None = None,
+    lm_keep_buckets: set[str] | frozenset[str] | None = None,
+    lm_bucket_group: str | None = None,
     sample_rate: float | None = None,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
@@ -349,6 +351,48 @@ def curate(
                 ok, lm_scorable[id_col] == F.col("__lmid"), "left_semi"
             ).unionByName(lm_pass.select(*lm_scorable.columns)),
         )
+
+    if lm_keep_buckets is not None:
+        # CCNet bucket filter: keep only the head/middle(/tail) thirds
+        # of the per-group perplexity distribution (Wenzek et al. 2019
+        # keep head+middle, drop tail). Unscorable docs (<2 tokens,
+        # NULL bucket) are KEPT — absence of evidence, as in lm_filter;
+        # same NULL/dup-id pass-through contract. The operator's
+        # internal score cache is released once the step checkpoint
+        # materializes.
+        if lm_ref is None:
+            raise ValueError("lm_keep_buckets requires lm_ref")
+        from validate_xml_rust_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        pb_id_n = (
+            cur.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__idn"))
+        )
+        pb_counted = cur.join(pb_id_n, id_col, "left")
+        pb_scorable = pb_counted.filter(F.col("__idn") == 1).drop("__idn")
+        pb_pass = pb_counted.filter(
+            F.col(id_col).isNull() | (F.col("__idn") > 1)
+        ).drop("__idn")
+        pb_handles: dict = {}
+        pb = perplexity_buckets(
+            pb_scorable, lm_ref, id_col=id_col, text_col=text_col,
+            group_col=lm_bucket_group, handles=pb_handles,
+        )
+        ok_b = pb.filter(
+            F.col("ppl_bucket").isNull()
+            | F.col("ppl_bucket").isin(*sorted(lm_keep_buckets))
+        ).select(F.col(id_col).alias("__pbid"))
+        cur = log(
+            "ppl_bucket_filter",
+            pb_scorable.join(
+                ok_b, pb_scorable[id_col] == F.col("__pbid"), "left_semi"
+            ).unionByName(pb_pass.select(*pb_scorable.columns)),
+        )
+        if "scores" in pb_handles:
+            pb_handles["scores"].unpersist()
 
     if sample_rate is not None:
         from validate_xml_rust_spark.operators.curation import hash_sample
