@@ -205,3 +205,26 @@ def test_embedding_drift_null_vectors_excluded(spark):
     assert len(out) == 1
     assert out[0]["n"] == 60  # NULL vectors are not a cluster
     assert out[0]["drifted"] is False
+
+
+def test_js_divergence_properties(spark):
+    """JSD is symmetric-by-construction, bounded by ln 2, near 0 on a
+    matching distribution, and detects a planted shift PSI also sees."""
+    import math
+
+    from validate_xml_rust_spark.operators.drift import psi_drift_check
+
+    rows = [(0, "a") for _ in range(100)] + [(0, "b") for _ in range(100)]
+    rows += [(1, "a") for _ in range(190)] + [(1, "b") for _ in range(10)]
+    df = spark.createDataFrame(rows, "partition_id int, lang string")
+    base = {"a": 100, "b": 100}
+    out = {
+        r["partition_id"]: r
+        for r in psi_drift_check(df, "lang", base, stat="js", threshold=0.1)
+        .collect()
+    }
+    assert out[0]["test"] == "js"
+    assert out[0]["statistic"] < 0.001          # same distribution
+    assert out[0]["drifted"] is False
+    assert 0.0 < out[1]["statistic"] <= math.log(2) + 1e-9
+    assert out[1]["statistic"] > 0.1 and out[1]["drifted"] is True

@@ -206,12 +206,17 @@ def psi_drift_check(
     threshold: float = 0.2,
     min_rows: int = 20,
     smooth: float = 0.5,
+    stat: str = "psi",
 ) -> DataFrame:
-    """Per-partition Population Stability Index of a categorical column vs
-    baseline proportions: PSI = Σ (p_i − q_i)·ln(p_i / q_i) over the
-    baseline categories plus an OTHER bucket, Laplace-smoothed with
-    ``smooth`` pseudo-counts so empty cells are well-defined (the industry
-    banding: <0.1 stable, 0.1–0.2 moderate, >0.2 drifted).
+    """Per-partition divergence of a categorical column vs baseline
+    proportions. ``stat='psi'`` (default): Population Stability Index =
+    Σ (p_i − q_i)·ln(p_i / q_i) (the industry banding: <0.1 stable,
+    0.1–0.2 moderate, >0.2 drifted). ``stat='js'``: Jensen–Shannon
+    divergence = ½ Σ p·ln(p/mid) + ½ Σ q·ln(q/mid), mid = (p+q)/2 —
+    bounded in [0, ln 2], symmetric, finite even where PSI's log-ratio
+    blows up on near-empty cells. Both run over the baseline categories
+    plus an OTHER bucket, Laplace-smoothed with ``smooth``
+    pseudo-counts.
 
     Unlike the KS/chi² checks this needs NO Python at all: the only
     shuffle is the (partition × category) count aggregation (map-side
@@ -235,7 +240,7 @@ def psi_drift_check(
     )
     return psi_from_counts(
         counts, column, baseline_counts,
-        threshold=threshold, min_rows=min_rows, smooth=smooth,
+        threshold=threshold, min_rows=min_rows, smooth=smooth, stat=stat,
     )
 
 
@@ -246,13 +251,19 @@ def psi_from_counts(
     threshold: float = 0.2,
     min_rows: int = 20,
     smooth: float = 0.5,
+    stat: str = "psi",
 ) -> DataFrame:
-    """PSI from a pre-aggregated ``(__pid, __cat, __n)`` counts frame —
-    the core of `psi_drift_check`, exposed so callers whose category
-    column is EXPENSIVE to derive (an Arrow UDF assignment, say) can
-    aggregate once and reuse the ≤ P·K-row counts for both the baseline
-    and the statistic instead of rescanning the raw frame. Categories not
-    in ``baseline_counts`` must already be folded into ``__OTHER__``."""
+    """PSI (or JS divergence — ``stat``, see psi_drift_check) from a
+    pre-aggregated ``(__pid, __cat, __n)`` counts frame — the core of
+    `psi_drift_check`, exposed so callers whose category column is
+    EXPENSIVE to derive (an Arrow UDF assignment, say) can aggregate
+    once and reuse the ≤ P·K-row counts for both the baseline and the
+    statistic instead of rescanning the raw frame. Categories not in
+    ``baseline_counts`` must already be folded into ``__OTHER__``. The
+    term formula is the ONLY thing ``stat`` changes — same grid, same
+    smoothing, same zero-Python plan."""
+    if stat not in ("psi", "js"):
+        raise ValueError(f"unknown divergence stat: {stat!r}")
     cats = sorted(baseline_counts)
     all_cats = cats + ["__OTHER__"]
     k = float(len(all_cats))
@@ -281,8 +292,13 @@ def psi_from_counts(
     )
     p = (F.col("__o") + smooth) / (F.col("__tot") + smooth * k)
     q = (F.col("__b") + smooth) / (m + smooth * k)
+    if stat == "psi":
+        term = (p - q) * F.log(p / q)
+    else:  # js
+        mid = (p + q) / 2
+        term = (p * F.log(p / mid) + q * F.log(q / mid)) / 2
     return (
-        grid.withColumn("__t", (p - q) * F.log(p / q))
+        grid.withColumn("__t", term)
         .groupBy("__pid")
         .agg(
             F.when(F.max("__tot") < min_rows, F.lit(0.0))
@@ -293,7 +309,7 @@ def psi_from_counts(
         .select(
             F.col("__pid").alias("partition_id"),
             F.lit(column).alias("column_name"),
-            F.lit("psi").alias("test"),
+            F.lit(stat).alias("test"),
             "statistic",
             F.lit(float(threshold)).alias("threshold"),
             F.lit(None).cast("double").alias("p_value"),

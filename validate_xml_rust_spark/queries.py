@@ -1571,6 +1571,57 @@ FROM terms GROUP BY pid
 """
 
 
+def q_drift_js_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition Jensen–Shannon divergence of the lang distribution
+    vs the global baseline (psi_drift_check(stat='js') — same grid,
+    same smoothing, same zero-Python plan as PSI; JSD is bounded in
+    [0, ln 2] and symmetric, the complementary divergence statistic).
+    The oracle re-derives the half-KL terms from scratch."""
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        psi_drift_check,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    baseline = categorical_baseline(docs, "lang")
+    out = psi_drift_check(docs, "lang", baseline, stat="js", threshold=0.1)
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_DRIFT_JS_LANG = """
+WITH base AS (
+  SELECT lang AS cat, CAST(count(*) AS DOUBLE) AS b
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+cats AS (SELECT cat FROM base UNION ALL SELECT '__OTHER__'),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cats),
+mm AS (SELECT sum(b) AS m FROM base),
+obs AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid, lang AS cat, count(*) AS o
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+pn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT pn.pid, pn.n,
+         CAST(coalesce(obs.o, 0) AS DOUBLE) AS o,
+         coalesce(base.b, 0.0) AS b
+  FROM pn CROSS JOIN cats
+  LEFT JOIN obs ON obs.pid = pn.pid AND obs.cat = cats.cat
+  LEFT JOIN base ON base.cat = cats.cat),
+terms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) * ln(((o + 0.5) / (n + 0.5 * k))
+            / (((o + 0.5) / (n + 0.5 * k) + (b + 0.5) / (m + 0.5 * k)) / 2))
+          + (b + 0.5) / (m + 0.5 * k) * ln(((b + 0.5) / (m + 0.5 * k))
+            / (((o + 0.5) / (n + 0.5 * k) + (b + 0.5) / (m + 0.5 * k)) / 2))) / 2 AS t
+  FROM grid CROSS JOIN kk CROSS JOIN mm)
+SELECT CAST(pid AS INT) AS partition_id, 'lang' AS column_name, 'js' AS test,
+       CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic,
+       CAST(max(n) AS BIGINT) AS n
+FROM terms GROUP BY pid
+"""
+
+
 def q_drift_psi_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned numeric PSI (operators/drift.py `psi_numeric_drift_check`):
     n_chars through fixed [0,400)/10 bins with edge clamping, then the
@@ -3504,15 +3555,17 @@ FROM ({ORACLE_SIMHASH_NEARDUPS}) s
 
 
 def q_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift checks, all five families in one gate (§2.8c):
+    """Distribution-drift checks, all six families in one gate (§2.8c):
     per-partition chi² (lang), two-sample KS (n_chars), categorical PSI
-    (lang), binned numeric PSI (n_chars), and embedding cluster-occupancy
-    PSI — identical (partition_id, column_name, test, statistic, n)
-    schema; (column_name, test) disambiguates the rows."""
+    (lang), Jensen–Shannon divergence (lang), binned numeric PSI
+    (n_chars), and embedding cluster-occupancy PSI — identical
+    (partition_id, column_name, test, statistic, n) schema;
+    (column_name, test) disambiguates the rows."""
     return (
         q_drift_chi2_lang(spark, sf_dir)
         .unionByName(q_drift_ks_nchars(spark, sf_dir))
         .unionByName(q_drift_psi_lang(spark, sf_dir))
+        .unionByName(q_drift_js_lang(spark, sf_dir))
         .unionByName(q_drift_psi_nchars(spark, sf_dir))
         .unionByName(q_embedding_drift(spark, sf_dir))
     )
@@ -3525,6 +3578,7 @@ ORACLE_DRIFT_SUITE = "\nUNION ALL\n".join(
             ORACLE_DRIFT_CHI2_LANG,
             ORACLE_DRIFT_KS_NCHARS,
             ORACLE_DRIFT_PSI_LANG,
+            ORACLE_DRIFT_JS_LANG,
             ORACLE_DRIFT_PSI_NCHARS,
             ORACLE_EMBEDDING_DRIFT,
         )
