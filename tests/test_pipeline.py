@@ -471,3 +471,23 @@ def test_curate_ppl_bucket_filter_step(spark):
         spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
     assert after - before == set()  # the operator's score cache released
+
+
+def test_curate_near_dedup_keeper_policy(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base, 1.0),
+            (1, base + " longer tail kept", 9.0),
+            (5, "different content about ships and sails entirely", 2.0),
+        ],
+        "doc_id long, text string, q double",
+    )
+    res = curate(
+        docs, spark, near_dup_threshold=0.5, near_dup_keeper_col="q",
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    assert kept == {1, 5}  # highest-q member kept, not min id

@@ -67,6 +67,7 @@ def curate(
     route_col: str = "lang",
     benchmark: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
+    near_dup_keeper_col: str | None = None,
     semantic_threshold: float | None = None,
     vec_col: str = "embedding",
     semantic_centroids: int = 16,
@@ -137,7 +138,7 @@ def curate(
             "near_dedup",
             near_dedup(
                 cur, id_col, text_col, threshold=near_dup_threshold,
-                stats=nd_stats,
+                stats=nd_stats, keeper_score_col=near_dup_keeper_col,
             ),
         )
         # the step checkpoint (inside log) has materialized, so near_dedup's
