@@ -544,6 +544,19 @@ def main() -> None:
     _sweep()
     timings["semantic_dedup_200k"] = _time(_run_semdd)
 
+    # cluster-balanced diversity sampling over the same 200k vectors:
+    # ivf model on the capped driver sample, then the default two-pass
+    # assignment (count + probe) + broadcast threshold join
+    from validate_xml_rust_spark.operators.similarity import (
+        diversity_sample,
+        ivf_train,
+    )
+
+    _div_cents = ivf_train(vecs, n_centroids=16, id_col="vec_id")
+    timings["diversity_sample_200k"] = _time(
+        lambda: _force(diversity_sample(vecs, 5_000, centroids=_div_cents))
+    )
+
     # Operator queries over the sf parquet tables — every output column
     # fully evaluated (hash-aggregated), never count()-pruned.
     for name, fn in QUERIES.items():

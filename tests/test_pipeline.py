@@ -491,3 +491,20 @@ def test_curate_near_dedup_keeper_policy(spark):
     )
     kept = {r["doc_id"] for r in res.kept.collect()}
     assert kept == {1, 5}  # highest-q member kept, not min id
+
+
+def test_pack_step_reports_fill_ratio(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " + "tok " * 9) for i in range(40)],
+        "doc_id long, text string",
+    )
+    res = curate(
+        docs, spark, near_dup_threshold=None, pack_max_tokens=35,
+        pack_shards=2,
+    )
+    pk = [s for s in res.report["steps"] if s["step"] == "pack"][0]
+    # 10-token docs in a 35 budget, 2 shards: 3 per pack → fill ~30/35
+    assert pk["n_packs"] > 0
+    assert 0.5 < pk["fill_ratio"] <= 1.0
+    total = sum(r["n_tokens"] for r in res.packs.collect())
+    assert pk["fill_ratio"] == round(total / (pk["n_packs"] * 35), 6)

@@ -463,13 +463,30 @@ def curate(
         packs, pack_ids = eager_checkpoint(
             pack_sequences(with_tokens, pack_max_tokens, id_col=id_col)
         )
+        # one bounded aggregate over the materialized pack blocks: pack
+        # count + mean fill ratio (Σ tokens / (n_packs · budget) — the
+        # batch-efficiency number a training run actually cares about)
+        pstats = packs.agg(
+            F.countDistinct("pack_id").alias("np"),
+            F.sum("n_tokens").alias("tok"),
+        ).collect()[0]
+        n_packs = int(pstats["np"] or 0)
         steps.append(
             {
                 "step": "pack",
                 "rows_in": n,
                 "rows_out": n,
                 "dropped": 0,
-                "n_packs": packs.select("pack_id").distinct().count(),
+                "n_packs": n_packs,
+                "fill_ratio": (
+                    round(
+                        float(pstats["tok"] or 0)
+                        / (n_packs * pack_max_tokens),
+                        6,
+                    )
+                    if n_packs
+                    else 0.0
+                ),
             }
         )
 
