@@ -381,3 +381,35 @@ def test_dsir_resample_topk_and_gumbel(spark):
     # raw-stats-on-a-sample path still scores every row
     w = dsir_weights(docs, target, raw_sample_rate=0.5)
     assert w.count() == 10
+
+
+def test_normalize_text_forms_and_options(spark):
+    from validate_xml_rust_spark.operators.curation import normalize_text
+
+    rows = [
+        (0, "café Å"),      # decomposed accent + Angstrom sign
+        (1, "ﬁle STRASSE"),        # fi ligature (NFKC-only fold)
+        (2, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r["doc_id"]: r["text"] for r in normalize_text(d).collect()}
+    assert nfc[0] == "café Å"
+    assert nfc[1] == "ﬁle STRASSE"   # ligature survives NFC
+    assert nfc[2] is None
+    nfkc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(d, form="NFKC").collect()
+    }
+    assert nfkc[1] == "file STRASSE"
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(d, strip_accents=True, lower=True).collect()
+    }
+    assert stripped[0] == "cafe a"
+    # idempotence: normalize(normalize(x)) == normalize(x)
+    once = normalize_text(d)
+    twice = {r["doc_id"]: r["text"] for r in normalize_text(once).collect()}
+    assert twice == nfc
+    # out_col leaves the source column untouched
+    both = normalize_text(d, out_col="norm").collect()[0]
+    assert both["text"] == "café Å" and both["norm"] == "café Å"

@@ -26,6 +26,7 @@ through the broadcast join without materializing.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -689,6 +690,57 @@ def pack_sequences(
         F.col(tokens_col).cast("int").alias("__tok"),
     )
     return prepared.groupBy("__pid").applyInPandas(pack, PACK_SCHEMA)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    lower: bool = False,
+    strip_accents: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode text normalization (the canonicalization step every
+    multilingual corpus pipeline runs before hashing/dedup — composed
+    vs decomposed accents, compatibility ligatures, width variants all
+    hash differently until normalized): ``form`` ∈ NFC/NFKC/NFD/NFKD
+    via Python's unicodedata in an Arrow-batched UDF, with optional
+    casefold (``lower``) and accent stripping (NFD-decompose → drop
+    combining marks → re-normalize). NULL stays NULL; the result lands
+    in ``out_col`` (default: in place).
+
+    Idempotent by construction (Unicode normalization is a fixed
+    point — property-tested). Scale shape: one Arrow pass, zero
+    shuffle, composes with pushdown; NFC specifically is restated by
+    the DuckDB oracle's nfc_normalize so the gate pins the table."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    tgt = out_col or text_col
+
+    @F.pandas_udf("string")
+    def norm(batch: "pd.Series") -> "pd.Series":
+        def one(t):
+            if t is None:
+                return None
+            s = unicodedata.normalize(form, t)
+            if strip_accents:
+                s = unicodedata.normalize(
+                    form if form in ("NFC", "NFKC") else "NFC",
+                    "".join(
+                        ch
+                        for ch in unicodedata.normalize("NFD", s)
+                        if unicodedata.category(ch) != "Mn"
+                    ),
+                )
+            if lower:
+                s = s.casefold()
+            return s
+
+        return batch.map(one)
+
+    return df.withColumn(tgt, norm(F.col(text_col)))
 
 
 def redact_pii(

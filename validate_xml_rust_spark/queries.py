@@ -3613,10 +3613,41 @@ FROM ({ORACLE_RANGE_JOIN_CLICKS_BEFORE_ERROR}) r
 """
 
 
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (curation.normalize_text): document
+    text deterministically perturbed with decomposed accents (e +
+    combining acute), the Angstrom sign (U+212B → U+00C5 under NFC),
+    a combining diaeresis, and an fi ligature (UNCHANGED under NFC —
+    that's NFKC's job); Python unicodedata's NFC must equal DuckDB's
+    utf8proc nfc_normalize byte-for-byte on every row."""
+    from validate_xml_rust_spark.operators.curation import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    pert = (
+        F.when(m == 1, F.concat(F.lit("café Å "), t))
+        .when(m == 2, F.concat(F.lit("ﬁle naïve "), t))
+        .otherwise(t)
+    )
+    d2 = docs.select("doc_id", pert.alias("text"))
+    return normalize_text(d2).select(
+        "doc_id", F.col("text").alias("payload")
+    )
+
+
+ORACLE_NORMALIZE_NFC = (
+    "SELECT doc_id, nfc_normalize(CASE CAST(doc_id % 3 AS INT) "
+    f"WHEN 1 THEN 'cafe{chr(0x301)} {chr(0x212B)} ' || coalesce(text, '') "
+    f"WHEN 2 THEN '{chr(0xFB01)}le nai{chr(0x308)}ve ' || coalesce(text, '') "
+    "ELSE coalesce(text, '') END) AS payload FROM documents"
+)
+
+
 def q_source_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-discovery predicates (S2-S4) + byte-identical text
-    extraction (north-rule invariant) + the C4 line-rule text rebuild,
-    harmonized to (variant, doc_id, payload)."""
+    extraction (north-rule invariant) + the C4 line-rule text rebuild +
+    Unicode NFC normalization, harmonized to (variant, doc_id, payload)."""
     scan = q_scan_url_filters(spark, sf_dir).select(
         F.lit("scan").alias("variant"), "doc_id", F.col("url").alias("payload")
     )
@@ -3628,7 +3659,10 @@ def q_source_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("c4").alias("variant"), "doc_id",
         F.col("c4_text").alias("payload"),
     )
-    return scan.unionByName(rt).unionByName(c4)
+    nfc = q_normalize_nfc(spark, sf_dir).select(
+        F.lit("nfc").alias("variant"), "doc_id", "payload"
+    )
+    return scan.unionByName(rt).unionByName(c4).unionByName(nfc)
 
 
 ORACLE_SOURCE_PLUMBING = f"""
@@ -3640,6 +3674,9 @@ FROM ({ORACLE_EXTRACT_TEXT_ROUNDTRIP}) e
 UNION ALL
 SELECT 'c4', doc_id, c4_text
 FROM ({ORACLE_C4_RULES}) c
+UNION ALL
+SELECT 'nfc', doc_id, payload
+FROM ({ORACLE_NORMALIZE_NFC}) u
 """
 
 
