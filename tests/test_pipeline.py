@@ -508,3 +508,18 @@ def test_pack_step_reports_fill_ratio(spark):
     assert 0.5 < pk["fill_ratio"] <= 1.0
     total = sum(r["n_tokens"] for r in res.packs.collect())
     assert pk["fill_ratio"] == round(total / (pk["n_packs"] * 35), 6)
+
+
+def test_curate_normalize_step_unifies_accent_variants(spark):
+    # same text, composed vs decomposed accents: without normalization
+    # these are distinct fingerprints; with NFC they dedup to one
+    docs = spark.createDataFrame(
+        [(0, "café content here"), (1, "café content here")],
+        "doc_id long, text string",
+    )
+    plain = curate(docs, spark, near_dup_threshold=None)
+    assert plain.kept.count() == 2
+    norm = curate(docs, spark, near_dup_threshold=None, normalize_form="NFC")
+    steps = {s["step"]: s for s in norm.report["steps"]}
+    assert list(steps)[0] == "normalize"
+    assert norm.kept.count() == 1

@@ -66,6 +66,7 @@ def curate(
     text_col: str = "text",
     route_col: str = "lang",
     benchmark: DataFrame | None = None,
+    normalize_form: str | None = None,
     near_dup_threshold: float | None = 0.8,
     near_dup_keeper_col: str | None = None,
     semantic_threshold: float | None = None,
@@ -127,6 +128,17 @@ def curate(
             cur.join(
                 valid_ids, cur[id_col].cast("string") == F.col("__vid"), "left_semi"
             ),
+        )
+
+    if normalize_form is not None:
+        # Unicode normalization BEFORE dedup: composed vs decomposed
+        # accent variants of the same text must land in the same
+        # fingerprint group. One Arrow pass, text rewritten in place.
+        from validate_xml_rust_spark.operators.curation import normalize_text
+
+        cur = log(
+            "normalize",
+            normalize_text(cur, text_col, form=normalize_form),
         )
 
     from validate_xml_rust_spark.operators.dedup import exact_dedup, near_dedup
