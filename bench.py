@@ -547,10 +547,7 @@ def main() -> None:
     # cluster-balanced diversity sampling over the same 200k vectors:
     # ivf model on the capped driver sample, then the default two-pass
     # assignment (count + probe) + broadcast threshold join
-    from validate_xml_rust_spark.operators.similarity import (
-        diversity_sample,
-        ivf_train,
-    )
+    from validate_xml_rust_spark.operators.similarity import diversity_sample
 
     _div_cents = ivf_train(vecs, n_centroids=16, id_col="vec_id")
     timings["diversity_sample_200k"] = _time(

@@ -413,3 +413,27 @@ def test_normalize_text_forms_and_options(spark):
     # out_col leaves the source column untouched
     both = normalize_text(d, out_col="norm").collect()[0]
     assert both["text"] == "café Å" and both["norm"] == "café Å"
+
+
+def test_normalize_text_is_idempotent_under_all_options(spark):
+    from validate_xml_rust_spark.operators.curation import normalize_text
+
+    rows = [
+        (0, "J̌Á Café"),  # J+caron: casefold then NFC composes
+        (1, "ﬁle STRASSE Å"),
+        (2, "ǰ já"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in (
+        {"form": "NFC", "lower": True},
+        {"form": "NFC", "lower": True, "strip_accents": True},
+        {"form": "NFD", "strip_accents": True},
+        {"form": "NFKC", "lower": True},
+    ):
+        once = normalize_text(d, **kw)
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in normalize_text(once, **kw).collect()}
+        assert a == b, kw
+    # the J+caron casefold really composes under NFC+lower
+    out = {r["doc_id"]: r["text"] for r in normalize_text(d, lower=True).collect()}
+    assert out[0].startswith("ǰ")

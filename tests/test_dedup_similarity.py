@@ -882,3 +882,19 @@ def test_near_dedup_quality_keeper(spark):
         ).collect()
     }
     assert kept_q == {1, 9}
+
+
+def test_quality_keepers_null_scores(spark):
+    from validate_xml_rust_spark.operators.dedup import quality_keepers
+
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (7, 7), (8, 7)], "id long, component long"
+    )
+    # component 0: all scores NULL → min-id keeper; component 7: NULL
+    # loses to any real score
+    scored = spark.createDataFrame(
+        [(0, None), (1, None), (7, None), (8, 1.5)],
+        "doc_id long, quality double",
+    )
+    got = {r["id"]: r["keeper"] for r in quality_keepers(comp, scored).collect()}
+    assert got == {0: 0, 1: 0, 7: 8, 8: 8}

@@ -523,3 +523,23 @@ def test_curate_normalize_step_unifies_accent_variants(spark):
     steps = {s["step"]: s for s in norm.report["steps"]}
     assert list(steps)[0] == "normalize"
     assert norm.kept.count() == 1
+
+
+def test_curate_ppl_bucket_filter_null_group_kept(spark):
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat and the dog sat on the rug",)],
+        "text string",
+    )
+    rows = [(i, "the cat sat on the mat number %d" % i, "en") for i in range(4)]
+    rows += [(10, "the dog sat on the rug too", None)]  # NULL group
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = curate(
+        docs, spark, near_dup_threshold=None,
+        lm_ref=ref, lm_keep_buckets={"head", "middle"},
+        lm_bucket_group="lang",
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    # the NULL-lang doc forms its own tercile population (sole member →
+    # head) instead of being silently forced into 'tail' and dropped
+    assert 10 in kept
+    assert set(res.kept.columns) == {"doc_id", "text", "lang"}

@@ -721,22 +721,25 @@ def normalize_text(
 
     @F.pandas_udf("string")
     def norm(batch: "pd.Series") -> "pd.Series":
+        # order matters for the fixed-point contract: casefold FIRST
+        # (it can create composable pairs, e.g. J+caron → j+caron whose
+        # NFC is U+01F0), then accent-strip over the NFD view, then ONE
+        # final normalize to the requested form — so the output is
+        # always form-normal and canon(canon(x)) == canon(x) holds for
+        # every option combination (property-tested).
         def one(t):
             if t is None:
                 return None
-            s = unicodedata.normalize(form, t)
-            if strip_accents:
-                s = unicodedata.normalize(
-                    form if form in ("NFC", "NFKC") else "NFC",
-                    "".join(
-                        ch
-                        for ch in unicodedata.normalize("NFD", s)
-                        if unicodedata.category(ch) != "Mn"
-                    ),
-                )
+            s = t
             if lower:
                 s = s.casefold()
-            return s
+            if strip_accents:
+                s = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", s)
+                    if unicodedata.category(ch) != "Mn"
+                )
+            return unicodedata.normalize(form, s)
 
         return batch.map(one)
 

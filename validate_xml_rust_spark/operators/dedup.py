@@ -469,11 +469,16 @@ def quality_keepers(
     sc = scored.select(
         F.col(id_col).alias("id"), F.col(score_col).alias("__s")
     )
-    j = comp.join(sc, "id")
+    # LEFT join + null-safe max match: a member missing from ``scored``
+    # (or carrying a NULL score) must still participate — with NULL
+    # treated as the worst score. An all-NULL component would otherwise
+    # produce NO keeper row (max = NULL, __s == NULL never true) and
+    # every duplicate in it would silently survive the dedup.
+    j = comp.join(sc, "id", "left")
     mx = j.groupBy("component").agg(F.max("__s").alias("__mx"))
     kp = (
         j.join(mx, "component")
-        .filter(F.col("__s") == F.col("__mx"))
+        .filter(F.col("__s").eqNullSafe(F.col("__mx")))
         .groupBy("component")
         .agg(F.min("id").alias("keeper"))
     )

@@ -58,6 +58,26 @@ def pack_shard(id_col: str, n_shards: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(id_col), F.lit(13)), F.lit(n_shards)).cast("int")
 
 
+def _split_scorable(frame: DataFrame, id_col: str):
+    """The pipeline's id contract in one place: rows with a UNIQUE
+    non-NULL id are scorable/selectable; NULL-id and duplicate-id rows
+    pass through the step verbatim (scoring operators key on the id, so
+    a NULL would silently drop and a dup would blend bags or
+    cross-multiply on the join back). Returns (scorable, passthrough),
+    both with the original schema."""
+    id_n = (
+        frame.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__idn"))
+    )
+    counted = frame.join(id_n, id_col, "left")
+    scorable = counted.filter(F.col("__idn") == 1).drop("__idn")
+    passthrough = counted.filter(
+        F.col(id_col).isNull() | (F.col("__idn") > 1)
+    ).drop("__idn")
+    return scorable, passthrough
+
+
 def curate(
     df: DataFrame,
     spark: SparkSession,
@@ -342,16 +362,7 @@ def curate(
             raise ValueError("max_log_ppl requires lm_ref (reference corpus)")
         from validate_xml_rust_spark.operators.textstats import lm_perplexity
 
-        lm_id_n = (
-            cur.filter(F.col(id_col).isNotNull())
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__idn"))
-        )
-        lm_counted = cur.join(lm_id_n, id_col, "left")
-        lm_scorable = lm_counted.filter(F.col("__idn") == 1).drop("__idn")
-        lm_pass = lm_counted.filter(
-            F.col(id_col).isNull() | (F.col("__idn") > 1)
-        ).drop("__idn")
+        lm_scorable, lm_pass = _split_scorable(cur, id_col)
         scores = lm_perplexity(
             lm_scorable, lm_ref, id_col=id_col, text_col=text_col
         )
@@ -379,21 +390,28 @@ def curate(
             perplexity_buckets,
         )
 
-        pb_id_n = (
-            cur.filter(F.col(id_col).isNotNull())
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__idn"))
-        )
-        pb_counted = cur.join(pb_id_n, id_col, "left")
-        pb_scorable = pb_counted.filter(F.col("__idn") == 1).drop("__idn")
-        pb_pass = pb_counted.filter(
-            F.col(id_col).isNull() | (F.col("__idn") > 1)
-        ).drop("__idn")
+        pb_scorable, pb_pass = _split_scorable(cur, id_col)
+        # NULL group values would never equi-join their cut row and
+        # land in 'tail' (perplexity_buckets' documented behavior) —
+        # here that would silently DROP every NULL-group doc. Coalesce
+        # to a sentinel label so NULL-group docs form their own tercile
+        # population instead.
+        pb_group = None
+        if lm_bucket_group is not None:
+            pb_group = "__pbg"
+            pb_scorable = pb_scorable.withColumn(
+                pb_group,
+                F.coalesce(
+                    F.col(lm_bucket_group).cast("string"), F.lit("__null__")
+                ),
+            )
         pb_handles: dict = {}
         pb = perplexity_buckets(
             pb_scorable, lm_ref, id_col=id_col, text_col=text_col,
-            group_col=lm_bucket_group, handles=pb_handles,
+            group_col=pb_group, handles=pb_handles,
         )
+        if pb_group is not None:
+            pb_scorable = pb_scorable.drop(pb_group)
         ok_b = pb.filter(
             F.col("ppl_bucket").isNull()
             | F.col("ppl_bucket").isin(*sorted(lm_keep_buckets))
@@ -422,16 +440,7 @@ def curate(
         # here; step schema is unchanged.
         from validate_xml_rust_spark.operators.curation import dsir_resample
 
-        ds_id_n = (
-            cur.filter(F.col(id_col).isNotNull())
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__idn"))
-        )
-        ds_counted = cur.join(ds_id_n, id_col, "left")
-        ds_scorable = ds_counted.filter(F.col("__idn") == 1).drop("__idn")
-        ds_pass = ds_counted.filter(
-            F.col(id_col).isNull() | (F.col("__idn") > 1)
-        ).drop("__idn")
+        ds_scorable, ds_pass = _split_scorable(cur, id_col)
         cur = log(
             "dsir_select",
             dsir_resample(
@@ -475,13 +484,20 @@ def curate(
         packs, pack_ids = eager_checkpoint(
             pack_sequences(with_tokens, pack_max_tokens, id_col=id_col)
         )
-        # one bounded aggregate over the materialized pack blocks: pack
+        # two-level aggregate over the materialized pack blocks: pack
         # count + mean fill ratio (Σ tokens / (n_packs · budget) — the
-        # batch-efficiency number a training run actually cares about)
-        pstats = packs.agg(
-            F.countDistinct("pack_id").alias("np"),
-            F.sum("n_tokens").alias("tok"),
-        ).collect()[0]
+        # batch-efficiency number a training run actually cares about).
+        # Per-pack partials first — countDistinct alongside sum in one
+        # agg would force the two-phase Expand rewrite (repo rule).
+        pstats = (
+            packs.groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("__t"))
+            .agg(
+                F.count(F.lit(1)).alias("np"),
+                F.sum("__t").alias("tok"),
+            )
+            .collect()[0]
+        )
         n_packs = int(pstats["np"] or 0)
         steps.append(
             {
