@@ -898,3 +898,37 @@ def test_quality_keepers_null_scores(spark):
     )
     got = {r["id"]: r["keeper"] for r in quality_keepers(comp, scored).collect()}
     assert got == {0: 0, 1: 0, 7: 8, 8: 8}
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    from validate_xml_rust_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_near_duplicates,
+    )
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 400, n_partitions=8)
+    out = leakage_safe_split(
+        docs, {"train": 0.7, "val": 0.15, "test": 0.15}, threshold=0.6
+    )
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == 400
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    # the core property: no near-dup pair straddles two splits
+    pairs = minhash_near_duplicates(docs, threshold=0.6).collect()
+    assert len(pairs) > 0  # the planted corpus has near-dups
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]], p
+    # deterministic across runs and partitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs.repartition(3), {"train": 0.7, "val": 0.15, "test": 0.15},
+            threshold=0.6,
+        ).select("doc_id", "split").collect()
+    }
+    assert again == split_of
+    # rough proportions
+    n_train = sum(1 for v in split_of.values() if v == "train")
+    assert 0.55 < n_train / 400 < 0.85

@@ -560,6 +560,79 @@ def near_dedup(
     return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    seed: str = "split",
+    stats: dict | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Deterministic train/val/test splitting that cannot leak through
+    near-duplicates: every near-dup COMPONENT draws one md5 ticket (on
+    its component label) and lands atomically in one split, so a test
+    document can never have a near-copy in train — the classic
+    eval-contamination pitfall a per-document split has. Docs in no
+    component draw on their own id.
+
+    ``weights`` maps split name → fraction (must sum to ~1); assignment
+    is by cumulative ticket thresholds in sorted-name order, so
+    membership is reproducible across runs, partitionings, and engines
+    (the ticket arithmetic is the hash_sample one, SQL-restatable).
+    Output: the input rows + ``split string``. NULL-id rows draw on a
+    NULL key → NULL ticket → the FIRST split in sorted order (never
+    silently dropped; route them upstream if that matters).
+
+    Scale shape: the component labeling covers only the near-dup
+    subgraph (minhash pairs → pointer-jumping CC, both gated); the
+    label map is dup-subgraph-sized and joins back as the broadcast(or
+    SMJ) side; the split decision is a stateless per-row predicate.
+    Pass a ``stats`` dict and release ``stats['ckpt_block_ids']`` once
+    downstream has materialized (same contract as near_dedup)."""
+    from validate_xml_rust_spark.ckpt import (
+        block_ids_of,
+        eager_checkpoint,
+        release_blocks,
+    )
+    from validate_xml_rust_spark.operators.curation import (
+        TICKET_SPACE,
+        sample_ticket,
+    )
+
+    total = float(sum(weights.values()))
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, threshold=threshold, eager=True, **minhash_kwargs
+    )
+    comp = connected_components(pairs)
+    labels, label_ids = eager_checkpoint(
+        comp.select(F.col("id").alias("__lid"), F.col("component").alias("__comp"))
+    )
+    if stats is not None:
+        stats["ckpt_block_ids"] = label_ids
+    release_blocks(
+        df.sparkSession.sparkContext, block_ids_of(pairs) | block_ids_of(comp)
+    )
+    key = F.coalesce(F.col("__comp"), F.col(id_col).cast("long"))
+    tick = sample_ticket(key, seed)
+    acc = 0.0
+    split_col: Column = F.lit(sorted(weights)[0])
+    for name in sorted(weights):
+        if acc > 0.0:
+            split_col = F.when(
+                tick >= int(acc * TICKET_SPACE), F.lit(name)
+            ).otherwise(split_col)
+        acc += weights[name]
+    return (
+        df.join(labels, df[id_col] == F.col("__lid"), "left")
+        .withColumn("split", split_col)
+        .drop("__lid", "__comp")
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen: DataFrame,

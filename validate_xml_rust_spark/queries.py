@@ -3777,6 +3777,81 @@ ORDER BY dsir_score DESC, doc_id LIMIT 150
 """
 
 
+# the brute-force Jaccard pairs → transitive closure → component labels
+# over the committed 600-doc snapshot — the shared prefix of every
+# component-derived oracle (labels, quality keepers, leakage splits)
+_ORACLE_CC_LABELS = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) >= 3 THEN
+                list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.6),
+e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+lab AS (
+  SELECT s AS id, CAST(least(s, min(d)) AS BIGINT) AS component
+  FROM reach GROUP BY s)"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting (dedup.leakage_safe_split):
+    near-dup components over the planted 600-doc corpus draw ONE ticket
+    each, so no near-copy pair straddles splits. The oracle re-derives
+    the closure labels (shared CC prefix), each doc's component-or-own
+    draw key, the md5 ticket, and the cumulative-threshold assignment
+    from scratch."""
+    from validate_xml_rust_spark.ckpt import release_blocks
+    from validate_xml_rust_spark.operators.dedup import leakage_safe_split
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 600, n_partitions=8)
+    st: dict = {}
+    out = leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        threshold=0.6, stats=st,
+    ).select("doc_id", "split")
+    from validate_xml_rust_spark.ckpt import eager_checkpoint
+
+    out, _ = eager_checkpoint(out)
+    release_blocks(spark.sparkContext, st.get("ckpt_block_ids", frozenset()))
+    return out
+
+
+# cumulative thresholds in sorted-name order: test [0,.1), train [.1,.9),
+# val [.9,1) — mirrored from the operator's sorted(weights) chain
+ORACLE_LEAKAGE_SPLIT = rf"""{_ORACLE_CC_LABELS},
+alldocs AS (SELECT doc_id FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+keyed AS (
+  SELECT d.doc_id, coalesce(lab.component, d.doc_id) AS k
+  FROM alldocs d LEFT JOIN lab ON lab.id = d.doc_id),
+tk AS (
+  SELECT doc_id,
+         CAST({_oracle_mix_ticket("CAST(k AS VARCHAR)", "split")} AS BIGINT) AS t
+  FROM keyed)
+SELECT doc_id,
+       CASE WHEN t >= {int(0.9 * (1 << 32))} THEN 'val'
+            WHEN t >= {int(0.1 * (1 << 32))} THEN 'train'
+            ELSE 'test' END AS split
+FROM tk
+"""
+
+
 def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed sampling, flat 25% + per-lang
     stratified rates + weighted mixture composition with upsampling
@@ -3800,7 +3875,13 @@ def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dsir").alias("variant"), "doc_id", "lang", null_epoch,
         F.col("dsir_score").alias("score"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # leakage-safe split rides the lang slot with its split label (the
+    # suite's string payload column) over the planted 600-doc corpus
+    e = q_leakage_split(spark, sf_dir).select(
+        F.lit("leak_split").alias("variant"), "doc_id",
+        F.col("split").alias("lang"), null_epoch, null_score,
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 ORACLE_CONTENT_SAMPLE = (
@@ -3826,6 +3907,12 @@ ORACLE_CONTENT_SAMPLE = (
         "dsir",
         "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS epoch, "
         f"dsir_score AS score FROM ({ORACLE_DSIR_SAMPLE})",
+    )
+    + "\nUNION ALL\n"
+    + _wrap_variant(
+        "leak_split",
+        "SELECT doc_id, split AS lang, CAST(NULL AS BIGINT) AS epoch, "
+        f"CAST(NULL AS DOUBLE) AS score FROM ({ORACLE_LEAKAGE_SPLIT})",
     )
 )
 
@@ -4350,33 +4437,9 @@ def q_near_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NEAR_DEDUP_COMPONENTS = rf"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
-                     x -> length(x) > 0) AS w
-  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(w) = 0 THEN []
-              WHEN len(w) >= 3 THEN
-                list_distinct(list_transform(range(1, len(w) - 1),
-                              i -> array_to_string(w[i:i+2], ' ')))
-              ELSE [array_to_string(w, ' ')] END AS s
-  FROM toks),
-p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.6),
-e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-reach(s, d) AS (
-  SELECT s, d FROM e
-  UNION
-  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
-lab AS (
-  SELECT s AS id, CAST(least(s, min(d)) AS BIGINT) AS component
-  FROM reach GROUP BY s),
+
+
+ORACLE_NEAR_DEDUP_COMPONENTS = rf"""{_ORACLE_CC_LABELS},
 ln2 AS (
   SELECT doc_id AS id, length(coalesce(text, '')) AS sc
   FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
@@ -4392,6 +4455,8 @@ SELECT 'min_label' AS variant, id, component FROM lab
 UNION ALL
 SELECT 'quality_keeper', lab.id, kp2.keeper FROM lab JOIN kp2 USING (component)
 """
+
+
 
 
 QUERIES = {
