@@ -111,3 +111,84 @@ def test_quarantine_split_routes_and_writes(spark, tmp_path):
     # partitioned by status -> pruned read path
     import os
     assert any(d.startswith("status=") for d in os.listdir(qdir))
+
+
+def test_shard_assignments_deterministic_and_bounded(spark):
+    from validate_xml_rust_spark.operators.outputs import shard_assignments
+
+    rows = [(i, "x" * (10 + i % 40)) for i in range(400)] + [(None, "nullid")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_tokens", F.length("text")
+    )
+    a, n = shard_assignments(df, tokens_per_shard=1500)
+    total = sum(10 + i % 40 for i in range(400)) + 6
+    assert n == -(-total // 1500)
+    got = {r["doc_id"]: r["shard_id"] for r in a.collect()}
+    # every shard id in range; NULL id -> shard 0, never dropped
+    assert all(0 <= s < n for s in got.values())
+    assert got[None] == 0
+    # deterministic across a different partitioning
+    b, n2 = shard_assignments(df.repartition(7), tokens_per_shard=1500)
+    assert n2 == n
+    assert {r["doc_id"]: r["shard_id"] for r in b.collect()} == got
+    # pinned n_shards path skips the counting pass and respects the pin
+    c, n3 = shard_assignments(df, n_shards=3)
+    assert n3 == 3
+    assert all(0 <= r["shard_id"] < 3 for r in c.collect())
+
+
+def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    from validate_xml_rust_spark.operators.outputs import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " * (1 + i % 5)) for i in range(300)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.length("text"))
+    out = str(tmp_path / "train")
+    manifest = write_training_shards(df, out, tokens_per_shard=2000)
+    m = {r["shard_id"]: r for r in manifest.collect()}
+    import os
+
+    # layout: one parquet file per shard directory (repartitioned write)
+    sdirs = [d for d in os.listdir(f"{out}/shards") if d.startswith("shard_id=")]
+    assert len(sdirs) == len(m)
+    for d in sdirs:
+        parts = [
+            f for f in os.listdir(f"{out}/shards/{d}") if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"{d} has {len(parts)} files"
+    # read-back equals input; per-shard counts match the manifest
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == 300
+    per = {
+        r["shard_id"]: (r["nd"], r["nt"])
+        for r in back.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("n_tokens").alias("nt"))
+        .collect()
+    }
+    assert per == {k: (v["n_docs"], v["n_tokens"]) for k, v in m.items()}
+    # manifest sink agrees with the returned frame, checksum included
+    stored = spark.read.parquet(f"{out}/manifest")
+    assert {
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["content_sum"])
+        for r in stored.collect()
+    } == {(k, v["n_docs"], v["n_tokens"], v["content_sum"]) for k, v in m.items()}
+    # checksum is content-sensitive: perturbing one doc's text moves
+    # exactly that doc's shard checksum, counts unchanged
+    df2 = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    from validate_xml_rust_spark.operators.outputs import shard_assignments
+
+    s2, _ = shard_assignments(df2, tokens_per_shard=2000)
+    m2 = {
+        r["shard_id"]: r for r in shard_manifest(s2, 2000).collect()
+    }
+    changed = [k for k in m if m[k]["content_sum"] != m2[k]["content_sum"]]
+    hit = s2.filter(F.col("doc_id") == 7).collect()[0]["shard_id"]
+    assert changed == [hit]
+    assert all(m[k]["n_docs"] == m2[k]["n_docs"] for k in m)

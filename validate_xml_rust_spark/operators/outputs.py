@@ -73,6 +73,140 @@ def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
     return q.select(*keep)
 
 
+def shard_assignments(
+    df: DataFrame,
+    tokens_per_shard: int | None = None,
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seed: str = "shards",
+) -> tuple[DataFrame, int]:
+    """Deterministic token-budgeted shard assignment — the last-mile step
+    before training: each doc draws its md5 sampling ticket on ``id`` and
+    lands in ``floor(ticket · n_shards / 2³²)``, i.e. equal-width ticket
+    intervals. Assignment is therefore a stateless per-row expression:
+    reproducible across runs, partitionings, retries, and engines (the
+    same ticket arithmetic as curation.hash_sample), and docs never move
+    between shards when UPSTREAM rows change — only when n_shards does.
+
+    ``n_shards`` is taken directly or derived as
+    ``ceil(Σ tokens / tokens_per_shard)`` (one aggregate pass; the only
+    full-corpus dependence, and the reason assignment is split from the
+    write — callers doing incremental appends pass a pinned n_shards).
+    Token-balance across shards is law-of-large-numbers (each shard is a
+    uniform 1/n sample of docs): at 10⁴+ docs/shard the spread is ~1%,
+    with no global sort and no sequential fold.
+
+    NULL ids draw a NULL ticket → shard 0 (kept, not dropped; route
+    upstream if NULL ids need quarantining instead). Returns
+    ``(df + shard_id bigint, n_shards)``.
+    """
+    from validate_xml_rust_spark.operators.curation import (
+        TICKET_SPACE,
+        sample_ticket,
+    )
+
+    if n_shards is None:
+        if tokens_per_shard is None or tokens_per_shard <= 0:
+            raise ValueError("pass tokens_per_shard > 0 or n_shards")
+        total = df.agg(
+            F.sum(F.coalesce(F.col(tokens_col), F.lit(0)).cast("long"))
+        ).collect()[0][0] or 0
+        n_shards = max(1, -(-int(total) // int(tokens_per_shard)))
+    tick = F.coalesce(
+        sample_ticket(F.col(id_col), seed), F.lit(0).cast("long")
+    )
+    shard = F.floor(tick * F.lit(int(n_shards)) / F.lit(TICKET_SPACE))
+    return df.withColumn("shard_id", shard.cast("long")), int(n_shards)
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    content_col: str = "text",
+    seed: str = "shardsum",
+) -> DataFrame:
+    """Per-shard manifest for a sharded training set: doc count, token
+    count, fill ratio against the budget, and an ORDER-INDEPENDENT
+    content checksum — the sum of each doc's md5-derived 32-bit value of
+    ``id:content`` — so a consumer (or a later re-shard) can verify a
+    shard's contents without re-reading payload bytes in a fixed order.
+    One hash aggregation on the uniform shard key; partials merge
+    map-side, so the manifest costs one scan at any corpus size.
+
+    Output: ``shard_id, n_docs, n_tokens, fill_ratio, content_sum`` —
+    every column re-derivable in ANSI SQL (the checksum is exact-integer
+    arithmetic: ≤2³² per doc, bigint-summed)."""
+    from validate_xml_rust_spark.operators.curation import sample_ticket
+
+    doc_fp = sample_ticket(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.coalesce(F.col(content_col).cast("string"), F.lit("")),
+        ),
+        seed,
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.coalesce(F.col(tokens_col), F.lit(0)).cast("long")
+            ).alias("n_tokens"),
+            F.sum(doc_fp).alias("content_sum"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("n_tokens") / F.lit(float(tokens_per_shard)), 6),
+        )
+        .select("shard_id", "n_docs", "n_tokens", "fill_ratio", "content_sum")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    content_col: str = "text",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write a curated corpus as token-budgeted training shards plus a
+    manifest: ``out_dir/shards/shard_id=K/`` parquet (one file per shard
+    — rows are repartitioned BY the shard column first, so the write
+    does not fan every task out into every shard directory) and
+    ``out_dir/manifest/`` with the per-shard summary. Rows are sorted by
+    id within each shard so shard files are byte-reproducible run over
+    run. Returns the manifest frame (read it back from the sink for
+    audits; returning it saves the round-trip in-session)."""
+    sharded, n_shards = shard_assignments(
+        df,
+        tokens_per_shard=tokens_per_shard,
+        id_col=id_col,
+        tokens_col=tokens_col,
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", id_col)
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(f"{out_dir}/shards")
+    )
+    manifest = shard_manifest(
+        sharded,
+        tokens_per_shard,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        content_col=content_col,
+    )
+    manifest.write.mode(mode).parquet(f"{out_dir}/manifest")
+    return manifest
+
+
 def quarantine_split(
     verdicts: DataFrame,
     keep_statuses: tuple[str, ...] = ("valid", "skipped"),

@@ -2637,22 +2637,85 @@ FROM r
 """
 
 
+_SHARD_BUDGET = 10_000  # chars-as-tokens per training shard in the gate
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-shard manifest (outputs.shard_assignments
+    + shard_manifest — the write-side sink's arithmetic, gated without
+    the filesystem): n_shards = ceil(Σ n_chars / budget); each doc lands
+    in floor(md5-ticket · n / 2³²); the manifest re-aggregates doc/token
+    counts, the fill ratio, and the order-independent md5-32 content
+    checksum. The oracle re-derives the ticket nibble-by-nibble and the
+    integer-exact shard count."""
+    from validate_xml_rust_spark.operators.outputs import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded, _n = shard_assignments(
+        docs, tokens_per_shard=_SHARD_BUDGET, tokens_col="n_chars"
+    )
+    m = shard_manifest(sharded, _SHARD_BUDGET, tokens_col="n_chars")
+    # suite-compat: the pack variants carry int32 n_tokens; per-shard
+    # char sums are bounded by ~2·budget at any sf, so int is exact
+    return m.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+ORACLE_TRAINING_SHARDS = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(coalesce(n_chars, 0) AS BIGINT) AS tok
+  FROM documents),
+n AS (SELECT (sum(tok) + {_SHARD_BUDGET - 1}) // {_SHARD_BUDGET} AS n_shards
+      FROM base),
+assigned AS (
+  SELECT doc_id, text, tok,
+         CAST(floor({_oracle_mix_ticket("CAST(doc_id AS VARCHAR)", "shards")}
+              * (SELECT n_shards FROM n) / 4294967296.0) AS BIGINT) AS shard_id
+  FROM base)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS INT) AS n_tokens,
+       round(sum(tok) / {float(_SHARD_BUDGET)}, 6) AS fill_ratio,
+       CAST(sum({_oracle_mix_ticket(
+           "CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')",
+           "shardsum")}) AS BIGINT) AS content_sum
+FROM assigned
+GROUP BY shard_id
+"""
+
+
 def q_pack_sequences_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both packing budget domains, one gate: characters-as-tokens over
-    the sf documents table and BPE subwords over the fixture corpus."""
+    """The trainer-facing budget arithmetic, one gate: greedy packing in
+    characters-as-tokens (sf documents) and BPE subwords (fixture
+    corpus), plus the training-shard manifest (deterministic shard
+    assignment + order-independent checksums)."""
     a = q_pack_sequences(spark, sf_dir).withColumn("variant", F.lit("chars"))
     b = q_pack_sequences_bpe(spark, sf_dir).withColumn("variant", F.lit("bpe"))
-    return a.unionByName(b)
+    c = q_training_shards(spark, sf_dir).withColumn("variant", F.lit("shards"))
+    return a.unionByName(b).unionByName(c, allowMissingColumns=True)
 
+
+_PACK_NULLS = (
+    "CAST(NULL AS BIGINT) AS shard_id, CAST(NULL AS BIGINT) AS n_docs, "
+    "CAST(NULL AS DOUBLE) AS fill_ratio, CAST(NULL AS BIGINT) AS content_sum"
+)
 
 # (_wrap_variant is defined further down the module — inline form here)
 ORACLE_PACK_SEQUENCES_SUITE = f"""
-SELECT 'chars' AS variant, t.* FROM (
+SELECT 'chars' AS variant, t.*, {_PACK_NULLS} FROM (
 {ORACLE_PACK_SEQUENCES}
 ) t
 UNION ALL
-SELECT 'bpe' AS variant, t.* FROM (
+SELECT 'bpe' AS variant, t.*, {_PACK_NULLS} FROM (
 {ORACLE_PACK_SEQUENCES_BPE}
+) t
+UNION ALL
+SELECT 'shards' AS variant, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS INT) AS partition_id, CAST(NULL AS BIGINT) AS pack_id,
+       t.n_tokens, t.shard_id, t.n_docs, t.fill_ratio, t.content_sum FROM (
+{ORACLE_TRAINING_SHARDS}
 ) t
 """
 
