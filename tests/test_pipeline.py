@@ -543,3 +543,58 @@ def test_curate_ppl_bucket_filter_null_group_kept(spark):
     # head) instead of being silently forced into 'tail' and dropped
     assert 10 in kept
     assert set(res.kept.columns) == {"doc_id", "text", "lang"}
+
+
+def test_curate_presets(spark):
+    """Named recipe presets resolve to the documented step chains and
+    run end-to-end; overrides layer on top; ccnet demands lm_ref."""
+    import pytest
+
+    from validate_xml_rust_spark.pipeline import CURATE_PRESETS, preset_kwargs
+
+    docs = synthetic_documents(spark, 120, 4)
+
+    res = curate(docs, spark, **preset_kwargs("gopher"))
+    g_steps = [s["step"] for s in res.report["steps"]]
+    assert g_steps == [
+        "exact_dedup", "near_dedup", "repetition_filter", "gopher_filter",
+    ]
+    res.release()
+
+    res = curate(docs, spark, **preset_kwargs("c4"))
+    c_steps = [s["step"] for s in res.report["steps"]]
+    assert c_steps == ["normalize", "exact_dedup", "excise_passages", "c4_clean"]
+    res.release()
+
+    # overrides win over the preset's values
+    kw = preset_kwargs("gopher", near_dup_threshold=None, sample_rate=0.5)
+    assert kw["near_dup_threshold"] is None
+    res = curate(docs, spark, **kw)
+    assert [s["step"] for s in res.report["steps"]] == [
+        "exact_dedup", "repetition_filter", "gopher_filter", "sample",
+    ]
+    res.release()
+
+    # ccnet needs a reference corpus: error without, runs with
+    with pytest.raises(ValueError, match="lm_ref"):
+        preset_kwargs("ccnet")
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat and the dog sat on the rug",)],
+        "text string",
+    )
+    # ccnet terciles are grouped per language (the preset's
+    # lm_bucket_group="lang"), so the corpus carries a lang column
+    docs_l = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    res = curate(docs_l, spark, **preset_kwargs("ccnet", lm_ref=ref))
+    assert "ppl_bucket_filter" in [s["step"] for s in res.report["steps"]]
+    res.release()
+
+    with pytest.raises(KeyError, match="unknown preset"):
+        preset_kwargs("nope")
+    # every registered preset resolves (no stale knob names)
+    sig_params = set(curate.__code__.co_varnames[: curate.__code__.co_argcount])
+    for name in CURATE_PRESETS:
+        for k in CURATE_PRESETS[name]:
+            assert k in sig_params, f"{name}: unknown curate() kwarg {k}"

@@ -52,6 +52,71 @@ class CurationResult:
             release_blocks(self.kept.sparkSession.sparkContext, self._block_ids)
 
 
+# Named pipeline presets — the published web-text curation recipes as
+# curate(**kwargs) configurations, so a user runs the recipe by name
+# instead of re-deriving knob values from the papers. Each maps to the
+# already-gated steps; exact_dedup always runs first (curate's contract).
+# The values are the published ones: C4's ≥3-line page gate (Raffel et
+# al. 2020 §2.2) with span-level dedup realized as ≥50-token passage
+# excision (Lee et al. 2021's recommended run length); Gopher's 50-word
+# floor, 0.2 repetition flag, and MassiveText's 0.8-Jaccard MinHash
+# dedup (Rae et al. 2021 A1.1); CCNet's keep-head+middle perplexity
+# terciles per language group (Wenzek et al. 2019 §4); "web" composes
+# the C4 line cleaning, Gopher heuristics, and MinHash dedup the way the
+# public FineWeb/RefinedWeb-style pipelines chain them.
+CURATE_PRESETS: dict[str, dict] = {
+    "c4": {
+        "normalize_form": "NFC",
+        "near_dup_threshold": None,
+        "c4_min_lines": 3,
+        "excise_min_run": 50,
+    },
+    "gopher": {
+        "near_dup_threshold": 0.8,
+        "gopher_min_words": 50,
+        "max_repetition": 0.2,
+    },
+    "ccnet": {
+        "normalize_form": "NFC",
+        "near_dup_threshold": None,
+        "lm_keep_buckets": frozenset({"head", "middle"}),
+        "lm_bucket_group": "lang",
+    },
+    "web": {
+        "normalize_form": "NFC",
+        "near_dup_threshold": 0.8,
+        "c4_min_lines": 3,
+        "gopher_min_words": 50,
+        "max_repetition": 0.2,
+    },
+}
+
+# preset knobs whose step cannot run without a caller-supplied frame
+_PRESET_REQUIRES: dict[str, tuple[str, ...]] = {
+    "ccnet": ("lm_ref",),
+}
+
+
+def preset_kwargs(name: str, **overrides) -> dict:
+    """Kwargs for ``curate()`` implementing the named published recipe;
+    explicit ``overrides`` win over the preset's values (so
+    ``curate(df, spark, **preset_kwargs("gopher", sample_rate=0.1))``
+    layers a sample on top of the Gopher pack). Raises KeyError listing
+    the known names for a typo, and ValueError when a preset needs a
+    frame the caller didn't supply (ccnet's ``lm_ref``)."""
+    if name not in CURATE_PRESETS:
+        raise KeyError(
+            f"unknown preset {name!r}; known: {sorted(CURATE_PRESETS)}"
+        )
+    kwargs = {**CURATE_PRESETS[name], **overrides}
+    missing = [
+        k for k in _PRESET_REQUIRES.get(name, ()) if kwargs.get(k) is None
+    ]
+    if missing:
+        raise ValueError(f"preset {name!r} requires {missing}")
+    return kwargs
+
+
 def pack_shard(id_col: str, n_shards: int) -> F.Column:
     """Deterministic packing shard: content hash of the doc id, so pack_id
     assignment survives repartitioning, AQE, retries, and engine swaps."""
