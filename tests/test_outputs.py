@@ -192,3 +192,72 @@ def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
     hit = s2.filter(F.col("doc_id") == 7).collect()[0]["shard_id"]
     assert changed == [hit]
     assert all(m[k]["n_docs"] == m2[k]["n_docs"] for k in m)
+
+
+def test_append_training_shards_incremental(spark, tmp_path):
+    from validate_xml_rust_spark.operators.outputs import (
+        append_training_shards,
+        shard_assignments,
+        shard_manifest,
+        write_training_shards,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"doc {i} body " * (1 + i % 5)) for i in range(lo, hi)],
+            "doc_id long, text string",
+        ).withColumn("n_tokens", F.length("text"))
+
+    out = str(tmp_path / "train")
+    m0 = write_training_shards(mk(0, 300), out, tokens_per_shard=2000)
+    n0 = int(m0.select("n_shards").first()["n_shards"])
+    import os
+
+    def file_listing():
+        got = {}
+        for d in os.listdir(f"{out}/shards"):
+            if d.startswith("shard_id="):
+                got[d] = sorted(
+                    f
+                    for f in os.listdir(f"{out}/shards/{d}")
+                    if f.endswith(".parquet")
+                )
+        return got
+
+    before = file_listing()
+    batch = mk(300, 340)
+    m1 = append_training_shards(batch, out, tokens_per_shard=2000)
+    # n_shards pinned: existing docs never moved shards
+    assert {int(r["n_shards"]) for r in m1.collect()} == {n0}
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == 340
+    # assignment identical to a pinned-n assignment over the union
+    expect, _ = shard_assignments(mk(0, 340), n_shards=n0)
+    exp = {r["doc_id"]: r["shard_id"] for r in expect.collect()}
+    assert {r["doc_id"]: r["shard_id"] for r in back.collect()} == exp
+    # untouched shard directories kept their exact files (no rewrite)
+    touched = {
+        f"shard_id={r['shard_id']}"
+        for r in shard_assignments(batch, n_shards=n0)[0]
+        .select("shard_id")
+        .distinct()
+        .collect()
+    }
+    after = file_listing()
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched {d} was rewritten"
+    # refreshed manifest == a from-scratch manifest over the union
+    fresh = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["content_sum"])
+        for r in shard_manifest(expect, 2000).collect()
+    }
+    assert {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["content_sum"])
+        for r in m1.collect()
+    } == fresh
+    # empty batch: no-op, same manifest back
+    m2 = append_training_shards(
+        mk(0, 0), out, tokens_per_shard=2000
+    )
+    assert m2.count() == m1.count()

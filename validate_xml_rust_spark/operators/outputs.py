@@ -203,8 +203,97 @@ def write_training_shards(
         tokens_col=tokens_col,
         content_col=content_col,
     )
+    # n_shards rides the manifest so appends can pin it (shards empty at
+    # write time have no manifest row to count)
+    manifest = manifest.withColumn("n_shards", F.lit(n_shards).cast("long"))
     manifest.write.mode(mode).parquet(f"{out_dir}/manifest")
     return manifest
+
+
+def append_training_shards(
+    new_df: DataFrame,
+    out_dir: str,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    content_col: str = "text",
+) -> DataFrame:
+    """Append a new batch to an existing sharded training set WITHOUT
+    rewriting the corpus: n_shards is pinned from the stored manifest
+    (assignment is a pure function of id and n_shards, so existing docs
+    never move), only the shard directories that receive new docs are
+    rewritten (dynamic partition overwrite — untouched shard files stay
+    byte-identical on disk), and the manifest is refreshed to the new
+    totals. At 10^12 docs an append touches O(min(batch, n_shards))
+    partitions, not the corpus.
+
+    Appending drifts ``fill_ratio`` upward (the budget denominator is
+    fixed); consumers re-shard with ``write_training_shards`` when the
+    manifest says fill has outgrown the budget. Duplicate ids between
+    batch and corpus are NOT collapsed here — run incremental_dedup
+    upstream; a dup lands (deterministically) in its shard twice.
+
+    Returns the refreshed full manifest."""
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+
+    spark = new_df.sparkSession
+    spark.catalog.refreshByPath(f"{out_dir}/manifest")
+    prior = spark.read.parquet(f"{out_dir}/manifest")
+    n_shards = int(prior.select("n_shards").first()["n_shards"])
+    assigned, _ = shard_assignments(
+        new_df, n_shards=n_shards, id_col=id_col, tokens_col=tokens_col
+    )
+    touched = [
+        r["shard_id"] for r in assigned.select("shard_id").distinct().collect()
+    ]
+    if not touched:  # empty batch: nothing to rewrite
+        return prior
+    # the rewrite READS the shard dirs it is about to overwrite — the
+    # combined rows must be materialized (checkpoint blocks) before the
+    # write starts deleting source files
+    spark.catalog.refreshByPath(f"{out_dir}/shards")
+    old_touched = spark.read.parquet(f"{out_dir}/shards").filter(
+        F.col("shard_id").isin(touched)
+    )
+    cols = [c for c in old_touched.columns]
+    combined, blocks = eager_checkpoint(
+        old_touched.unionByName(assigned.select(*cols))
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            combined.repartition(len(touched), F.col("shard_id"))
+            .sortWithinPartitions("shard_id", id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{out_dir}/shards")
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    refreshed = shard_manifest(
+        combined,
+        tokens_per_shard,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        content_col=content_col,
+    )
+    manifest = (
+        prior.filter(~F.col("shard_id").isin(touched))
+        .drop("n_shards")
+        .unionByName(refreshed)
+        .withColumn("n_shards", F.lit(n_shards).cast("long"))
+    )
+    # the manifest overwrite also reads its own prior generation
+    manifest, mblocks = eager_checkpoint(manifest)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    release_blocks(spark.sparkContext, blocks | mblocks)
+    # re-read from the sink: the checkpoint frames above just had their
+    # blocks released, so they must not escape to the caller
+    spark.catalog.refreshByPath(f"{out_dir}/manifest")
+    return spark.read.parquet(f"{out_dir}/manifest")
 
 
 def quarantine_split(
