@@ -436,3 +436,36 @@ def test_c4_constraint_kind(spark):
     # NULL text passes — not_null owns null-ness
     nul = _verdict(spark, ("https://a/3", None, b"x", None, "en"), reg)
     assert nul["status"] == "valid"
+
+
+def test_corpus_datasheet(spark):
+    from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+    rows = (
+        [(i, "hello world " * (1 + i % 3), "en", "web") for i in range(6)]
+        + [(10 + i, "bonjour", "fr", "web") for i in range(3)]
+        + [(20, None, None, "books")]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ds = corpus_datasheet(df, probabilities=(0.5,))
+    got = {
+        (r["section"], r["key"], r["metric"]): r["value"] for r in ds.collect()
+    }
+    assert got[("corpus", "*", "n_docs")] == 10.0
+    assert got[("lang", "en", "n_docs")] == 6.0
+    assert got[("lang", "en", "share")] == 0.6
+    # NULL group value is its own key, not merged into the ()-row
+    assert got[("lang", "__null__", "n_docs")] == 1.0
+    assert got[("lang", "__null__", "null_text_frac")] == 1.0
+    assert got[("source", "web", "n_docs")] == 9.0
+    assert ("corpus", "*", "share") not in got  # definitionally 1, elided
+    assert ("length", "0.5", "n_chars_pct") in got
+    # ONE grouping-sets aggregation feeds every group section: exactly
+    # one Expand in the plan, and no second scan for the share total
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    expand_nodes = [
+        ln for ln in plan.splitlines() if ln.lstrip(" :+-").startswith("Expand")
+    ]
+    assert len(expand_nodes) == 1, plan

@@ -308,3 +308,98 @@ def profile_diff(
             | (rel > rel_threshold)
         ).alias("flagged"),
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Corpus datasheet ("datasheets for datasets" — Gebru et al. 2021):
+    the one-page composition summary a training-data release ships with,
+    as a LONG frame ``(section, key, metric, value double)``:
+
+    - ``corpus`` section (key ``*``): n_docs, chars_total, chars_mean,
+      null_text_frac;
+    - one section per ``group_cols`` entry (key = group value, NULL
+      grouped as ``__null__``): the same metrics plus ``share`` of docs;
+    - ``length`` section (key = probability): exact percentiles of the
+      text length distribution.
+
+    Scale shape: all group sections AND the corpus totals come from ONE
+    aggregation over GROUPING SETS ((g1), (g2), ()) — a single shuffle
+    whose Expand factor is len(group_cols)+1, output bounded by group
+    cardinalities, so ``share`` is computed from the ()-row with a
+    window over the tiny AGGREGATED frame, never a second corpus pass.
+    The percentile agg is the one other pass (sort-based exact — swap
+    for numeric_percentiles' GK sketch at 10^12 rows)."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    chars = F.length(t)
+    sets = [[c] for c in group_cols] + [[]]
+    g = df.groupingSets(sets, *[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(chars, F.lit(0)).cast("long")).alias("chars_total"),
+        F.round(F.avg(chars), 6).alias("chars_mean"),
+        F.round(F.avg(t.isNull().cast("double")), 6).alias("null_text_frac"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in group_cols],
+    )
+    section = F.lit("corpus")
+    key = F.lit("*")
+    for c in group_cols:
+        active = F.col(f"__g_{c}") == 0
+        section = F.when(active, F.lit(c)).otherwise(section)
+        key = F.when(
+            active, F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+        ).otherwise(key)
+    g = g.select(
+        section.alias("section"), key.alias("key"),
+        "n_docs", "chars_total", "chars_mean", "null_text_frac",
+    )
+    total = F.max(
+        F.when(F.col("section") == "corpus", F.col("n_docs"))
+    ).over(Window.partitionBy())
+    g = g.withColumn("share", F.round(F.col("n_docs") / total, 6))
+    metrics = ["n_docs", "chars_total", "chars_mean", "null_text_frac"]
+    stacked = g.select(
+        "section", "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("value"),
+                    )
+                    for m in metrics
+                ]
+                + [
+                    F.struct(
+                        F.lit("share").alias("metric"),
+                        F.when(F.col("section") != "corpus", F.col("share"))
+                        .cast("double")
+                        .alias("value"),
+                    )
+                ]
+            )
+        ).alias("mv"),
+    ).select("section", "key", "mv.metric", "mv.value")
+    # the corpus row's share is definitionally 1 — emit it as NULL-free
+    stacked = stacked.filter(
+        ~((F.col("section") == "corpus") & (F.col("metric") == "share"))
+    )
+    arr = ", ".join(str(p) for p in probabilities)
+    pct = df.agg(
+        F.expr(f"percentile(length(`{text_col}`), array({arr}))").alias("__q")
+    ).select(F.posexplode(F.col("__q")).alias("__i", "value"))
+    pct = pct.select(
+        F.lit("length").alias("section"),
+        F.element_at(
+            F.array(*[F.lit(str(p)) for p in probabilities]),
+            F.col("__i") + 1,
+        ).alias("key"),
+        F.lit("n_chars_pct").alias("metric"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+    return stacked.unionByName(pct)

@@ -185,6 +185,90 @@ SELECT 'n_chars', round(CAST(count(*) FILTER (WHERE n_chars IS NULL) AS DOUBLE)/
 FROM documents
 """
 
+_DS_PCTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (profile.corpus_datasheet): composition summary
+    as a long (section, key, metric, value) frame — corpus totals plus
+    per-lang / per-source sections from ONE GROUPING SETS aggregation
+    (share off the ()-row via a post-agg window), and exact text-length
+    percentiles. The oracle restates the grouping sets, the share
+    arithmetic, and quantile_cont in DuckDB."""
+    from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_datasheet(docs, probabilities=_DS_PCTS)
+
+
+ORACLE_CORPUS_DATASHEET = f"""
+WITH g AS (
+  SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+              WHEN GROUPING(source) = 0 THEN 'source'
+              ELSE 'corpus' END AS section,
+         CASE WHEN GROUPING(lang) = 0
+                THEN coalesce(CAST(lang AS VARCHAR), '__null__')
+              WHEN GROUPING(source) = 0
+                THEN coalesce(CAST(source AS VARCHAR), '__null__')
+              ELSE '*' END AS key,
+         count(*) AS n_docs,
+         sum(coalesce(length(text), 0)) AS chars_total,
+         round(avg(length(text)), 6) AS chars_mean,
+         round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS null_text_frac
+  FROM documents
+  GROUP BY GROUPING SETS ((lang), (source), ())),
+tot AS (SELECT n_docs AS total FROM g WHERE section = 'corpus'),
+q AS (SELECT quantile_cont(length(text),
+             [{", ".join(str(p) for p in _DS_PCTS)}]) AS qs FROM documents)
+SELECT section, key, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+UNION ALL
+SELECT section, key, 'chars_total', CAST(chars_total AS DOUBLE) FROM g
+UNION ALL
+SELECT section, key, 'chars_mean', chars_mean FROM g
+UNION ALL
+SELECT section, key, 'null_text_frac', null_text_frac FROM g
+UNION ALL
+SELECT section, key, 'share',
+       round(CAST(n_docs AS DOUBLE) / (SELECT total FROM tot), 6)
+FROM g WHERE section <> 'corpus'
+UNION ALL
+SELECT 'length',
+       [{", ".join(f"'{p}'" for p in _DS_PCTS)}][i],
+       'n_chars_pct', round(qs[i], 6)
+FROM q, unnest(range(1, {len(_DS_PCTS) + 1})) AS t(i)
+"""
+
+
+def q_profile_documents_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile + corpus datasheet, one gate."""
+    a = q_profile_documents(spark, sf_dir).withColumn(
+        "variant", F.lit("profile")
+    )
+    b = q_corpus_datasheet(spark, sf_dir).withColumn(
+        "variant", F.lit("datasheet")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+_PROFILE_NULLS = (
+    "CAST(NULL AS VARCHAR) AS section, CAST(NULL AS VARCHAR) AS key, "
+    "CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS value"
+)
+
+ORACLE_PROFILE_DOCUMENTS_SUITE = f"""
+SELECT 'profile' AS variant, t.*, {_PROFILE_NULLS} FROM (
+{ORACLE_PROFILE_DOCUMENTS}
+) t
+UNION ALL
+SELECT 'datasheet' AS variant, CAST(NULL AS VARCHAR) AS column_name,
+       CAST(NULL AS DOUBLE) AS null_rate, CAST(NULL AS BIGINT) AS n_distinct,
+       CAST(NULL AS VARCHAR) AS min_value, CAST(NULL AS VARCHAR) AS max_value,
+       t.* FROM (
+{ORACLE_CORPUS_DATASHEET}
+) t
+"""
+
 
 def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items profile (profile.frequent_values): top-5 values of
@@ -4526,7 +4610,7 @@ QUERIES = {
     "validate_verdicts": q_validate_verdicts,
     "validate_violations": q_validate_violations,
     "validate_summary": q_validate_summary,
-    "profile_documents": q_profile_documents,
+    "profile_documents": q_profile_documents_suite,
     "profile_histograms": q_profile_histograms,
     "duplicate_custkeys": q_duplicate_custkeys_suite,
     "referential_orders": q_referential_orders,
@@ -4579,7 +4663,7 @@ ORACLES = {
     "validate_verdicts": ORACLE_VALIDATE_VERDICTS,
     "validate_violations": ORACLE_VALIDATE_VIOLATIONS,
     "validate_summary": ORACLE_VALIDATE_SUMMARY,
-    "profile_documents": ORACLE_PROFILE_DOCUMENTS,
+    "profile_documents": ORACLE_PROFILE_DOCUMENTS_SUITE,
     "profile_histograms": ORACLE_PROFILE_HISTOGRAMS,
     "duplicate_custkeys": ORACLE_DUPLICATE_CUSTKEYS_SUITE,
     "referential_orders": ORACLE_REFERENTIAL_ORDERS,
