@@ -362,6 +362,37 @@ def main() -> None:
         lambda: _force(c4_rules(pg, min_lines=2))
     )
 
+    # training-shard sink arithmetic at pages scale: deterministic
+    # md5-ticket assignment (narrow) + the manifest aggregation on the
+    # uniform shard key (one shuffle of O(n_shards) partials) — the
+    # write-side cost minus the filesystem
+    from validate_xml_rust_spark.operators.outputs import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    def _run_shards() -> None:
+        _pgt = pg.select("url", "text", F.length("text").alias("n_tokens"))
+        _sh, _ = shard_assignments(
+            _pgt, n_shards=256, id_col="url", tokens_col="n_tokens"
+        )
+        _force(shard_manifest(_sh, 1_000_000, id_col="url"))
+
+    timings["shard_manifest_pages"] = _time(_run_shards)
+
+    # corpus datasheet at pages scale: ONE grouping-sets aggregation
+    # (sections lang + host + corpus) + the exact percentile pass
+    from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+    timings["datasheet_pages"] = _time(
+        lambda: _force(
+            corpus_datasheet(
+                pg.withColumn("__host", F.parse_url("url", F.lit("HOST"))),
+                group_cols=("lang", "__host"),
+            )
+        )
+    )
+
     # weighted mixture composition at pages scale: when-chain factor
     # lookup + md5 ticket + explode (epochs) — narrow, zero shuffle
     from validate_xml_rust_spark.operators.curation import mixture_epochs
