@@ -261,3 +261,73 @@ def test_append_training_shards_incremental(spark, tmp_path):
         mk(0, 0), out, tokens_per_shard=2000
     )
     assert m2.count() == m1.count()
+
+
+def test_verify_shards_detects_tamper_and_drift(spark, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from validate_xml_rust_spark.operators.outputs import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " * (1 + i % 4)) for i in range(200)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.length("text"))
+    out = str(tmp_path / "train")
+    write_training_shards(df, out, tokens_per_shard=1500)
+
+    v0 = verify_shards(spark, out, 1500)
+    assert {r["status"] for r in v0.collect()} == {"valid"}
+
+    # tamper: rewrite one shard file with a modified text payload
+    victim = sorted(glob.glob(f"{out}/shards/shard_id=*/*.parquet"))[0]
+    tbl = pq.read_table(victim).to_pandas()
+    tbl.loc[0, "text"] = "tampered payload"
+    # keep n_tokens as-is: only the checksum should trip
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False), victim)
+    # drop Hadoop's local-FS .crc sidecar: it would flag the rewrite at
+    # the byte layer before our checksum runs (object stores, where the
+    # corpus actually lives, have no such sidecar — the manifest
+    # checksum is the audit there)
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    victim_shard = int(victim.split("shard_id=")[1].split("/")[0])
+
+    v1 = {r["shard_id"]: r for r in verify_shards(spark, out, 1500).collect()}
+    bad = v1[victim_shard]
+    assert bad["status"] == "invalid"
+    assert any("content_sum" in d for d in bad["error_details"])
+    assert all(
+        r["status"] == "valid" for s, r in v1.items() if s != victim_shard
+    )
+
+    # structural drift: delete a whole shard directory -> error verdict
+    victim_dir = os.path.dirname(
+        sorted(glob.glob(f"{out}/shards/shard_id=*/*.parquet"))[-1]
+    )
+    gone = int(victim_dir.split("shard_id=")[1])
+    import shutil
+
+    shutil.rmtree(victim_dir)
+    v2 = {r["shard_id"]: r for r in verify_shards(spark, out, 1500).collect()}
+    assert v2[gone]["status"] == "error"
+    assert any("missing from store" in d for d in v2[gone]["error_details"])
+    # verdicts compose with the standard exit ladder
+    from validate_xml_rust_spark.operators.summary import exit_code, summarize
+
+    s = summarize(
+        spark.createDataFrame(list(v2.values())).withColumn(
+            "spec_id", F.lit("shards")
+        )
+    ).collect()[0]
+    assert exit_code(s.asDict()) == 2
