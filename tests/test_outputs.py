@@ -331,3 +331,50 @@ def test_verify_shards_detects_tamper_and_drift(spark, tmp_path):
         )
     ).collect()[0]
     assert exit_code(s.asDict()) == 2
+
+
+def test_shard_sink_null_id_and_empty_store_bootstrap(spark, tmp_path):
+    from validate_xml_rust_spark.operators.outputs import (
+        append_training_shards,
+        shard_assignments,
+        shard_manifest,
+        write_training_shards,
+    )
+
+    # NULL-id doc: lands in shard 0 AND contributes to that shard's
+    # checksum (the ':content' key stays defined — concat_ws would have
+    # silently produced a different key domain than the oracle)
+    df = spark.createDataFrame(
+        [(1, "aaa"), (None, "nullbody")], "doc_id long, text string"
+    ).withColumn("n_tokens", F.length("text"))
+    sh, n = shard_assignments(df, n_shards=4)
+    m = {r["shard_id"]: r for r in shard_manifest(sh, 100).collect()}
+    no_null = df.filter(F.col("doc_id").isNotNull()).withColumn(
+        "n_tokens", F.length("text")
+    )
+    sh2, _ = shard_assignments(no_null, n_shards=4)
+    m2 = {r["shard_id"]: r for r in shard_manifest(sh2, 100).collect()}
+    expected_docs = (m2[0]["n_docs"] + 1) if 0 in m2 else 1
+    assert m[0]["n_docs"] == expected_docs
+    if 0 in m2:
+        assert m[0]["content_sum"] != m2[0]["content_sum"]
+
+    # bootstrap: initial write of ZERO rows, then append == fresh write
+    out = str(tmp_path / "train")
+    empty = spark.createDataFrame([], "doc_id long, text string, n_tokens int")
+    write_training_shards(empty, out, tokens_per_shard=1000)
+    batch = spark.createDataFrame(
+        [(i, f"doc {i} " * (1 + i % 3)) for i in range(50)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.length("text"))
+    m1 = append_training_shards(batch, out, tokens_per_shard=1000)
+    assert m1.count() > 0
+    assert spark.read.parquet(f"{out}/shards").count() == 50
+    # and a second append now pins the bootstrap's n_shards
+    n0 = int(m1.select("n_shards").first()["n_shards"])
+    more = spark.createDataFrame(
+        [(100 + i, f"extra {i}") for i in range(5)], "doc_id long, text string"
+    ).withColumn("n_tokens", F.length("text"))
+    m2b = append_training_shards(more, out, tokens_per_shard=1000)
+    assert {int(r["n_shards"]) for r in m2b.collect()} == {n0}
+    assert spark.read.parquet(f"{out}/shards").count() == 55

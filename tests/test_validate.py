@@ -469,3 +469,15 @@ def test_corpus_datasheet(spark):
         ln for ln in plan.splitlines() if ln.lstrip(" :+-").startswith("Expand")
     ]
     assert len(expand_nodes) == 1, plan
+
+
+def test_corpus_datasheet_empty_and_all_null(spark):
+    from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+    schema = "doc_id long, text string, lang string, source string"
+    empty = spark.createDataFrame([], schema)
+    assert corpus_datasheet(empty).count() == 0  # empty -> empty
+    allnull = spark.createDataFrame([(1, None, "en", "web")], schema)
+    got = {(r["section"], r["metric"]) for r in corpus_datasheet(allnull).collect()}
+    assert ("corpus", "n_docs") in got
+    assert not any(s == "length" for s, _ in got)  # no percentile rows

@@ -141,10 +141,14 @@ def shard_manifest(
     arithmetic: ≤2³² per doc, bigint-summed)."""
     from validate_xml_rust_spark.operators.curation import sample_ticket
 
+    # F.concat (NULL-propagating) is NOT usable here: the key must stay
+    # defined for NULL ids (shard_assignments keeps them, in shard 0),
+    # and it must match the oracle restatement exactly — so both sides
+    # coalesce id and content to '' explicitly
     doc_fp = sample_ticket(
-        F.concat_ws(
-            ":",
-            F.col(id_col).cast("string"),
+        F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+            F.lit(":"),
             F.coalesce(F.col(content_col).cast("string"), F.lit("")),
         ),
         seed,
@@ -181,10 +185,20 @@ def write_training_shards(
     does not fan every task out into every shard directory) and
     ``out_dir/manifest/`` with the per-shard summary. Rows are sorted by
     id within each shard so shard files are byte-reproducible run over
-    run. Returns the manifest frame (read it back from the sink for
-    audits; returning it saves the round-trip in-session)."""
+    run. Returns the manifest frame, re-read from the sink.
+
+    The input is eager-checkpointed ONCE up front: the sink needs the
+    frame three times (token-sum pass for n_shards, the shards write,
+    the manifest aggregation), and without the checkpoint each pass
+    would re-execute the caller's full upstream lineage (the repo's
+    measured multi-branch tax); all three run as block scans instead,
+    and the blocks are released before returning."""
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+
+    spark = df.sparkSession
+    ck, blocks = eager_checkpoint(df)
     sharded, n_shards = shard_assignments(
-        df,
+        ck,
         tokens_per_shard=tokens_per_shard,
         id_col=id_col,
         tokens_col=tokens_col,
@@ -207,7 +221,9 @@ def write_training_shards(
     # write time have no manifest row to count)
     manifest = manifest.withColumn("n_shards", F.lit(n_shards).cast("long"))
     manifest.write.mode(mode).parquet(f"{out_dir}/manifest")
-    return manifest
+    release_blocks(spark.sparkContext, blocks)
+    spark.catalog.refreshByPath(f"{out_dir}/manifest")
+    return spark.read.parquet(f"{out_dir}/manifest")
 
 
 def append_training_shards(
@@ -239,7 +255,16 @@ def append_training_shards(
     spark = new_df.sparkSession
     spark.catalog.refreshByPath(f"{out_dir}/manifest")
     prior = spark.read.parquet(f"{out_dir}/manifest")
-    n_shards = int(prior.select("n_shards").first()["n_shards"])
+    first = prior.select("n_shards").first()
+    if first is None:
+        # empty store (an initial write of zero rows leaves a manifest
+        # with schema but no rows, so there is no pin to recover):
+        # appending to an empty store IS the initial write
+        return write_training_shards(
+            new_df, out_dir, tokens_per_shard,
+            id_col=id_col, tokens_col=tokens_col, content_col=content_col,
+        )
+    n_shards = int(first["n_shards"])
     assigned, _ = shard_assignments(
         new_df, n_shards=n_shards, id_col=id_col, tokens_col=tokens_col
     )

@@ -333,7 +333,13 @@ def corpus_datasheet(
     cardinalities, so ``share`` is computed from the ()-row with a
     window over the tiny AGGREGATED frame, never a second corpus pass.
     The percentile agg is the one other pass (sort-based exact — swap
-    for numeric_percentiles' GK sketch at 10^12 rows)."""
+    for numeric_percentiles' GK sketch at 10^12 rows).
+
+    Contract: an EMPTY corpus yields an EMPTY datasheet (Spark's
+    grouping-sets Expand emits nothing on empty input, and the NULL
+    percentile array explodes to zero rows — the oracle restatement
+    matches with HAVING guards); an all-NULL-text corpus keeps its
+    composition sections but has no length section."""
     from pyspark.sql.window import Window
 
     t = F.col(text_col)

@@ -95,7 +95,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.greatest(F.length(t), F.lit(1))
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
+    # fixed char set → translate (char-map pass), not a regex scan
+    punct = F.length(t) - F.length(F.translate(t, ".,!?;:", ""))
     words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
     n_words = F.greatest(F.size(words), F.lit(1))
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))

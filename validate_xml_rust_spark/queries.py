@@ -217,10 +217,15 @@ WITH g AS (
          round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6)
            AS null_text_frac
   FROM documents
-  GROUP BY GROUPING SETS ((lang), (source), ())),
+  GROUP BY GROUPING SETS ((lang), (source), ())
+  -- Spark's grouping-sets Expand emits NOTHING on an empty input while
+  -- SQL's () branch emits a zero row: align on "empty corpus -> empty
+  -- datasheet" (the operator's documented contract)
+  HAVING count(*) > 0),
 tot AS (SELECT n_docs AS total FROM g WHERE section = 'corpus'),
 q AS (SELECT quantile_cont(length(text),
-             [{", ".join(str(p) for p in _DS_PCTS)}]) AS qs FROM documents)
+             [{", ".join(str(p) for p in _DS_PCTS)}]) AS qs FROM documents
+      HAVING quantile_cont(length(text), 0.5) IS NOT NULL)
 SELECT section, key, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
 UNION ALL
 SELECT section, key, 'chars_total', CAST(chars_total AS DOUBLE) FROM g
@@ -2754,8 +2759,10 @@ WITH base AS (
 n AS (SELECT (sum(tok) + {_SHARD_BUDGET - 1}) // {_SHARD_BUDGET} AS n_shards
       FROM base),
 assigned AS (
+  -- NULL-id rows draw a NULL ticket -> shard 0 (the Spark coalesce)
   SELECT doc_id, text, tok,
-         CAST(floor({_oracle_mix_ticket("CAST(doc_id AS VARCHAR)", "shards")}
+         CAST(floor(coalesce(
+              {_oracle_mix_ticket("CAST(doc_id AS VARCHAR)", "shards")}, 0)
               * (SELECT n_shards FROM n) / 4294967296.0) AS BIGINT) AS shard_id
   FROM base)
 SELECT shard_id,
@@ -2763,7 +2770,8 @@ SELECT shard_id,
        CAST(sum(tok) AS INT) AS n_tokens,
        round(sum(tok) / {float(_SHARD_BUDGET)}, 6) AS fill_ratio,
        CAST(sum({_oracle_mix_ticket(
-           "CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')",
+           "coalesce(CAST(doc_id AS VARCHAR), '') || ':' || "
+           "coalesce(text, '')",
            "shardsum")}) AS BIGINT) AS content_sum
 FROM assigned
 GROUP BY shard_id
