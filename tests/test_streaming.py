@@ -106,3 +106,72 @@ def test_streaming_verdicts_equal_batch_verdicts(spark, tmp_path):
         for r in batch.collect()
     }
     assert stream_v == batch_v
+
+
+def test_shard_stream_available_now(spark, tmp_path):
+    """Streaming shard ingest: first run bootstraps + drains all drops,
+    re-run with no new files is a no-op, a new drop appends exactly its
+    rows, and after every run the store passes verify_shards."""
+    from validate_xml_rust_spark.operators.outputs import verify_shards
+    from validate_xml_rust_spark.streaming.incremental import (
+        shard_stream_available_now,
+    )
+
+    inp = str(tmp_path / "drops")
+    out = str(tmp_path / "train")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(lo, hi, name):
+        (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("doc body "), F.col("id")).alias("text"),
+            )
+            .withColumn("n_tokens", F.length("text").cast("int"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{inp}/{name}")
+        )
+        import glob
+        import os
+        import shutil
+
+        # file-source streams list a flat directory of parquet files
+        src = glob.glob(f"{inp}/{name}/*.parquet")[0]
+        shutil.move(src, f"{inp}/{name}.parquet")
+        shutil.rmtree(f"{inp}/{name}")
+
+    import os
+
+    os.makedirs(inp, exist_ok=True)
+    drop(0, 120, "b0")
+    drop(120, 200, "b1")
+    n = shard_stream_available_now(
+        spark, inp, out, tokens_per_shard=600, checkpoint_dir=ckpt
+    )
+    assert n >= 1
+    assert spark.read.parquet(f"{out}/shards").count() == 200
+    v = verify_shards(spark, out, 600)
+    assert {r["status"] for r in v.collect()} == {"valid"}
+    n_shards0 = {
+        int(r["n_shards"])
+        for r in spark.read.parquet(f"{out}/manifest").collect()
+    }
+
+    # no new drops: the checkpoint makes the re-run a no-op
+    n2 = shard_stream_available_now(
+        spark, inp, out, tokens_per_shard=600, checkpoint_dir=ckpt
+    )
+    assert spark.read.parquet(f"{out}/shards").count() == 200
+
+    # a new drop appends exactly its rows; n_shards stays pinned
+    drop(200, 250, "b2")
+    shard_stream_available_now(
+        spark, inp, out, tokens_per_shard=600, checkpoint_dir=ckpt
+    )
+    assert spark.read.parquet(f"{out}/shards").count() == 250
+    m = spark.read.parquet(f"{out}/manifest")
+    assert {int(r["n_shards"]) for r in m.collect()} == n_shards0
+    v2 = verify_shards(spark, out, 600)
+    assert {r["status"] for r in v2.collect()} == {"valid"}

@@ -178,6 +178,7 @@ def write_training_shards(
     tokens_col: str = "n_tokens",
     content_col: str = "text",
     mode: str = "overwrite",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Write a curated corpus as token-budgeted training shards plus a
     manifest: ``out_dir/shards/shard_id=K/`` parquet (one file per shard
@@ -185,7 +186,10 @@ def write_training_shards(
     does not fan every task out into every shard directory) and
     ``out_dir/manifest/`` with the per-shard summary. Rows are sorted by
     id within each shard so shard files are byte-reproducible run over
-    run. Returns the manifest frame, re-read from the sink.
+    run. Returns the manifest frame, re-read from the sink. Pass
+    ``n_shards`` to pin the shard count explicitly (e.g. when the first
+    batch of a streaming ingest is not representative of the eventual
+    corpus size) instead of deriving it from this frame's token total.
 
     The input is eager-checkpointed ONCE up front: the sink needs the
     frame three times (token-sum pass for n_shards, the shards write,
@@ -200,6 +204,7 @@ def write_training_shards(
     sharded, n_shards = shard_assignments(
         ck,
         tokens_per_shard=tokens_per_shard,
+        n_shards=n_shards,
         id_col=id_col,
         tokens_col=tokens_col,
     )

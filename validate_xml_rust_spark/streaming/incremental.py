@@ -126,3 +126,82 @@ def windowed_verdict_counts(
             "n",
         )
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+)
+
+
+def shard_stream_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    tokens_per_shard: int,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    content_col: str = "text",
+    n_shards: int | None = None,
+    max_files_per_trigger: int = 8,
+) -> int:
+    """Continuous ingest into the training-shard store: a file-source
+    stream over curated parquet drops, each micro-batch appended via
+    ``append_training_shards`` (pinned n_shards, dynamic overwrite of
+    touched shards only), Trigger.AvailableNow so a run drains exactly
+    the files the checkpoint has not seen and stops — re-running is the
+    resume, identical in shape to validate_stream_available_now above.
+
+    The FIRST batch ever bootstraps the store; if the initial drop is
+    not representative of the eventual corpus, pass ``n_shards`` to pin
+    the layout up front instead of deriving it from that batch's token
+    total. Returns the number of micro-batches processed.
+
+    Exactly-once caveat (same as any foreachBatch side effect): a batch
+    re-delivered after a mid-append crash re-appends its rows — the
+    manifest checksums make the duplication DETECTABLE (verify_shards
+    vs an upstream count), and the id-keyed assignment makes it
+    REPAIRABLE by re-sharding; an Iceberg shard table would commit the
+    append atomically instead."""
+    from validate_xml_rust_spark.operators.outputs import (
+        append_training_shards,
+        write_training_shards,
+    )
+
+    n_batches = {"n": 0}
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if not os.path.isdir(f"{out_dir}/manifest"):
+            write_training_shards(
+                batch_df, out_dir, tokens_per_shard,
+                id_col=id_col, tokens_col=tokens_col,
+                content_col=content_col, n_shards=n_shards,
+            )
+        else:
+            append_training_shards(
+                batch_df, out_dir, tokens_per_shard,
+                id_col=id_col, tokens_col=tokens_col,
+                content_col=content_col,
+            )
+        n_batches["n"] += 1
+
+    stream = (
+        spark.readStream.schema(schema or DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
