@@ -444,3 +444,40 @@ def test_cli_replay_full_repair_removes_quarantine(tmp_path, spark, capsys):
     assert code == 0
     assert "repaired" in out and "removed" in out
     assert not os.path.exists(qdir)
+
+
+def test_cli_shards_and_datasheet(tmp_path, capsys):
+    from validate_xml_rust_spark import get_spark
+    from validate_xml_rust_spark.operators.outputs import verify_shards
+
+    shards = str(tmp_path / "shards")
+    sheet = str(tmp_path / "sheet")
+    code = main([
+        "synth:2000", "-q",
+        "--shards", shards, "--shard-tokens", "20000",
+        "--datasheet", sheet,
+    ])
+    assert code in (0, 2, 3)  # synth corpus plants violations by design
+    spark = get_spark()
+    # datasheet: composition sections present
+    ds = spark.read.parquet(sheet)
+    secs = {r["section"] for r in ds.select("section").distinct().collect()}
+    assert "corpus" in secs and "lang" in secs and "length" in secs
+    # shard store: only VALID rows, store self-consistent
+    v = verify_shards(spark, shards, 20000, id_col="url")
+    assert {r["status"] for r in v.collect()} == {"valid"}
+    n_sharded = spark.read.parquet(f"{shards}/shards").count()
+    assert 0 < n_sharded < 2000  # planted invalid/error rows excluded
+    # payload columns must not leak into later sinks: re-run with
+    # --output too and check the verdicts parquet schema
+    out = str(tmp_path / "out")
+    code2 = main([
+        "synth:500", "-q", "--shards", str(tmp_path / "s2"),
+        "--output", out,
+    ])
+    assert code2 in (0, 2, 3)
+    assert "text" not in spark.read.parquet(f"{out}/verdicts").columns
+
+    # config errors: --shards composes only with full runs
+    assert main(["synth:10", "--shards", shards, "--replay"]) == 1
+    assert main(["synth:10", "--shards", shards, "--shard-tokens", "0"]) == 1

@@ -69,6 +69,25 @@ def build_parser() -> argparse.ArgumentParser:
              "src/cache.rs:139-316, at row granularity)",
     )
     p.add_argument(
+        "--shards",
+        help="write the VALID rows as token-budgeted training shards with "
+             "a checksummed manifest under this dir (the curation last "
+             "mile, off the validation verdicts); full runs only — not "
+             "composable with --prior/--replay, whose verdicts cover a "
+             "subset of the corpus",
+    )
+    p.add_argument(
+        "--shard-tokens", type=int, default=1_000_000,
+        help="token budget per training shard for --shards "
+             "(tokens = text length)",
+    )
+    p.add_argument(
+        "--datasheet",
+        help="write the corpus datasheet (composition summary parquet: "
+             "corpus/lang/host sections + length percentiles) of the "
+             "scanned input under this dir",
+    )
+    p.add_argument(
         "--replay",
         action="store_true",
         help="treat PATH as a quarantine dir written by --quarantine: "
@@ -98,6 +117,17 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     if args.threads is not None and args.threads <= 0:
         print("--threads must be > 0", file=sys.stderr)
+        return 1
+    if args.shards and (args.prior or args.replay):
+        print(
+            "--shards needs a full-corpus run: it writes the valid rows "
+            "as training shards, but --prior/--replay verdicts cover "
+            "only a delta/quarantine subset",
+            file=sys.stderr,
+        )
+        return 1
+    if args.shard_tokens <= 0:
+        print("--shard-tokens must be > 0", file=sys.stderr)
         return 1
 
     from pyspark.sql import functions as F
@@ -206,6 +236,22 @@ def main(argv: list[str] | None = None) -> int:
                 print("No documents found to validate")
         return 0
 
+    # --- corpus datasheet of the scanned input (pre-validation
+    # composition — what went IN, before any verdict routing)
+    if args.datasheet:
+        from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+        gcols = tuple(c for c in ("lang",) if c in df.columns)
+        dsf = df
+        if "url" in df.columns:
+            dsf = df.withColumn("__host", F.parse_url("url", F.lit("HOST")))
+            gcols = gcols + ("__host",)
+        corpus_datasheet(dsf, group_cols=gcols).write.mode(
+            "overwrite"
+        ).parquet(args.datasheet)
+        if not args.quiet:
+            print(f"Datasheet written to {args.datasheet}")
+
     # --quarantine payload columns + write (shared by both modes; the
     # input frame must already be materialized/checkpointed so the
     # emptiness probe and the write don't re-execute the pipeline)
@@ -214,6 +260,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.quarantine
         else None
     )
+    if args.shards and "text" in df.columns and not (qcols and "text" in qcols):
+        # the shard write needs the text payload riding the verdicts
+        qcols = (qcols or []) + ["text"]
 
     def write_quarantine(verdict_frame) -> None:
         from validate_xml_rust_spark.operators.outputs import quarantine_split
@@ -403,9 +452,32 @@ def main(argv: list[str] | None = None) -> int:
     ck_verdicts, ck_ids = eager_checkpoint(res.verdicts)
     res = ValidationResult(verdicts=ck_verdicts)
     verdicts = res.verdicts
+    if args.shards:
+        from validate_xml_rust_spark.operators.outputs import (
+            write_training_shards,
+        )
+
+        clean = ck_verdicts.filter(F.col("status") == "valid")
+        if "text" in clean.columns:
+            clean = clean.withColumn(
+                "n_tokens", F.coalesce(F.length("text"), F.lit(0))
+            ).select("url", "text", "n_tokens")
+        else:  # payload-less schema: shard on url alone, zero tokens
+            clean = clean.select(
+                "url", F.lit(None).cast("string").alias("text"),
+                F.lit(0).alias("n_tokens"),
+            )
+        mshards = write_training_shards(
+            clean, args.shards, args.shard_tokens, id_col="url"
+        )
+        if not args.quiet:
+            print(
+                f"Wrote {mshards.count()} training shards to {args.shards}"
+            )
     if args.quarantine:
         write_quarantine(verdicts)
-        verdicts = verdicts.drop(*(qcols or []))
+    if qcols:  # payload columns never reach --output/report frames
+        verdicts = verdicts.drop(*qcols)
         res = ValidationResult(verdicts=verdicts)
     if args.output:
         verdicts.drop("violation_entries").write.mode("overwrite").parquet(
