@@ -481,3 +481,16 @@ def test_cli_shards_and_datasheet(tmp_path, capsys):
     # config errors: --shards composes only with full runs
     assert main(["synth:10", "--shards", shards, "--replay"]) == 1
     assert main(["synth:10", "--shards", shards, "--shard-tokens", "0"]) == 1
+
+    # audit mode: the fresh store verifies clean (exit 0); structural
+    # drift (a deleted shard dir) exits 2 through the standard ladder
+    assert main([shards, "--verify-shards", "-q"]) == 0
+    import glob
+    import shutil
+
+    victim = sorted(glob.glob(f"{shards}/shards/shard_id=*"))[0]
+    shutil.rmtree(victim)
+    code3 = main([shards, "--verify-shards"])
+    assert code3 == 2
+    printed = capsys.readouterr().out
+    assert "missing from store" in printed

@@ -481,3 +481,27 @@ def test_corpus_datasheet_empty_and_all_null(spark):
     got = {(r["section"], r["metric"]) for r in corpus_datasheet(allnull).collect()}
     assert ("corpus", "n_docs") in got
     assert not any(s == "length" for s, _ in got)  # no percentile rows
+
+
+def test_corpus_datasheet_sketch_percentiles(spark):
+    """exact=False routes the length section through the GK sketch —
+    same schema, rank-tolerant values (scale path at 10^12 rows)."""
+    from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(i, "x" * (1 + i % 100), "en", "web") for i in range(2000)],
+        "doc_id long, text string, lang string, source string",
+    )
+    exact = {
+        r["key"]: r["value"]
+        for r in corpus_datasheet(df).collect()
+        if r["section"] == "length"
+    }
+    approx = {
+        r["key"]: r["value"]
+        for r in corpus_datasheet(df, exact=False).collect()
+        if r["section"] == "length"
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(exact[k] - approx[k]) <= 2.0, (k, exact[k], approx[k])

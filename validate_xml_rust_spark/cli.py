@@ -82,6 +82,16 @@ def build_parser() -> argparse.ArgumentParser:
              "(tokens = text length)",
     )
     p.add_argument(
+        "--verify-shards",
+        action="store_true",
+        help="treat PATH as a training-shard store written by --shards: "
+             "re-read the payload, recompute counts and checksums "
+             "against the manifest, report per-shard verdicts, and exit "
+             "by the standard ladder (0 all-valid, 2 structural drift, "
+             "3 content mismatch) — the reference's validate-every-file "
+             "workflow over shards as the files",
+    )
+    p.add_argument(
         "--datasheet",
         help="write the corpus datasheet (composition summary parquet: "
              "corpus/lang/host sections + length percentiles) of the "
@@ -141,6 +151,34 @@ def main(argv: list[str] | None = None) -> int:
     from validate_xml_rust_spark.specs import Constraint, Spec, SpecRegistry
 
     spark = get_spark(app_name="vxrs-cli", cpus=args.threads)
+
+    # --- shard-store audit mode: PATH is a --shards dir; no validation
+    # pipeline runs — the manifest IS the spec and the shards the files
+    if args.verify_shards:
+        from validate_xml_rust_spark.operators.outputs import verify_shards
+        from validate_xml_rust_spark.operators.summary import (
+            exit_code as _exit_code,
+        )
+        from validate_xml_rust_spark.operators.summary import summarize
+
+        v = verify_shards(
+            spark, args.path, args.shard_tokens, id_col="url"
+        ).withColumn("spec_id", F.lit("shard-manifest"))
+        srow = summarize(v).collect()[0].asDict()
+        if not args.quiet:
+            for r in sorted(
+                v.filter(F.col("status") != "valid").collect(),
+                key=lambda r: r["shard_id"],
+            ):
+                print(
+                    f"shard {r['shard_id']}: {r['status']} — "
+                    + "; ".join(r["error_details"])
+                )
+            print(
+                f"{srow['valid']}/{srow['total']} shards valid, "
+                f"{srow['invalid']} invalid, {srow['error']} structural"
+            )
+        return _exit_code(srow, fail_fast=args.fail_fast)
 
     # --- registry: default webpage spec; --spec loads+overrides (J1 + S6/S7)
     registry = SpecRegistry().add(

@@ -315,6 +315,8 @@ def corpus_datasheet(
     text_col: str = "text",
     group_cols: tuple[str, ...] = ("lang", "source"),
     probabilities: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Corpus datasheet ("datasheets for datasets" — Gebru et al. 2021):
     the one-page composition summary a training-data release ships with,
@@ -395,9 +397,14 @@ def corpus_datasheet(
     stacked = stacked.filter(
         ~((F.col("section") == "corpus") & (F.col("metric") == "share"))
     )
+    # exact=False swaps in the GK sketch (approx_percentile): partials
+    # merge map-side and no raw length ever shuffles — the 10^12-row
+    # default, same trade as numeric_percentiles above
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
     arr = ", ".join(str(p) for p in probabilities)
     pct = df.agg(
-        F.expr(f"percentile(length(`{text_col}`), array({arr}))").alias("__q")
+        F.expr(f"{fn}(length(`{text_col}`), array({arr}){acc})").alias("__q")
     ).select(F.posexplode(F.col("__q")).alias("__i", "value"))
     pct = pct.select(
         F.lit("length").alias("section"),
@@ -406,6 +413,8 @@ def corpus_datasheet(
             F.col("__i") + 1,
         ).alias("key"),
         F.lit("n_chars_pct").alias("metric"),
-        F.round(F.col("value"), 6).alias("value"),
+        # cast first: approx_percentile over a bigint column yields
+        # bigint quantiles, and the long frame's value column is double
+        F.round(F.col("value").cast("double"), 6).alias("value"),
     )
     return stacked.unionByName(pct)
