@@ -378,3 +378,17 @@ def test_shard_sink_null_id_and_empty_store_bootstrap(spark, tmp_path):
     m2b = append_training_shards(more, out, tokens_per_shard=1000)
     assert {int(r["n_shards"]) for r in m2b.collect()} == {n0}
     assert spark.read.parquet(f"{out}/shards").count() == 55
+
+
+def test_verify_shards_empty_store(spark, tmp_path):
+    from validate_xml_rust_spark.operators.outputs import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "train")
+    empty = spark.createDataFrame([], "doc_id long, text string, n_tokens int")
+    write_training_shards(empty, out, tokens_per_shard=1000)
+    # empty store: no shard part files exist — the audit reports an
+    # empty (trivially consistent) store instead of crashing
+    assert verify_shards(spark, out, 1000).count() == 0

@@ -598,3 +598,41 @@ def test_curate_presets(spark):
     for name in CURATE_PRESETS:
         for k in CURATE_PRESETS[name]:
             assert k in sig_params, f"{name}: unknown curate() kwarg {k}"
+
+
+def test_curate_to_shards_end_to_end(spark, tmp_path):
+    """The full last mile: preset curation -> training-shard store ->
+    self-audit. Pins that the pieces compose (schemas, id contracts)
+    without manual glue beyond column selection."""
+    from validate_xml_rust_spark.operators.outputs import (
+        verify_shards,
+        write_training_shards,
+    )
+    from validate_xml_rust_spark.pipeline import preset_kwargs
+
+    # a corpus that PASSES the Gopher pack (the synthetic fixture corpus
+    # has no English stopwords, so the preset correctly rejects it):
+    # low repetition, ≥2 stopwords, alphabetic, 3-10 mean word length
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"the document {i} and the corpus have that value with "
+                f"some unique tokens alpha{i} beta{i} gamma{i} delta{i} "
+                f"epsilon{i} zeta{i} eta{i} theta{i}",
+            )
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    res = curate(docs, spark, **preset_kwargs("gopher", gopher_min_words=2))
+    kept = res.kept.withColumn("n_tokens", F.length("text").cast("int"))
+    out = str(tmp_path / "train")
+    m = write_training_shards(kept, out, tokens_per_shard=3000)
+    n_kept = res.kept.count()
+    assert n_kept == 300  # nothing in this corpus trips the filters
+    assert spark.read.parquet(f"{out}/shards").count() == n_kept
+    assert sum(r["n_docs"] for r in m.collect()) == n_kept
+    v = verify_shards(spark, out, 3000)
+    assert {r["status"] for r in v.collect()} == {"valid"}
+    res.release()

@@ -354,11 +354,24 @@ def verify_shards(
     One scan of the payload + the tiny manifest, joined full-outer on
     shard_id — at 10^12 docs this is the cheap audit you run after every
     append. Compose with ``summarize``/``exit_code`` for the CLI ladder."""
+    from pyspark.errors import AnalysisException
+
     spark.catalog.refreshByPath(f"{out_dir}/manifest")
     spark.catalog.refreshByPath(f"{out_dir}/shards")
     manifest = spark.read.parquet(f"{out_dir}/manifest")
+    try:
+        payload = spark.read.parquet(f"{out_dir}/shards")
+    except AnalysisException:
+        # an empty store writes a manifest but no shard part files
+        # (partitionBy emits nothing for zero rows) — audit it as an
+        # empty payload, not a crash
+        payload = spark.createDataFrame(
+            [],
+            f"`{id_col}` string, `{content_col}` string, "
+            f"`{tokens_col}` int, shard_id long",
+        )
     observed = shard_manifest(
-        spark.read.parquet(f"{out_dir}/shards"),
+        payload,
         tokens_per_shard,
         id_col=id_col,
         tokens_col=tokens_col,
