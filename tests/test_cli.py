@@ -463,6 +463,8 @@ def test_cli_shards_and_datasheet(tmp_path, capsys):
     ds = spark.read.parquet(sheet)
     secs = {r["section"] for r in ds.select("section").distinct().collect()}
     assert "corpus" in secs and "lang" in secs and "length" in secs
+    # the url-derived section carries the PUBLIC name, not a dunder
+    assert "host" in secs and "__host" not in secs
     # shard store: only VALID rows, store self-consistent
     v = verify_shards(spark, shards, 20000, id_col="url")
     assert {r["status"] for r in v.collect()} == {"valid"}
@@ -478,9 +480,18 @@ def test_cli_shards_and_datasheet(tmp_path, capsys):
     assert code2 in (0, 2, 3)
     assert "text" not in spark.read.parquet(f"{out}/verdicts").columns
 
-    # config errors: --shards composes only with full runs
+    # config errors: --shards composes only with full runs (a resumed
+    # --manifest run would overwrite the store with the pending subset)
     assert main(["synth:10", "--shards", shards, "--replay"]) == 1
     assert main(["synth:10", "--shards", shards, "--shard-tokens", "0"]) == 1
+    assert (
+        main(["synth:10", "--shards", shards, "--manifest", str(tmp_path / "m")])
+        == 1
+    )
+    # --verify-shards input validation: synth paths and non-stores are
+    # config errors (exit 1), never tracebacks
+    assert main(["synth:10", "--verify-shards"]) == 1
+    assert main([str(tmp_path), "--verify-shards", "-q"]) == 1
 
     # audit mode: the fresh store verifies clean (exit 0); structural
     # drift (a deleted shard dir) exits 2 through the standard ladder
@@ -494,3 +505,24 @@ def test_cli_shards_and_datasheet(tmp_path, capsys):
     assert code3 == 2
     printed = capsys.readouterr().out
     assert "missing from store" in printed
+
+
+def test_cli_datasheet_empty_input_and_missing_text(tmp_path, capsys):
+    """An empty input still writes an (empty, readable) datasheet before
+    the empty-input short-circuit; a text-less input is a config error."""
+    from validate_xml_rust_spark import get_spark
+
+    spark = get_spark()
+    empty_dir = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(empty_dir)
+    sheet = str(tmp_path / "sheet")
+    assert main([empty_dir, "-q", "--datasheet", sheet]) == 0
+    assert spark.read.parquet(sheet).count() == 0  # readable, empty
+
+    notext_dir = str(tmp_path / "notext")
+    spark.createDataFrame(
+        [("https://a/1", "en")], "url string, lang string"
+    ).write.parquet(notext_dir)
+    assert main([notext_dir, "--datasheet", str(tmp_path / "s2")]) == 1

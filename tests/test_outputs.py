@@ -392,3 +392,25 @@ def test_verify_shards_empty_store(spark, tmp_path):
     # empty store: no shard part files exist — the audit reports an
     # empty (trivially consistent) store instead of crashing
     assert verify_shards(spark, out, 1000).count() == 0
+
+
+def test_shard_pin_survives_empty_bootstrap_write(spark, tmp_path):
+    """An explicit n_shards pin on a ZERO-row initial write must survive
+    to the first real append (the pin lives in out_dir/meta, not on
+    manifest rows that don't exist)."""
+    from validate_xml_rust_spark.operators.outputs import (
+        append_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "train")
+    empty = spark.createDataFrame([], "doc_id long, text string, n_tokens int")
+    write_training_shards(empty, out, tokens_per_shard=1000, n_shards=7)
+    batch = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    ).withColumn("n_tokens", F.length("text"))
+    m = append_training_shards(batch, out, tokens_per_shard=1000)
+    assert {int(r["n_shards"]) for r in m.collect()} == {7}
+    assert {
+        r["shard_id"] for r in spark.read.parquet(f"{out}/shards").collect()
+    } <= set(range(7))

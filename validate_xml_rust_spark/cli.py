@@ -128,13 +128,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.threads is not None and args.threads <= 0:
         print("--threads must be > 0", file=sys.stderr)
         return 1
-    if args.shards and (args.prior or args.replay):
+    if args.shards and (args.prior or args.replay or args.manifest):
         print(
-            "--shards needs a full-corpus run: it writes the valid rows "
-            "as training shards, but --prior/--replay verdicts cover "
-            "only a delta/quarantine subset",
+            "--shards needs a full-corpus run: it OVERWRITES the shard "
+            "store, but --prior/--replay/--manifest runs validate only "
+            "a delta/quarantine/pending subset — resharding from those "
+            "would silently delete previously-sharded training data",
             file=sys.stderr,
         )
+        return 1
+    if args.verify_shards and synth_n is not None:
+        print("--verify-shards needs a shard-store PATH", file=sys.stderr)
         return 1
     if args.shard_tokens <= 0:
         print("--shard-tokens must be > 0", file=sys.stderr)
@@ -159,15 +163,29 @@ def main(argv: list[str] | None = None) -> int:
         from validate_xml_rust_spark.operators.summary import (
             exit_code as _exit_code,
         )
-        from validate_xml_rust_spark.operators.summary import summarize
 
-        v = verify_shards(
-            spark, args.path, args.shard_tokens, id_col="url"
-        ).withColumn("spec_id", F.lit("shard-manifest"))
-        srow = summarize(v).collect()[0].asDict()
+        try:
+            # O(n_shards) rows — collect once, no second Spark pass
+            rows = verify_shards(
+                spark, args.path, args.shard_tokens, id_col="url"
+            ).collect()
+        except Exception as e:  # not a shard store → config error, not a trace
+            print(
+                f"Not a training-shard store (no readable manifest under "
+                f"{args.path}): {getattr(e, 'desc', e)}",
+                file=sys.stderr,
+            )
+            return 1
+        srow = {
+            "total": len(rows),
+            "valid": sum(r["status"] == "valid" for r in rows),
+            "invalid": sum(r["status"] == "invalid" for r in rows),
+            "error": sum(r["status"] == "error" for r in rows),
+            "skipped": 0,
+        }
         if not args.quiet:
             for r in sorted(
-                v.filter(F.col("status") != "valid").collect(),
+                (r for r in rows if r["status"] != "valid"),
                 key=lambda r: r["shard_id"],
             ):
                 print(
@@ -265,6 +283,36 @@ def main(argv: list[str] | None = None) -> int:
             df = pending_against(df, done)
             resumed = True
 
+    # --- corpus datasheet of the scanned input (pre-validation
+    # composition — what went IN, before any verdict routing; with a
+    # --manifest resume this is the PENDING subset, i.e. still the
+    # scanned input). BEFORE the empty-input short-circuit: an empty
+    # corpus writes an empty (readable) datasheet, per the operator's
+    # contract.
+    if args.datasheet:
+        from validate_xml_rust_spark.operators.profile import corpus_datasheet
+
+        if "text" not in df.columns:
+            print(
+                "--datasheet requires a text column in the input",
+                file=sys.stderr,
+            )
+            return 1
+        gcols = tuple(c for c in ("lang",) if c in df.columns)
+        dsf = df
+        if "host" in df.columns:
+            gcols = gcols + ("host",)
+        elif "url" in df.columns:
+            # the section is named after the column — use the public
+            # name, never an internal dunder
+            dsf = df.withColumn("host", F.parse_url("url", F.lit("HOST")))
+            gcols = gcols + ("host",)
+        corpus_datasheet(dsf, group_cols=gcols).write.mode(
+            "overwrite"
+        ).parquet(args.datasheet)
+        if not args.quiet:
+            print(f"Datasheet written to {args.datasheet}")
+
     # empty-input short-circuit (src/validator.rs:432-438)
     if df.limit(1).count() == 0:
         if not args.quiet:
@@ -273,22 +321,6 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print("No documents found to validate")
         return 0
-
-    # --- corpus datasheet of the scanned input (pre-validation
-    # composition — what went IN, before any verdict routing)
-    if args.datasheet:
-        from validate_xml_rust_spark.operators.profile import corpus_datasheet
-
-        gcols = tuple(c for c in ("lang",) if c in df.columns)
-        dsf = df
-        if "url" in df.columns:
-            dsf = df.withColumn("__host", F.parse_url("url", F.lit("HOST")))
-            gcols = gcols + ("__host",)
-        corpus_datasheet(dsf, group_cols=gcols).write.mode(
-            "overwrite"
-        ).parquet(args.datasheet)
-        if not args.quiet:
-            print(f"Datasheet written to {args.datasheet}")
 
     # --quarantine payload columns + write (shared by both modes; the
     # input frame must already be materialized/checkpointed so the
@@ -505,8 +537,12 @@ def main(argv: list[str] | None = None) -> int:
                 "url", F.lit(None).cast("string").alias("text"),
                 F.lit(0).alias("n_tokens"),
             )
+        # checkpoint=False: clean is a narrow filter+select over
+        # ck_verdicts, already materialized blocks — a second inner
+        # checkpoint would double the payload's block memory
         mshards = write_training_shards(
-            clean, args.shards, args.shard_tokens, id_col="url"
+            clean, args.shards, args.shard_tokens, id_col="url",
+            checkpoint=False,
         )
         if not args.quiet:
             print(

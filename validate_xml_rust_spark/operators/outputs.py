@@ -179,6 +179,7 @@ def write_training_shards(
     content_col: str = "text",
     mode: str = "overwrite",
     n_shards: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Write a curated corpus as token-budgeted training shards plus a
     manifest: ``out_dir/shards/shard_id=K/`` parquet (one file per shard
@@ -190,17 +191,27 @@ def write_training_shards(
     ``n_shards`` to pin the shard count explicitly (e.g. when the first
     batch of a streaming ingest is not representative of the eventual
     corpus size) instead of deriving it from this frame's token total.
+    The pin lives in ``out_dir/meta`` (one row), NOT just on manifest
+    rows — a zero-row initial write must not lose an explicit pin.
+    A zero-row write WITHOUT an explicit pin writes no meta: the layout
+    is then undecided, and the first real append derives it.
 
     The input is eager-checkpointed ONCE up front: the sink needs the
     frame three times (token-sum pass for n_shards, the shards write,
     the manifest aggregation), and without the checkpoint each pass
     would re-execute the caller's full upstream lineage (the repo's
     measured multi-branch tax); all three run as block scans instead,
-    and the blocks are released before returning."""
+    and the blocks are released before returning. Callers whose frame
+    is ALREADY materialized (a prior checkpoint/persist) pass
+    ``checkpoint=False`` to skip the second payload copy."""
     from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
 
     spark = df.sparkSession
-    ck, blocks = eager_checkpoint(df)
+    pinned = n_shards
+    if checkpoint:
+        ck, blocks = eager_checkpoint(df)
+    else:
+        ck, blocks = df, frozenset()
     sharded, n_shards = shard_assignments(
         ck,
         tokens_per_shard=tokens_per_shard,
@@ -222,13 +233,19 @@ def write_training_shards(
         tokens_col=tokens_col,
         content_col=content_col,
     )
-    # n_shards rides the manifest so appends can pin it (shards empty at
-    # write time have no manifest row to count)
+    # n_shards rides the manifest rows for consumers reading only the
+    # manifest; the DURABLE pin is the meta sidecar below
     manifest = manifest.withColumn("n_shards", F.lit(n_shards).cast("long"))
     manifest.write.mode(mode).parquet(f"{out_dir}/manifest")
-    release_blocks(spark.sparkContext, blocks)
     spark.catalog.refreshByPath(f"{out_dir}/manifest")
-    return spark.read.parquet(f"{out_dir}/manifest")
+    stored = spark.read.parquet(f"{out_dir}/manifest")
+    if pinned is not None or stored.limit(1).count() > 0:
+        spark.createDataFrame(
+            [(int(n_shards), int(tokens_per_shard))],
+            "n_shards long, tokens_per_shard long",
+        ).write.mode(mode).parquet(f"{out_dir}/meta")
+    release_blocks(spark.sparkContext, blocks)
+    return stored
 
 
 def append_training_shards(
@@ -257,19 +274,30 @@ def append_training_shards(
     Returns the refreshed full manifest."""
     from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
 
+    from pyspark.errors import AnalysisException
+
     spark = new_df.sparkSession
+    n_shards = None
+    try:
+        spark.catalog.refreshByPath(f"{out_dir}/meta")
+        meta = spark.read.parquet(f"{out_dir}/meta").first()
+        if meta is not None:
+            n_shards = int(meta["n_shards"])
+    except AnalysisException:
+        pass  # pre-meta store layout: fall back to manifest rows
     spark.catalog.refreshByPath(f"{out_dir}/manifest")
     prior = spark.read.parquet(f"{out_dir}/manifest")
-    first = prior.select("n_shards").first()
-    if first is None:
-        # empty store (an initial write of zero rows leaves a manifest
-        # with schema but no rows, so there is no pin to recover):
-        # appending to an empty store IS the initial write
-        return write_training_shards(
-            new_df, out_dir, tokens_per_shard,
-            id_col=id_col, tokens_col=tokens_col, content_col=content_col,
-        )
-    n_shards = int(first["n_shards"])
+    if n_shards is None:
+        first = prior.select("n_shards").first()
+        if first is None:
+            # undecided store (a zero-row initial write with no explicit
+            # pin writes no meta): appending IS the initial write
+            return write_training_shards(
+                new_df, out_dir, tokens_per_shard,
+                id_col=id_col, tokens_col=tokens_col,
+                content_col=content_col,
+            )
+        n_shards = int(first["n_shards"])
     assigned, _ = shard_assignments(
         new_df, n_shards=n_shards, id_col=id_col, tokens_col=tokens_col
     )
@@ -282,9 +310,14 @@ def append_training_shards(
     # combined rows must be materialized (checkpoint blocks) before the
     # write starts deleting source files
     spark.catalog.refreshByPath(f"{out_dir}/shards")
-    old_touched = spark.read.parquet(f"{out_dir}/shards").filter(
-        F.col("shard_id").isin(touched)
-    )
+    try:
+        old_touched = spark.read.parquet(f"{out_dir}/shards").filter(
+            F.col("shard_id").isin(touched)
+        )
+    except AnalysisException:
+        # a pinned zero-row initial write leaves no shard part files —
+        # the store exists (meta + empty manifest) but holds nothing yet
+        old_touched = assigned.limit(0)
     cols = [c for c in old_touched.columns]
     combined, blocks = eager_checkpoint(
         old_touched.unionByName(assigned.select(*cols))
