@@ -228,3 +228,47 @@ def test_js_divergence_properties(spark):
     assert out[0]["drifted"] is False
     assert 0.0 < out[1]["statistic"] <= math.log(2) + 1e-9
     assert out[1]["statistic"] > 0.1 and out[1]["drifted"] is True
+
+
+def test_vocab_drift_detects_vocabulary_shift(spark):
+    """Token-level drift: a partition whose vocabulary shifted reads a
+    higher JS than stable partitions; corpus-vs-corpus baselining works;
+    identical corpora measure ~0."""
+    from validate_xml_rust_spark.operators.drift import vocab_drift
+
+    base_rows = [
+        (i, i % 4, "the quick brown fox jumps over the lazy dog %d" % i)
+        for i in range(400)
+    ]
+    # partition 3 speaks a different vocabulary
+    cur_rows = [
+        (
+            i,
+            i % 4,
+            (
+                "zorb flux quasar nebula parsec warp %d" % i
+                if i % 4 == 3
+                else "the quick brown fox jumps over the lazy dog %d" % i
+            ),
+        )
+        for i in range(400)
+    ]
+    schema = "doc_id long, partition_id int, text string"
+    base = spark.createDataFrame(base_rows, schema)
+    cur = spark.createDataFrame(cur_rows, schema)
+
+    d = {
+        r["partition_id"]: r["statistic"]
+        for r in vocab_drift(cur, baseline_df=base).collect()
+    }
+    stable = [d[p] for p in (0, 1, 2)]
+    assert d[3] > 5 * max(stable), d
+    # self-baseline on a uniform corpus: every partition near zero
+    s = {
+        r["partition_id"]: r["statistic"]
+        for r in vocab_drift(base).collect()
+    }
+    assert all(v < 0.05 for v in s.values()), s
+    # output schema matches the drift-suite contract
+    cols = set(vocab_drift(base).columns)
+    assert {"partition_id", "column_name", "test", "statistic", "n"} <= cols

@@ -447,3 +447,78 @@ def drift_violations(drift_df: DataFrame) -> DataFrame:
             F.col("p_value").cast("string"),
         ).alias("message"),
     )
+
+
+def vocab_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    partition_col: str | None = "partition_id",
+    n_buckets: int = 256,
+    seed: str = "vocab",
+) -> DataFrame:
+    """Word-unigram occurrences hashed into a FIXED md5 bucket space —
+    the bounded-cardinality category frame vocabulary drift runs over.
+    Each token is one observation; the only shuffle is the
+    (partition × bucket) count aggregation (map-side combined,
+    ≤ P·n_buckets rows at any corpus size). md5 (not xxhash64) so the
+    DuckDB oracle recomputes identical buckets."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+    from validate_xml_rust_spark.operators.curation import sample_ticket
+
+    cols = [F.col(partition_col)] if partition_col else []
+    toks = df.select(
+        *cols, F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    return toks.withColumn(
+        "vocab",
+        (sample_ticket(F.col("__tok"), seed) % F.lit(n_buckets)).cast(
+            "string"
+        ),
+    ).drop("__tok")
+
+
+def vocab_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    partition_col: str = "partition_id",
+    baseline_df: DataFrame | None = None,
+    n_buckets: int = 256,
+    stat: str = "js",
+    threshold: float = 0.1,
+    min_rows: int = 20,
+    seed: str = "vocab",
+) -> DataFrame:
+    """Per-partition VOCABULARY drift: the token (not row) distribution
+    of each partition against a baseline corpus's token distribution —
+    the statistic that catches a crawl snapshot whose language/jargon/
+    boilerplate mix shifted even when row-level columns look stable
+    (the vocabulary-shift check an LLM-data pipeline runs between
+    ingests; same published JS/PSI banding as the column checks).
+
+    Words are hashed into ``n_buckets`` md5 buckets, so the category
+    space is FINITE and identical in both engines regardless of true
+    vocabulary size, then the ALREADY-GATED categorical machinery
+    (psi_drift_check — grid expansion, Laplace smoothing, zero Python)
+    runs over the bucket column with each token as one observation.
+    ``baseline_df=None`` baselines against this corpus's own global
+    distribution; pass the prior snapshot's frame for corpus-vs-corpus.
+
+    Scale shape: one narrow explode + one (P × n_buckets) count shuffle
+    per corpus; the baseline reduces to a ≤n_buckets literal map."""
+    cur = vocab_bucket_counts(
+        df, text_col, partition_col, n_buckets=n_buckets, seed=seed
+    )
+    base_src = (
+        cur
+        if baseline_df is None
+        else vocab_bucket_counts(
+            baseline_df, text_col, None, n_buckets=n_buckets, seed=seed
+        )
+    )
+    baseline = categorical_baseline(base_src, "vocab")
+    out = psi_drift_check(
+        cur, "vocab", baseline,
+        partition_col=partition_col, threshold=threshold,
+        min_rows=min_rows, stat=stat,
+    )
+    return out

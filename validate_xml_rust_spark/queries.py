@@ -169,6 +169,16 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the md5-derived 32-bit sampling ticket, restated for DuckDB: Σ nibble·16^k
+def _oracle_mix_ticket(key_sql: str, seed: str) -> str:
+    """Parametrized DuckDB restatement of curation.sample_ticket."""
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {key_sql}), "
+        "CAST(i AS INT), 1)) - 1) * power(16, 8 - i)))"
+    )
+
+
 ORACLE_PROFILE_DOCUMENTS = """
 SELECT 'lang' AS column_name,
        round(CAST(count(*) FILTER (WHERE lang IS NULL) AS DOUBLE)/count(*), 6) AS null_rate,
@@ -1711,6 +1721,61 @@ FROM terms GROUP BY pid
 """
 
 
+def q_drift_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition VOCABULARY drift (drift.vocab_drift): every word
+    token is one observation, hashed into 256 md5 buckets (finite
+    category space at any vocabulary size), then the gated categorical
+    JS machinery runs per partition vs the global token distribution.
+    The oracle re-derives tokenization, the md5 bucket of every token,
+    and the smoothed half-KL grid from scratch."""
+    from validate_xml_rust_spark.operators.drift import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "partition_id", (F.col("doc_id") % 8).cast("int")
+    )
+    out = vocab_drift(docs, n_buckets=256, stat="js")
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+ORACLE_DRIFT_VOCAB = f"""
+WITH toks AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid,
+         unnest(list_filter(regexp_split_to_array(
+             lower(trim(coalesce(text, ''))), '[^a-z0-9]+'),
+             x -> length(x) > 0)) AS tok
+  FROM documents),
+v AS (
+  SELECT pid,
+         CAST(CAST({_oracle_mix_ticket("tok", "vocab")} AS BIGINT) % 256
+              AS VARCHAR) AS cat
+  FROM toks),
+base AS (SELECT cat, CAST(count(*) AS DOUBLE) AS b FROM v GROUP BY 1),
+cats AS (SELECT cat FROM base UNION ALL SELECT '__OTHER__'),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cats),
+mm AS (SELECT sum(b) AS m FROM base),
+obs AS (SELECT pid, cat, count(*) AS o FROM v GROUP BY 1, 2),
+pn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT pn.pid, pn.n,
+         CAST(coalesce(obs.o, 0) AS DOUBLE) AS o,
+         coalesce(base.b, 0.0) AS b
+  FROM pn CROSS JOIN cats
+  LEFT JOIN obs ON obs.pid = pn.pid AND obs.cat = cats.cat
+  LEFT JOIN base ON base.cat = cats.cat),
+terms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) * ln(((o + 0.5) / (n + 0.5 * k))
+            / (((o + 0.5) / (n + 0.5 * k) + (b + 0.5) / (m + 0.5 * k)) / 2))
+          + (b + 0.5) / (m + 0.5 * k) * ln(((b + 0.5) / (m + 0.5 * k))
+            / (((o + 0.5) / (n + 0.5 * k) + (b + 0.5) / (m + 0.5 * k)) / 2))) / 2 AS t
+  FROM grid CROSS JOIN kk CROSS JOIN mm)
+SELECT CAST(pid AS INT) AS partition_id, 'vocab' AS column_name, 'js' AS test,
+       CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic,
+       CAST(max(n) AS BIGINT) AS n
+FROM terms GROUP BY pid
+"""
+
+
 def q_drift_psi_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned numeric PSI (operators/drift.py `psi_numeric_drift_check`):
     n_chars through fixed [0,400)/10 bins with edge clamping, then the
@@ -2453,14 +2518,7 @@ FROM r
 # benchmark decontamination, PII redaction.
 # ---------------------------------------------------------------------------
 
-# the md5-derived 32-bit sampling ticket, restated for DuckDB: Σ nibble·16^k
-def _oracle_mix_ticket(key_sql: str, seed: str) -> str:
-    """Parametrized DuckDB restatement of curation.sample_ticket."""
-    return (
-        "list_sum(list_transform(range(1, 9), i -> "
-        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {key_sql}), "
-        "CAST(i AS INT), 1)) - 1) * power(16, 8 - i)))"
-    )
+# (_oracle_mix_ticket moved near the top of the module — drift oracles use it)
 
 
 _ORACLE_TICKET = (
@@ -3713,7 +3771,8 @@ def q_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift checks, all six families in one gate (§2.8c):
     per-partition chi² (lang), two-sample KS (n_chars), categorical PSI
     (lang), Jensen–Shannon divergence (lang), binned numeric PSI
-    (n_chars), and embedding cluster-occupancy PSI — identical
+    (n_chars), embedding cluster-occupancy PSI, and token-level
+    vocabulary JS over md5 buckets — identical
     (partition_id, column_name, test, statistic, n) schema;
     (column_name, test) disambiguates the rows."""
     return (
@@ -3723,6 +3782,7 @@ def q_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_drift_js_lang(spark, sf_dir))
         .unionByName(q_drift_psi_nchars(spark, sf_dir))
         .unionByName(q_embedding_drift(spark, sf_dir))
+        .unionByName(q_drift_vocab(spark, sf_dir))
     )
 
 
@@ -3736,6 +3796,7 @@ ORACLE_DRIFT_SUITE = "\nUNION ALL\n".join(
             ORACLE_DRIFT_JS_LANG,
             ORACLE_DRIFT_PSI_NCHARS,
             ORACLE_EMBEDDING_DRIFT,
+            ORACLE_DRIFT_VOCAB,
         )
     )
 )
