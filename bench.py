@@ -380,6 +380,19 @@ def main() -> None:
 
     timings["shard_manifest_pages"] = _time(_run_shards)
 
+    # vocabulary drift at pages scale: one narrow token explode + one
+    # (P × 256) map-side-combined count shuffle; every token is an
+    # observation, so this tracks the explode's real cost
+    from validate_xml_rust_spark.operators.drift import vocab_drift
+
+    timings["vocab_drift_pages"] = _time(
+        lambda: vocab_drift(
+            pg.withColumn(
+                "partition_id", F.pmod(F.xxhash64("url"), F.lit(16)).cast("int")
+            )
+        ).collect()
+    )
+
     # corpus datasheet at pages scale: ONE grouping-sets aggregation
     # (sections lang + host + corpus) + the exact percentile pass
     from validate_xml_rust_spark.operators.profile import corpus_datasheet
