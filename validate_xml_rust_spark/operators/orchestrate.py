@@ -252,17 +252,32 @@ def _table_violations_for(
 
         test = c.params.get("test", "chi2")
         alpha = c.params.get("alpha", 0.05)
-        baseline = ctx.baselines[c.column]
-        if test == "ks":
+        if test == "vocab":
+            # token-level vocabulary drift of the TEXT column: the
+            # baseline is the scoped corpus's own global token
+            # distribution (summed from the same counts — one pass), so
+            # no ctx.baselines entry is declared
+            from validate_xml_rust_spark.operators.drift import vocab_drift
+
+            d = vocab_drift(
+                df, text_col=c.column, partition_col=partition_col,
+                n_buckets=int(c.params.get("n_buckets", 256)),
+                stat=c.params.get("stat", "js"),
+                threshold=c.params.get("threshold", 0.1),
+            )
+        elif test == "ks":
+            baseline = ctx.baselines[c.column]
             d = ks_drift_check(df, c.column, baseline, partition_col, alpha)
         elif test == "psi":
             from validate_xml_rust_spark.operators.drift import psi_drift_check
 
+            baseline = ctx.baselines[c.column]
             d = psi_drift_check(
                 df, c.column, baseline, partition_col,
                 threshold=c.params.get("threshold", 0.2),
             )
         else:
+            baseline = ctx.baselines[c.column]
             d = chi2_drift_check(df, c.column, baseline, partition_col, alpha)
         # carry the SPEC's constraint id (like every other table kind) —
         # drift_violations' derived drift_<test>_<col> id is for direct

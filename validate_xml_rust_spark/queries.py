@@ -4252,6 +4252,13 @@ def q_orchestrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "domain_min_docs": 5}),
             Constraint("drift_lang", "lang", "drift",
                        {"test": "psi", "threshold": 0.0}),
+            # vocabulary drift of the text column itself (token-level
+            # JS over 64 md5 buckets, self-baselined on the scoped
+            # corpus; threshold 0 so every partition with any
+            # divergence violates — the plumbing check)
+            Constraint("vocab_text", "text", "drift",
+                       {"test": "vocab", "threshold": 0.0,
+                        "n_buckets": 64}),
             # CCNet-style LM budget: bigram LM trained on the en docs,
             # scoped docs above 3.5 nats/bigram violate (the scores are
             # 6dp-identical across engines — text_metrics pins that —
@@ -4374,6 +4381,43 @@ pstat AS (
 psi AS (
   SELECT 'drift_lang' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
   FROM pstat WHERE statistic > 0.0),
+vtoks AS (
+  SELECT CAST(doc_id % 8 AS INT) AS pid,
+         unnest(list_filter(regexp_split_to_array(
+             lower(trim(coalesce(text, ''))), '[^a-z0-9]+'),
+             x -> length(x) > 0)) AS tok
+  FROM scoped),
+vv AS (
+  SELECT pid,
+         CAST(CAST({_oracle_mix_ticket("tok", "vocab")} AS BIGINT) % 64
+              AS VARCHAR) AS cat
+  FROM vtoks),
+vbase AS (SELECT cat, CAST(count(*) AS DOUBLE) AS b FROM vv GROUP BY 1),
+vcats AS (SELECT cat FROM vbase UNION ALL SELECT '__OTHER__'),
+vkk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM vcats),
+vmm AS (SELECT sum(b) AS m FROM vbase),
+vobs AS (SELECT pid, cat, count(*) AS o FROM vv GROUP BY 1, 2),
+vpn AS (SELECT pid, CAST(sum(o) AS DOUBLE) AS n FROM vobs GROUP BY 1),
+vgrid AS (
+  SELECT vpn.pid, vpn.n,
+         CAST(coalesce(vobs.o, 0) AS DOUBLE) AS o,
+         coalesce(vbase.b, 0.0) AS b
+  FROM vpn CROSS JOIN vcats
+  LEFT JOIN vobs ON vobs.pid = vpn.pid AND vobs.cat = vcats.cat
+  LEFT JOIN vbase ON vbase.cat = vcats.cat),
+vterms AS (
+  SELECT pid, n,
+         ((o + 0.5) / (n + 0.5 * k) * ln(((o + 0.5) / (n + 0.5 * k))
+            / (((o + 0.5) / (n + 0.5 * k) + (b + 0.5) / (m + 0.5 * k)) / 2))
+          + (b + 0.5) / (m + 0.5 * k) * ln(((b + 0.5) / (m + 0.5 * k))
+            / (((o + 0.5) / (n + 0.5 * k) + (b + 0.5) / (m + 0.5 * k)) / 2))) / 2 AS t
+  FROM vgrid CROSS JOIN vkk CROSS JOIN vmm),
+vstat AS (
+  SELECT pid, CASE WHEN max(n) < 20 THEN 0.0 ELSE round(sum(t), 6) END AS statistic
+  FROM vterms GROUP BY pid),
+vdr AS (
+  SELECT 'vocab_text' AS constraint_id, CAST(count(*) AS BIGINT) AS n_violations
+  FROM vstat WHERE statistic > 0.0),
 lmqw AS (
   SELECT doc_id, lang,
          list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
@@ -4413,7 +4457,8 @@ SELECT * FROM (
   SELECT * FROM row_v UNION ALL SELECT * FROM uq UNION ALL
   SELECT * FROM refv UNION ALL SELECT * FROM fd UNION ALL
   SELECT * FROM hq UNION ALL SELECT * FROM hq_dom UNION ALL
-  SELECT * FROM psi UNION ALL SELECT * FROM lmq UNION ALL
+  SELECT * FROM psi UNION ALL SELECT * FROM vdr UNION ALL
+  SELECT * FROM lmq UNION ALL
   SELECT * FROM c4v) all_v
 WHERE n_violations > 0
 """
