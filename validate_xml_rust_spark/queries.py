@@ -3077,6 +3077,66 @@ def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("partition_id", "column_name", "test", "statistic", "n")
 
 
+def q_streaming_drift_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous VOCABULARY monitoring on a stream: the same replayed
+    file-source stream, but each record fans out to its word tokens and
+    their md5 buckets (drift.vocab_bucket_counts — a narrow projection,
+    stream-safe), counts accumulate in complete mode (O(P·256) state),
+    and the zero-Python JS core reads them. Stream counts equal batch
+    counts, so the oracle IS the batch vocab-drift restatement."""
+    from validate_xml_rust_spark.operators.drift import (
+        categorical_baseline,
+        psi_from_counts,
+        vocab_bucket_counts,
+    )
+
+    stream = (
+        vocab_bucket_counts(
+            _replayed_stream(spark, sf_dir, "documents").withColumn(
+                "partition_id", (F.col("doc_id") % 8).cast("int")
+            )
+        )
+        .groupBy(
+            F.col("partition_id").cast("int").alias("__pid"),
+            F.col("vocab").alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    name = _run_to_memory(stream, "q_stream_vocab_")
+    baseline = categorical_baseline(
+        vocab_bucket_counts(_t(spark, sf_dir, "documents"), partition_col=None),
+        "vocab",
+    )
+    out = psi_from_counts(
+        spark.table(name), "vocab", baseline, stat="js", threshold=0.1
+    )
+    return out.select("partition_id", "column_name", "test", "statistic", "n")
+
+
+def q_streaming_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both streaming drift monitors, one gate: categorical PSI (lang)
+    and token-level vocabulary JS — complete-mode count state feeding
+    the closed-form statistics, equal to their batch twins."""
+    a = q_streaming_drift_psi(spark, sf_dir).withColumn(
+        "variant", F.lit("psi_lang")
+    )
+    b = q_streaming_drift_vocab(spark, sf_dir).withColumn(
+        "variant", F.lit("js_vocab")
+    )
+    return a.unionByName(b)
+
+
+ORACLE_STREAMING_DRIFT_SUITE = f"""
+SELECT 'psi_lang' AS variant, t.* FROM (
+{ORACLE_DRIFT_PSI_LANG}
+) t
+UNION ALL
+SELECT 'js_vocab' AS variant, t.* FROM (
+{ORACLE_DRIFT_VOCAB}
+) t
+"""
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming replay equals batch SQL: the events table read
     as an AvailableNow file-source stream, tumbling 1-hour event-time
@@ -4741,7 +4801,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "streaming_neardup": q_streaming_neardup,
     "streaming_first_seen": q_streaming_first_seen,
-    "streaming_drift_psi": q_streaming_drift_psi,
+    "streaming_drift_psi": q_streaming_drift_suite,
     "top_orders_per_nation": q_top_orders_per_nation,
     "sessionization": q_sessionization,
     "rollup_order_priority": q_rollup_order_priority,
@@ -4794,7 +4854,7 @@ ORACLES = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "streaming_neardup": ORACLE_STREAMING_NEARDUP,
     "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
-    "streaming_drift_psi": ORACLE_DRIFT_PSI_LANG,  # stream counts == batch PSI
+    "streaming_drift_psi": ORACLE_STREAMING_DRIFT_SUITE,  # stream counts == batch stats
     "top_orders_per_nation": ORACLE_TOP_ORDERS_PER_NATION,
     "sessionization": ORACLE_SESSIONIZATION,
     "rollup_order_priority": ORACLE_ROLLUP_ORDER_PRIORITY,
