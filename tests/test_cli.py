@@ -480,14 +480,11 @@ def test_cli_shards_and_datasheet(tmp_path, capsys):
     assert code2 in (0, 2, 3)
     assert "text" not in spark.read.parquet(f"{out}/verdicts").columns
 
-    # config errors: --shards composes only with full runs (a resumed
-    # --manifest run would overwrite the store with the pending subset)
+    # config errors: --shards composes only with full runs (the
+    # resumed-manifest case is covered by
+    # test_cli_shards_fresh_manifest_composes)
     assert main(["synth:10", "--shards", shards, "--replay"]) == 1
     assert main(["synth:10", "--shards", shards, "--shard-tokens", "0"]) == 1
-    assert (
-        main(["synth:10", "--shards", shards, "--manifest", str(tmp_path / "m")])
-        == 1
-    )
     # --verify-shards input validation: synth paths and non-stores are
     # config errors (exit 1), never tracebacks
     assert main(["synth:10", "--verify-shards"]) == 1
@@ -526,3 +523,34 @@ def test_cli_datasheet_empty_input_and_missing_text(tmp_path, capsys):
         [("https://a/1", "en")], "url string, lang string"
     ).write.parquet(notext_dir)
     assert main([notext_dir, "--datasheet", str(tmp_path / "s2")]) == 1
+
+
+def test_cli_shards_fresh_manifest_composes(tmp_path, capsys):
+    """--shards with a FRESH --manifest is a full-corpus run and
+    composes; the same invocation RESUMED (partitions committed) is a
+    config error — the pending subset must not overwrite the store."""
+    import json as _json
+
+    spec = {
+        "spec_id": "permissive-v1",
+        "constraints": [
+            {"constraint_id": "ok", "column": "url", "kind": "expr",
+             "params": {"predicate": "1 = 1"}},
+        ],
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(_json.dumps(spec))
+    manifest = str(tmp_path / "m")
+    shards = str(tmp_path / "s")
+    args = ["synth:300", "-q", "--spec", str(p), "--manifest", manifest,
+            "--shards", shards, "--shard-tokens", "5000"]
+    from validate_xml_rust_spark import get_spark
+
+    assert main(args) == 0  # fresh manifest: full corpus, shards written
+    spark = get_spark()
+    n0 = spark.read.parquet(f"{shards}/shards").count()
+    assert n0 == 300
+    # resumed (all committed): rejected before touching the store
+    assert main(args) == 1
+    assert "RESUMED" in capsys.readouterr().err
+    assert spark.read.parquet(f"{shards}/shards").count() == n0

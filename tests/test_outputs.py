@@ -414,3 +414,27 @@ def test_shard_pin_survives_empty_bootstrap_write(spark, tmp_path):
     assert {
         r["shard_id"] for r in spark.read.parquet(f"{out}/shards").collect()
     } <= set(range(7))
+
+
+def test_meta_reset_on_unpinned_empty_overwrite(spark, tmp_path):
+    """Re-initializing a store with a zero-row UNPINNED write resets the
+    layout: the next append derives n_shards from its own batch instead
+    of serving the dead generation's pin."""
+    from validate_xml_rust_spark.operators.outputs import (
+        append_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "train")
+
+    def mk(n):
+        return spark.createDataFrame(
+            [(i, "body " * 40) for i in range(n)], "doc_id long, text string"
+        ).withColumn("n_tokens", F.length("text"))
+
+    m0 = write_training_shards(mk(500), out, tokens_per_shard=2000)
+    assert int(m0.select("n_shards").first()["n_shards"]) > 10
+    # reset: zero rows, no pin
+    write_training_shards(mk(0), out, tokens_per_shard=2000)
+    m1 = append_training_shards(mk(5), out, tokens_per_shard=2000)
+    assert {int(r["n_shards"]) for r in m1.collect()} == {1}

@@ -128,15 +128,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.threads is not None and args.threads <= 0:
         print("--threads must be > 0", file=sys.stderr)
         return 1
-    if args.shards and (args.prior or args.replay or args.manifest):
+    if args.shards and (args.prior or args.replay):
         print(
             "--shards needs a full-corpus run: it OVERWRITES the shard "
-            "store, but --prior/--replay/--manifest runs validate only "
-            "a delta/quarantine/pending subset — resharding from those "
-            "would silently delete previously-sharded training data",
+            "store, but --prior/--replay runs validate only a "
+            "delta/quarantine subset — resharding from those would "
+            "silently delete previously-sharded training data",
             file=sys.stderr,
         )
         return 1
+    # (--manifest composes on a FRESH manifest — the full corpus is
+    # pending; a RESUMED run is rejected below once pending is known)
     if args.verify_shards and synth_n is not None:
         print("--verify-shards needs a shard-store PATH", file=sys.stderr)
         return 1
@@ -164,18 +166,25 @@ def main(argv: list[str] | None = None) -> int:
             exit_code as _exit_code,
         )
 
+        from pyspark.errors import AnalysisException
+
         try:
-            # O(n_shards) rows — collect once, no second Spark pass
-            rows = verify_shards(
-                spark, args.path, args.shard_tokens, id_col="url"
-            ).collect()
-        except Exception as e:  # not a shard store → config error, not a trace
+            # existence probe only — "is this a shard store at all?"
+            spark.read.parquet(f"{args.path}/manifest")
+        except AnalysisException as e:  # not a store → config error
             print(
                 f"Not a training-shard store (no readable manifest under "
                 f"{args.path}): {getattr(e, 'desc', e)}",
                 file=sys.stderr,
             )
             return 1
+        # the audit itself runs unguarded: a runtime failure (corrupt
+        # part file, executor loss) is a real error and must surface as
+        # one, not masquerade as a usage mistake.
+        # O(n_shards) rows — collect once, no second Spark pass
+        rows = verify_shards(
+            spark, args.path, args.shard_tokens, id_col="url"
+        ).collect()
         srow = {
             "total": len(rows),
             "valid": sum(r["status"] == "valid" for r in rows),
@@ -283,13 +292,25 @@ def main(argv: list[str] | None = None) -> int:
             df = pending_against(df, done)
             resumed = True
 
+    # --shards × resumed --manifest: the pending subset is NOT the
+    # corpus; resharding from it would overwrite the store with a
+    # fragment. A fresh manifest (nothing committed yet) composes fine.
+    if args.shards and resumed:
+        print(
+            "--shards with a RESUMED --manifest run would overwrite the "
+            "shard store with only the pending partitions; re-shard from "
+            "a full run (or a fresh manifest)",
+            file=sys.stderr,
+        )
+        return 1
+
     # --- corpus datasheet of the scanned input (pre-validation
-    # composition — what went IN, before any verdict routing; with a
-    # --manifest resume this is the PENDING subset, i.e. still the
-    # scanned input). BEFORE the empty-input short-circuit: an empty
-    # corpus writes an empty (readable) datasheet, per the operator's
-    # contract.
-    if args.datasheet:
+    # composition — what went IN, before any verdict routing). BEFORE
+    # the empty-input short-circuit so a genuinely empty corpus writes
+    # an empty (readable) datasheet per the operator's contract — but a
+    # NO-OP RESUME (everything already committed) must not clobber the
+    # datasheet the original full run published.
+    if args.datasheet and not (resumed and df.limit(1).count() == 0):
         from validate_xml_rust_spark.operators.profile import corpus_datasheet
 
         if "text" not in df.columns:

@@ -239,11 +239,17 @@ def write_training_shards(
     manifest.write.mode(mode).parquet(f"{out_dir}/manifest")
     spark.catalog.refreshByPath(f"{out_dir}/manifest")
     stored = spark.read.parquet(f"{out_dir}/manifest")
-    if pinned is not None or stored.limit(1).count() > 0:
-        spark.createDataFrame(
-            [(int(n_shards), int(tokens_per_shard))],
-            "n_shards long, tokens_per_shard long",
-        ).write.mode(mode).parquet(f"{out_dir}/meta")
+    # the meta sidecar is ALWAYS (over)written — a decided layout as one
+    # row, an undecided one (zero-row unpinned write) as zero rows — so
+    # a re-initialized store can never serve a dead generation's pin
+    meta_rows = (
+        [(int(n_shards), int(tokens_per_shard))]
+        if pinned is not None or stored.limit(1).count() > 0
+        else []
+    )
+    spark.createDataFrame(
+        meta_rows, "n_shards long, tokens_per_shard long"
+    ).write.mode(mode).parquet(f"{out_dir}/meta")
     release_blocks(spark.sparkContext, blocks)
     return stored
 
