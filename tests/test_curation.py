@@ -437,3 +437,47 @@ def test_normalize_text_is_idempotent_under_all_options(spark):
     # the J+caron casefold really composes under NFC+lower
     out = {r["doc_id"]: r["text"] for r in normalize_text(d, lower=True).collect()}
     assert out[0].startswith("ǰ")
+
+
+def test_dedup_lines_within_doc(spark):
+    from validate_xml_rust_spark.operators.curation import (
+        dedup_lines_within_doc,
+    )
+
+    rows = [
+        (1, "alpha\nPROMO\nbeta\nPROMO\n\nalpha\ngamma"),
+        (2, "  same  \nsame\nother"),  # trim-compared; first bytes kept
+        (3, None),
+        (4, "\n\n"),  # empty lines always survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_lines_within_doc(df).collect()
+    }
+    assert got[1] == "alpha\nPROMO\nbeta\n\ngamma"
+    assert got[2] == "  same  \nother"
+    assert got[3] == ""
+    assert got[4] == "\n\n"
+    # idempotent (fixed point) and partitioning-invariant
+    once = dedup_lines_within_doc(df).drop("text").withColumnRenamed(
+        "clean_text", "text"
+    )
+    twice = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_lines_within_doc(once).collect()
+    }
+    assert twice == got
+    rep = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_lines_within_doc(df.repartition(5)).collect()
+    }
+    assert rep == got
+    # zero-shuffle plan (pure projection)
+    plan = (
+        dedup_lines_within_doc(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -636,3 +636,24 @@ def test_curate_to_shards_end_to_end(spark, tmp_path):
     v = verify_shards(spark, out, 3000)
     assert {r["status"] for r in v.collect()} == {"valid"}
     res.release()
+
+
+def test_curate_dedup_doc_lines_step(spark):
+    """Within-doc line dedup as a curate step: spammy repeats collapse
+    BEFORE corpus dedup so a spammed page and its clean twin land in
+    the same fingerprint group; row count never changes at this step."""
+    rows = [
+        (1, "promo line\nbody one\npromo line\npromo line"),
+        (2, "promo line\nbody one"),  # clean twin of doc 1
+        (3, "unique content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(docs, spark, dedup_doc_lines=True, near_dup_threshold=None)
+    steps = {s["step"]: s for s in res.report["steps"]}
+    assert steps["dedup_doc_lines"]["dropped"] == 0
+    # after line dedup, docs 1 and 2 are byte-identical -> exact dedup
+    # collapses them to one
+    assert steps["exact_dedup"]["dropped"] == 1
+    kept = sorted(r["doc_id"] for r in res.kept.collect())
+    assert len(kept) == 2 and 3 in kept
+    res.release()

@@ -152,6 +152,7 @@ def curate(
     route_col: str = "lang",
     benchmark: DataFrame | None = None,
     normalize_form: str | None = None,
+    dedup_doc_lines: bool = False,
     near_dup_threshold: float | None = 0.8,
     near_dup_keeper_col: str | None = None,
     semantic_threshold: float | None = None,
@@ -224,6 +225,22 @@ def curate(
         cur = log(
             "normalize",
             normalize_text(cur, text_col, form=normalize_form),
+        )
+
+    if dedup_doc_lines:
+        # within-document repeated-line removal BEFORE corpus dedup:
+        # a page spamming one promo line 40 times must not fingerprint
+        # (or MinHash) differently from its clean twin. Pure codegen
+        # projection, text rewritten in place; row count never changes.
+        from validate_xml_rust_spark.operators.curation import (
+            dedup_lines_within_doc,
+        )
+
+        cur = log(
+            "dedup_doc_lines",
+            dedup_lines_within_doc(cur, text_col)
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col),
         )
 
     from validate_xml_rust_spark.operators.dedup import exact_dedup, near_dedup

@@ -2696,6 +2696,76 @@ FROM d LEFT JOIN sa USING (doc_id)
 """
 
 
+def q_dedup_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal
+    (curation.dedup_lines_within_doc): every doc gets a promo line
+    planted TWICE plus its own first line repeated at the end; the
+    rebuilt text must keep each line's first occurrence (original
+    bytes, original order, empty lines intact). The oracle restates
+    first-occurrence-by-trimmed-form with window arithmetic."""
+    from validate_xml_rust_spark.operators.curation import (
+        dedup_lines_within_doc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("PROMO visit example.com\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\n  PROMO visit example.com  \n\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return dedup_lines_within_doc(
+        docs.select("doc_id", t.alias("text"))
+    ).select("doc_id", "clean_text")
+
+
+ORACLE_DEDUP_LINES_WITHIN = """
+WITH d AS (
+  SELECT doc_id,
+         'PROMO visit example.com' || chr(10) || coalesce(text, '')
+         || chr(10) || '  PROMO visit example.com  ' || chr(10)
+         || chr(10) || coalesce(text, '') AS t
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS raw,
+         unnest(generate_series(1, len(string_split(t, chr(10))))) AS idx
+  FROM d),
+lt AS (
+  SELECT doc_id, idx, raw, trim(raw) AS line,
+         min(idx) OVER (PARTITION BY doc_id, trim(raw)) AS first_idx
+  FROM l)
+SELECT doc_id,
+       string_agg(raw, chr(10) ORDER BY idx) AS clean_text
+FROM lt
+WHERE line = '' OR idx = first_idx
+GROUP BY doc_id
+"""
+
+
+def q_strip_boilerplate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both line-dedup granularities, one gate: corpus-level boilerplate
+    voting and the page-local within-document rule."""
+    a = q_strip_boilerplate(spark, sf_dir).withColumn(
+        "variant", F.lit("corpus")
+    )
+    b = q_dedup_lines_within(spark, sf_dir).withColumn(
+        "variant", F.lit("within_doc")
+    )
+    return a.unionByName(b)
+
+
+ORACLE_STRIP_BOILERPLATE_SUITE = f"""
+SELECT 'corpus' AS variant, t.* FROM (
+{ORACLE_STRIP_BOILERPLATE}
+) t
+UNION ALL
+SELECT 'within_doc' AS variant, t.* FROM (
+{ORACLE_DEDUP_LINES_WITHIN}
+) t
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (curation.pack_sequences): docs fill a
     2000-char budget per pack, in id order within each of 4 logical
@@ -4825,7 +4895,7 @@ QUERIES = {
     "decontaminate": q_decontaminate_suite,
     "chunk_documents": q_chunk_documents_suite,
     "redact_pii": q_redact_pii,
-    "strip_boilerplate": q_strip_boilerplate,
+    "strip_boilerplate": q_strip_boilerplate_suite,
     "pack_sequences": q_pack_sequences_suite,
     "curate_lineage": q_curate_lineage,
     "orchestrate_full": q_orchestrate_full,
@@ -4878,7 +4948,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE_SUITE,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS_SUITE,
     "redact_pii": ORACLE_REDACT_PII,
-    "strip_boilerplate": ORACLE_STRIP_BOILERPLATE,
+    "strip_boilerplate": ORACLE_STRIP_BOILERPLATE_SUITE,
     "pack_sequences": ORACLE_PACK_SEQUENCES_SUITE,
     "curate_lineage": ORACLE_CURATE_LINEAGE,
     "orchestrate_full": ORACLE_ORCHESTRATE_FULL,
