@@ -86,3 +86,49 @@ def test_model_roundtrip(spark):
     back = QualityModel.from_df(model.to_df(spark))
     assert back.bias == model.bias
     assert back.weights == model.weights  # 9dp rounding applied at train
+
+
+def test_platt_calibration_reduces_ece(spark):
+    """A deliberately over-confident model (logits scaled 6x) is badly
+    calibrated; Platt scaling fits (A, B) that shrink ECE by an order;
+    calibration_report bins are exact and NULL-safe."""
+    from validate_xml_rust_spark.operators.quality_model import (
+        apply_calibration,
+        calibration_report,
+        expected_calibration_error,
+        platt_calibrate,
+        score_quality,
+        train_quality_model,
+    )
+    from validate_xml_rust_spark.sources.corpus import quality_corpus
+
+    corp = quality_corpus(spark, 1200, n_partitions=8)
+    model = train_quality_model(corp.limit(600))
+    # 20% deterministic label noise: the separable corpus would otherwise
+    # justify ANY confidence (accuracy 1.0 -> ECE 0 at every scale)
+    holdout = corp.filter(F.col("doc_id") >= 600).withColumn(
+        "label",
+        F.when(F.col("doc_id") % 5 == 0, 1 - F.col("label")).otherwise(
+            F.col("label")
+        ),
+    )
+    scored = score_quality(holdout, model).withColumn(
+        "hot_logit", F.col("quality_logit") * 6.0
+    ).withColumn(
+        "hot_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("hot_logit")))
+    ).localCheckpoint()
+    ece_raw = expected_calibration_error(scored, "hot_prob", "label")
+    a, b = platt_calibrate(scored, "hot_logit", "label")
+    cal = apply_calibration(scored, a, b, "hot_logit")
+    ece_cal = expected_calibration_error(cal, "calibrated_prob", "label")
+    assert ece_cal < ece_raw * 0.5, (ece_raw, ece_cal)
+    assert ece_cal < 0.1
+    # report: bins cover the logit range, populations sum to the frame,
+    # NULL scores/labels excluded not zero-binned
+    withnull = scored.unionByName(
+        scored.limit(1).withColumn("hot_logit", F.lit(None).cast("double"))
+    )
+    rep = calibration_report(withnull, "hot_logit", "label").collect()
+    assert sum(r["n"] for r in rep) == scored.count()
+    assert all(0 <= r["bin"] < 16 for r in rep)
+    assert all(0.0 <= r["frac_pos"] <= 1.0 for r in rep)

@@ -39,6 +39,7 @@ identical).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -221,3 +222,137 @@ def score_quality_expr(
             (logit_dec > 0).alias("keep"),
         )
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str = "quality_logit",
+    label_col: str = "label",
+    lo: float = -8.0,
+    hi: float = 8.0,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Reliability table for a scored, labeled frame: scores bucketed
+    into ``n_bins`` fixed bins over [lo, hi) (edge-clamped, the
+    psi_numeric binning arithmetic), each bin reporting its population,
+    mean score, and empirical positive rate — the table a reliability
+    diagram / ECE is read from, and the evidence behind any
+    threshold-picking on the quality model.
+
+    Binning on the LOGIT (not the sigmoid) keeps the whole report in
+    exact arithmetic an oracle can restate: sigmoid crosses engines with
+    last-ulp libm differences, the logit is a DECIMAL-exact sum (the
+    model gate's own trick). One hash aggregation on the bin key; NULL
+    score or label rows are excluded (no silent zero bins).
+
+    Output: ``bin bigint, n bigint, mean_score double, frac_pos double``.
+    """
+    width = (hi - lo) / n_bins
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((s - F.lit(lo)) / F.lit(width))),
+    )
+    return (
+        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_score"),
+            F.round(
+                F.avg(F.col(label_col).cast("double")), 6
+            ).alias("frac_pos"),
+        )
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> float:
+    """ECE over equal-width probability bins: Σ (n_b/N)·|acc_b − conf_b|.
+    One aggregation; the scalar comes back to the driver."""
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(F.col(prob_col) * F.lit(n_bins))
+    )
+    bins = (
+        df.filter(F.col(prob_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(prob_col)).alias("conf"),
+            F.avg(F.col(label_col).cast("double")).alias("acc"),
+        )
+        .collect()
+    )
+    total = sum(r["n"] for r in bins) or 1
+    return sum(r["n"] / total * abs(r["acc"] - r["conf"]) for r in bins)
+
+
+def platt_calibrate(
+    df: DataFrame,
+    score_col: str = "quality_logit",
+    label_col: str = "label",
+    sample_cap: int = 20_000,
+    max_iter: int = 50,
+) -> tuple[float, float]:
+    """Platt scaling (Platt 1999, the public recipe): fit (A, B) so
+    sigmoid(A·score + B) is calibrated against the labels, by Newton
+    iterations on the driver over a BOUNDED sample (the IVF-training
+    pattern: ≤ sample_cap rows via content-hash order — deterministic up
+    to ties, and tied (score, label) rows are interchangeable for the
+    fit — never the full corpus). Uses Platt's smoothed targets
+    (N⁺+1)/(N⁺+2), 1/(N⁻+2) so perfect separation cannot push A to
+    infinity. Returns (A, B); apply with ``apply_calibration``."""
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(score_col).cast("double").alias("s"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .orderBy(F.md5(F.col("s").cast("string")))
+        .limit(sample_cap)
+        .collect()
+    )
+    s = np.array([r["s"] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    n_pos, n_neg = float(y.sum()), float(len(y) - y.sum())
+    t = np.where(y > 0, (n_pos + 1.0) / (n_pos + 2.0), 1.0 / (n_neg + 2.0))
+    # standard Platt initialization (Lin/Lin/Weng 2007): A=0 with B from
+    # the class priors — starting at A=1 saturates the sigmoid on
+    # wide-logit models, zeroing the Hessian before the first step
+    a, b = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+    for _ in range(max_iter):
+        z = np.clip(a * s + b, -35, 35)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - t
+        ga, gb = float((g * s).sum()), float(g.sum())
+        w = p * (1.0 - p)
+        haa = float((w * s * s).sum()) + 1e-9
+        hab = float((w * s).sum())
+        hbb = float(w.sum()) + 1e-9
+        det = haa * hbb - hab * hab
+        if abs(det) < 1e-12:
+            break
+        da = (gb * hab - ga * hbb) / det
+        db = (ga * hab - gb * haa) / det
+        a, b = a + da, b + db
+        if abs(da) < 1e-10 and abs(db) < 1e-10:
+            break
+    return float(a), float(b)
+
+
+def apply_calibration(
+    df: DataFrame,
+    a: float,
+    b: float,
+    score_col: str = "quality_logit",
+    out_col: str = "calibrated_prob",
+) -> DataFrame:
+    """Codegen'd application of a fitted Platt scaler — zero shuffle."""
+    z = F.lit(a) * F.col(score_col).cast("double") + F.lit(b)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

@@ -583,6 +583,83 @@ FROM '{_FIXTURES / "quality_corpus_600.parquet"}' d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the committed quality model on its labeled
+    corpus (quality_model.calibration_report): DECIMAL-exact logits
+    bucketed into 16 fixed bins over [-8, 8), each bin reporting
+    population, mean logit, and empirical positive rate — the binning
+    stays in logit space precisely so no sigmoid crosses engines. The
+    oracle re-derives the logits from the committed weights and the
+    bin arithmetic from scratch."""
+    from validate_xml_rust_spark.operators.quality_model import (
+        calibration_report,
+        score_quality_expr,
+    )
+    from validate_xml_rust_spark.sources.corpus import quality_corpus
+
+    corp = quality_corpus(spark, 600, n_partitions=8)
+    weights = spark.read.parquet(str(_FIXTURES / "quality_weights.parquet"))
+    scored = score_quality_expr(corp, weights).join(
+        corp.select("doc_id", "label"), "doc_id"
+    )
+    return calibration_report(scored, score_col="logit", label_col="label")
+
+
+ORACLE_MODEL_CALIBRATION = rf"""
+WITH w AS (SELECT token, weight
+           FROM '{_FIXTURES / "quality_weights.parquet"}'
+           WHERE token <> '__bias__'),
+b AS (SELECT weight AS bias
+      FROM '{_FIXTURES / "quality_weights.parquet"}'
+      WHERE token = '__bias__'),
+t AS (SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+               x -> length(x) > 0)) AS token
+      FROM '{_FIXTURES / "quality_corpus_600.parquet"}'),
+s AS (SELECT doc_id, sum(weight) AS sw FROM t JOIN w USING (token) GROUP BY doc_id),
+lg AS (
+  -- 6dp-rounded like the Spark scoring path, BEFORE binning/averaging:
+  -- the 6th decimal must not flip a bin edge or an average between engines
+  SELECT d.doc_id, d.label,
+         round(CAST((SELECT bias FROM b) + coalesce(s.sw, 0) AS DOUBLE), 6)
+           AS logit
+  FROM '{_FIXTURES / "quality_corpus_600.parquet"}' d LEFT JOIN s USING (doc_id))
+SELECT CAST(least(15, greatest(0, floor((logit - (-8.0)) / 1.0))) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(logit), 6) AS mean_score,
+       round(avg(CAST(label AS DOUBLE)), 6) AS frac_pos
+FROM lg
+GROUP BY 1
+"""
+
+
+def q_model_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainable quality model, scoring + reliability in one gate:
+    per-doc DECIMAL-exact logits/keep flags, and the 16-bin logit-space
+    calibration table the model's thresholds are read from."""
+    a = q_model_quality(spark, sf_dir).withColumn("variant", F.lit("scores"))
+    b = q_model_calibration(spark, sf_dir).withColumn(
+        "variant", F.lit("calibration")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+ORACLE_MODEL_QUALITY_SUITE = f"""
+SELECT 'scores' AS variant, t.*, CAST(NULL AS BIGINT) AS bin,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS mean_score,
+       CAST(NULL AS DOUBLE) AS frac_pos FROM (
+{ORACLE_MODEL_QUALITY}
+) t
+UNION ALL
+SELECT 'calibration' AS variant, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS DOUBLE) AS logit, CAST(NULL AS BOOLEAN) AS keep,
+       t.* FROM (
+{ORACLE_MODEL_CALIBRATION}
+) t
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + the BPE-ish subword estimate. Spark counts
     subwords by splitting on alnum/non-alnum boundary transitions
@@ -4863,7 +4940,7 @@ QUERIES = {
     "events_hourly": q_events_hourly_suite,
     "fingerprints": q_fingerprint_suite,
     "text_metrics": q_text_metrics,
-    "model_quality": q_model_quality,
+    "model_quality": q_model_quality_suite,
     "langid": q_langid_labeled,
     "ann_topk": q_ann_suite,
     "embedding_neardup": q_embedding_neardup_suite,
@@ -4916,7 +4993,7 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY_SUITE,
     "fingerprints": ORACLE_FINGERPRINT_SUITE,
     "text_metrics": ORACLE_TEXT_METRICS,
-    "model_quality": ORACLE_MODEL_QUALITY,
+    "model_quality": ORACLE_MODEL_QUALITY_SUITE,
     "langid": ORACLE_LANGID_LABELED,
     "ann_topk": ORACLE_ANN_SUITE,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP_SUITE,
