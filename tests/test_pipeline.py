@@ -591,6 +591,14 @@ def test_curate_presets(spark):
     assert "ppl_bucket_filter" in [s["step"] for s in res.report["steps"]]
     res.release()
 
+    # the full web chain orders its steps as documented
+    res = curate(docs, spark, **preset_kwargs("web"))
+    assert [s["step"] for s in res.report["steps"]] == [
+        "normalize", "dedup_doc_lines", "exact_dedup", "near_dedup",
+        "c4_clean", "repetition_filter", "gopher_filter",
+    ]
+    res.release()
+
     with pytest.raises(KeyError, match="unknown preset"):
         preset_kwargs("nope")
     # every registered preset resolves (no stale knob names)

@@ -84,6 +84,7 @@ CURATE_PRESETS: dict[str, dict] = {
     },
     "web": {
         "normalize_form": "NFC",
+        "dedup_doc_lines": True,
         "near_dup_threshold": 0.8,
         "c4_min_lines": 3,
         "gopher_min_words": 50,
