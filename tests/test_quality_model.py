@@ -103,7 +103,9 @@ def test_platt_calibration_reduces_ece(spark):
     from validate_xml_rust_spark.sources.corpus import quality_corpus
 
     corp = quality_corpus(spark, 1200, n_partitions=8)
-    model = train_quality_model(corp.limit(600))
+    # filter, not limit(): limit takes an UNSPECIFIED 600 rows, so the
+    # "holdout" below could overlap the training set
+    model = train_quality_model(corp.filter(F.col("doc_id") < 600))
     # 20% deterministic label noise: the separable corpus would otherwise
     # justify ANY confidence (accuracy 1.0 -> ECE 0 at every scale)
     holdout = corp.filter(F.col("doc_id") >= 600).withColumn(

@@ -242,19 +242,20 @@ def calibration_report(
     Binning on the LOGIT (not the sigmoid) keeps the whole report in
     exact arithmetic an oracle can restate: sigmoid crosses engines with
     last-ulp libm differences, the logit is a DECIMAL-exact sum (the
-    model gate's own trick). One hash aggregation on the bin key; NULL
-    score or label rows are excluded (no silent zero bins).
+    model gate's own trick). One hash aggregation on the bin key; NULL,
+    NaN (engines disagree on where NaN bins — repo rule), and
+    NULL-label rows are excluded (no silent zero bins). The bin label is
+    drift.numeric_bin_col — the same clamped fixed-width arithmetic the
+    PSI gate already cross-verifies.
 
     Output: ``bin bigint, n bigint, mean_score double, frac_pos double``.
     """
-    width = (hi - lo) / n_bins
+    from validate_xml_rust_spark.operators.drift import numeric_bin_col
+
     s = F.col(score_col).cast("double")
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((s - F.lit(lo)) / F.lit(width))),
-    )
+    b = numeric_bin_col(score_col, lo, hi, n_bins)
     return (
-        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        df.filter(b.isNotNull() & F.col(label_col).isNotNull())
         .groupBy(b.cast("long").alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -274,11 +275,12 @@ def expected_calibration_error(
 ) -> float:
     """ECE over equal-width probability bins: Σ (n_b/N)·|acc_b − conf_b|.
     One aggregation; the scalar comes back to the driver."""
+    p = F.col(prob_col).cast("double")
     b = F.least(
-        F.lit(n_bins - 1), F.floor(F.col(prob_col) * F.lit(n_bins))
+        F.lit(n_bins - 1), F.floor(p * F.lit(n_bins))
     )
     bins = (
-        df.filter(F.col(prob_col).isNotNull() & F.col(label_col).isNotNull())
+        df.filter(p.isNotNull() & ~F.isnan(p) & F.col(label_col).isNotNull())
         .groupBy(b.alias("__b"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -306,15 +308,19 @@ def platt_calibrate(
     fit — never the full corpus). Uses Platt's smoothed targets
     (N⁺+1)/(N⁺+2), 1/(N⁻+2) so perfect separation cannot push A to
     infinity. Returns (A, B); apply with ``apply_calibration``."""
-    import numpy as np
-
     rows = (
         df.select(
             F.col(score_col).cast("double").alias("s"),
             F.col(label_col).cast("double").alias("y"),
         )
-        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
-        .orderBy(F.md5(F.col("s").cast("string")))
+        .filter(
+            F.col("s").isNotNull()
+            & ~F.isnan(F.col("s"))
+            & F.col("y").isNotNull()
+        )
+        # label tie-break after the hash (the train_quality_model rule):
+        # equal-score rows at the cap boundary must be interchangeable
+        .orderBy(F.md5(F.col("s").cast("string")), F.col("y"))
         .limit(sample_cap)
         .collect()
     )
@@ -322,10 +328,12 @@ def platt_calibrate(
     y = np.array([r["y"] for r in rows])
     n_pos, n_neg = float(y.sum()), float(len(y) - y.sum())
     t = np.where(y > 0, (n_pos + 1.0) / (n_pos + 2.0), 1.0 / (n_neg + 2.0))
-    # standard Platt initialization (Lin/Lin/Weng 2007): A=0 with B from
-    # the class priors — starting at A=1 saturates the sigmoid on
-    # wide-logit models, zeroing the Hessian before the first step
-    a, b = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+    # standard Platt initialization (Lin/Lin/Weng 2007), SIGN-ADAPTED to
+    # this code's p = sigmoid(a·s + b) convention (LibSVM's B0 belongs
+    # to p = 1/(1+exp(A·f+B))): start at the POSITIVE-class prior, A=0 —
+    # starting at A=1 saturates the sigmoid on wide-logit models and
+    # zeroes the Hessian before the first step
+    a, b = 0.0, math.log((n_pos + 1.0) / (n_neg + 1.0))
     for _ in range(max_iter):
         z = np.clip(a * s + b, -35, 35)
         p = 1.0 / (1.0 + np.exp(-z))

@@ -237,11 +237,12 @@ def curate(
             dedup_lines_within_doc,
         )
 
+        # out_col=text_col rewrites in place (the normalize_text pattern)
+        # — a drop/rename dance would destroy the column when text_col
+        # is itself named 'clean_text', or eat an unrelated clean_text
         cur = log(
             "dedup_doc_lines",
-            dedup_lines_within_doc(cur, text_col)
-            .drop(text_col)
-            .withColumnRenamed("clean_text", text_col),
+            dedup_lines_within_doc(cur, text_col, out_col=text_col),
         )
 
     from validate_xml_rust_spark.operators.dedup import exact_dedup, near_dedup
