@@ -505,3 +505,42 @@ def test_corpus_datasheet_sketch_percentiles(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(exact[k] - approx[k]) <= 2.0, (k, exact[k], approx[k])
+
+
+def test_datasheet_diff_semantics(spark):
+    from validate_xml_rust_spark.operators.profile import (
+        corpus_datasheet,
+        datasheet_diff,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    old = spark.createDataFrame(
+        [(i, "x" * 50, "en" if i % 2 == 0 else "fr", "web") for i in range(40)],
+        schema,
+    )
+    # new snapshot: fr disappears, de appears, en share moves
+    new = spark.createDataFrame(
+        [(i, "x" * 50, "en" if i % 3 == 0 else "de", "web") for i in range(30)],
+        schema,
+    )
+    d = datasheet_diff(
+        corpus_datasheet(old, probabilities=(0.5,)),
+        corpus_datasheet(new, probabilities=(0.5,)),
+    )
+    rows = {(r["section"], r["key"], r["metric"]): r for r in d.collect()}
+    gone = rows[("lang", "fr", "n_docs")]
+    assert gone["new_value"] is None and gone["flagged"]
+    assert gone["rel_change"] is None
+    born = rows[("lang", "de", "n_docs")]
+    assert born["old_value"] is None and born["flagged"]
+    moved = rows[("corpus", "*", "n_docs")]
+    assert moved["old_value"] == 40.0 and moved["new_value"] == 30.0
+    assert moved["flagged"] and abs(moved["rel_change"] - 0.25) < 1e-9
+    stable = rows[("length", "0.5", "n_chars_pct")]
+    assert not stable["flagged"]  # identical length distribution
+    # diff(x, x) flags nothing
+    same = datasheet_diff(
+        corpus_datasheet(old, probabilities=(0.5,)),
+        corpus_datasheet(old, probabilities=(0.5,)),
+    )
+    assert same.filter(F.col("flagged")).count() == 0

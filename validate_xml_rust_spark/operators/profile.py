@@ -418,3 +418,47 @@ def corpus_datasheet(
         F.round(F.col("value").cast("double"), 6).alias("value"),
     )
     return stacked.unionByName(pct)
+
+
+def datasheet_diff(
+    old_ds: DataFrame,
+    new_ds: DataFrame,
+    rel_threshold: float = 0.1,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Snapshot-over-snapshot comparison of two ``corpus_datasheet``
+    frames — the release-gating complement to profile_diff: which
+    composition metrics (per-language shares, host populations, length
+    percentiles) moved between two corpus snapshots, by how much, and
+    which moved past the threshold. A (section, key, metric) present in
+    only one snapshot (a language or host appearing/disappearing) shows
+    the other side NULL and is always flagged — exactly the row a
+    release review wants in front of it.
+
+    Same arithmetic as profile_diff (|new−old| / max(|old|, eps),
+    6dp-rounded, NULL rel on one-sided rows) over the datasheet's finer
+    (section, key, metric) grain. Datasheets are O(groups) rows, so the
+    diff is driver-scale no matter the corpora behind them."""
+    keys = ["section", "key", "metric"]
+    o = old_ds.select(*keys, F.col("value").alias("old_value"))
+    n = new_ds.select(*keys, F.col("value").alias("new_value"))
+    j = o.join(n, keys, "full_outer")
+    rel = F.abs(F.col("new_value") - F.col("old_value")) / F.greatest(
+        F.abs(F.col("old_value")), F.lit(float(eps))
+    )
+    return j.select(
+        *keys,
+        "old_value",
+        "new_value",
+        F.when(
+            F.col("old_value").isNull() | F.col("new_value").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(rel, 6))
+        .alias("rel_change"),
+        (
+            F.col("old_value").isNull()
+            | F.col("new_value").isNull()
+            | (rel > rel_threshold)
+        ).alias("flagged"),
+    )

@@ -211,7 +211,11 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datasheet(docs, probabilities=_DS_PCTS)
 
 
-ORACLE_CORPUS_DATASHEET = f"""
+def _oracle_datasheet(where: str) -> str:
+    """The corpus-datasheet restatement, parametrized by a WHERE clause
+    so the snapshot-diff oracle can derive two datasheets from one
+    table (the datasheet_diff gate)."""
+    return f"""
 WITH g AS (
   SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
               WHEN GROUPING(source) = 0 THEN 'source'
@@ -226,15 +230,13 @@ WITH g AS (
          round(avg(length(text)), 6) AS chars_mean,
          round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6)
            AS null_text_frac
-  FROM documents
+  FROM documents {where}
   GROUP BY GROUPING SETS ((lang), (source), ())
-  -- Spark's grouping-sets Expand emits NOTHING on an empty input while
-  -- SQL's () branch emits a zero row: align on "empty corpus -> empty
-  -- datasheet" (the operator's documented contract)
   HAVING count(*) > 0),
 tot AS (SELECT n_docs AS total FROM g WHERE section = 'corpus'),
 q AS (SELECT quantile_cont(length(text),
-             [{", ".join(str(p) for p in _DS_PCTS)}]) AS qs FROM documents
+             [{", ".join(str(p) for p in _DS_PCTS)}]) AS qs
+      FROM documents {where}
       HAVING quantile_cont(length(text), 0.5) IS NOT NULL)
 SELECT section, key, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
 UNION ALL
@@ -253,6 +255,9 @@ SELECT 'length',
        'n_chars_pct', round(qs[i], 6)
 FROM q, unnest(range(1, {len(_DS_PCTS) + 1})) AS t(i)
 """
+
+
+ORACLE_CORPUS_DATASHEET = _oracle_datasheet("")
 
 
 def q_profile_documents_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,6 +1577,73 @@ SELECT column_name, metric, old_value, new_value,
        CAST((old_value IS NULL OR new_value IS NULL
         OR abs(new_value - old_value)/greatest(abs(old_value), 1e-9) > 0.1) AS BIGINT) AS flagged
 FROM j
+"""
+
+
+def q_datasheet_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot datasheet comparison
+    (profile.datasheet_diff): yesterday's composition = the full
+    documents table, today's = the doc_id-even half; full-outer on
+    (section, key, metric) with the profile_diff arithmetic. The oracle
+    re-derives BOTH datasheets (the parametrized grouping-sets
+    restatement) and the comparison from scratch."""
+    from validate_xml_rust_spark.operators.profile import (
+        corpus_datasheet,
+        datasheet_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = corpus_datasheet(docs, probabilities=_DS_PCTS)
+    new = corpus_datasheet(
+        docs.filter(F.col("doc_id") % 2 == 0), probabilities=_DS_PCTS
+    )
+    return datasheet_diff(old, new, rel_threshold=0.1).select(
+        "section", "key", "metric", "old_value", "new_value", "rel_change",
+        F.col("flagged").cast("long").alias("flagged"),
+    )
+
+
+ORACLE_DATASHEET_DIFF = f"""
+WITH oldd AS ({_oracle_datasheet("")}),
+newd AS ({_oracle_datasheet("WHERE doc_id % 2 = 0")}),
+j AS (
+  SELECT coalesce(o.section, n.section) AS section,
+         coalesce(o.key, n.key) AS key,
+         coalesce(o.metric, n.metric) AS metric,
+         o.value AS old_value, n.value AS new_value
+  FROM oldd o FULL OUTER JOIN newd n
+    ON o.section = n.section AND o.key = n.key AND o.metric = n.metric)
+SELECT section, key, metric, old_value, new_value,
+       CASE WHEN old_value IS NULL OR new_value IS NULL THEN NULL
+            ELSE round(abs(new_value - old_value)/greatest(abs(old_value), 1e-9), 6)
+       END AS rel_change,
+       CAST((old_value IS NULL OR new_value IS NULL
+        OR abs(new_value - old_value)/greatest(abs(old_value), 1e-9) > 0.1) AS BIGINT) AS flagged
+FROM j
+"""
+
+
+def q_profile_diff_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both snapshot-diff grains, one gate: per-column profile metrics
+    and the (section, key, metric) composition datasheet."""
+    a = q_profile_diff(spark, sf_dir).withColumn("variant", F.lit("profile"))
+    b = q_datasheet_diff(spark, sf_dir).withColumn(
+        "variant", F.lit("datasheet")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+ORACLE_PROFILE_DIFF_SUITE = f"""
+SELECT 'profile' AS variant, t.*, CAST(NULL AS VARCHAR) AS section,
+       CAST(NULL AS VARCHAR) AS key FROM (
+{ORACLE_PROFILE_DIFF}
+) t
+UNION ALL
+SELECT 'datasheet' AS variant, CAST(NULL AS VARCHAR) AS column_name,
+       t.metric, t.old_value, t.new_value, t.rel_change, t.flagged,
+       t.section, t.key FROM (
+{ORACLE_DATASHEET_DIFF}
+) t
 """
 
 
@@ -4959,7 +5031,7 @@ QUERIES = {
     "cube_order_stats": q_cube_order_stats,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "fd_violations": q_fd_violations,
-    "profile_diff": q_profile_diff,
+    "profile_diff": q_profile_diff_suite,
     "drift_suite": q_drift_suite,
     "url_canonical_dups": q_url_policy_suite,
     "salted_event_stats": q_salted_event_stats,
@@ -5012,7 +5084,7 @@ ORACLES = {
     "cube_order_stats": ORACLE_CUBE_ORDER_STATS,
     "pivot_status_by_priority": ORACLE_PIVOT_STATUS_BY_PRIORITY,
     "fd_violations": ORACLE_FD_VIOLATIONS,
-    "profile_diff": ORACLE_PROFILE_DIFF,
+    "profile_diff": ORACLE_PROFILE_DIFF_SUITE,
     "drift_suite": ORACLE_DRIFT_SUITE,
     "url_canonical_dups": ORACLE_URL_POLICY_SUITE,
     "salted_event_stats": ORACLE_SALTED_EVENT_STATS,
