@@ -481,3 +481,30 @@ def test_dedup_lines_within_doc(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_cap_per_group(spark):
+    from validate_xml_rust_spark.operators.curation import cap_per_group
+
+    rows = (
+        [(i, "hot.example.com") for i in range(400)]
+        + [(1000 + i, "tiny.example.org") for i in range(5)]
+        + [(2000 + i, None) for i in range(60)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = cap_per_group(df, "host", 20, key_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["host"], []).append(r["doc_id"])
+    # hot group lands NEAR the cap (rate-based, binomial spread)
+    assert 8 <= len(got["hot.example.com"]) <= 35
+    # under-cap groups survive WHOLE
+    assert len(got["tiny.example.org"]) == 5
+    # NULL group is its own capped population
+    assert 0 < len(got.get(None, [])) <= 45
+    # deterministic across partitionings; schema unchanged
+    again = cap_per_group(df.repartition(7), "host", 20).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        i for v in got.values() for i in v
+    )
+    assert out.columns == df.columns

@@ -71,6 +71,54 @@ def stratified_sample(
     return df.filter(sample_ticket(F.col(key_col), seed) < thr)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    key_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-group document cap (~``max_per_group`` rows per group) — the
+    crawl-balance policy ("at most K pages per host/domain") applied the
+    scale-safe way: group sizes reduce to one count row per DISTINCT
+    group (map-side combined), each group's keep threshold is
+    floor(K·2³² / n_g) — ≥ 2³² when the group is under the cap, so small
+    groups survive WHOLE — and a row stays iff its deterministic md5
+    ticket falls under its group's threshold. NULL group values form
+    their own capped group (coalesced to ``__null__`` — unattributed
+    spam is exactly what caps exist for); NULL keys draw one shared
+    ticket (coalesced key) and live or die together — route them
+    upstream if that matters.
+
+    Counts per group land NEAR the cap (rate-based, not an exact quota —
+    exactness would be a per-group top-K Window, the skew trap AQE never
+    splits; the diversity_sample trade, stated not hidden). Membership
+    is reproducible across runs, partitionings, and engines. The
+    threshold table is group-cardinality-sized and broadcasts; the keep
+    decision is a stateless predicate — zero corpus shuffle."""
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    counts = (
+        df.groupBy(grp.alias("__grp"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__thr",
+            F.floor(
+                F.lit(int(max_per_group) * TICKET_SPACE) / F.col("__n")
+            ),
+        )
+        .select("__grp", "__thr")
+    )
+    tick = sample_ticket(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")), seed
+    )
+    return (
+        df.withColumn("__g", grp)
+        .join(F.broadcast(counts), F.col("__g") == F.col("__grp"))
+        .filter(tick < F.col("__thr"))
+        .drop("__g", "__grp", "__thr")
+    )
+
+
 def mixture_epochs(
     df: DataFrame,
     factors: dict[str, float],

@@ -4376,7 +4376,22 @@ def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("leak_split").alias("variant"), "doc_id",
         F.col("split").alias("lang"), null_epoch, null_score,
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    # per-group cap (~10 docs per source — BELOW the per-source
+    # population at every sf, so the cap actually bites): the
+    # crawl-balance policy; the group label rides the lang slot
+    from validate_xml_rust_spark.operators.curation import cap_per_group
+
+    f = cap_per_group(
+        _t(spark, sf_dir, "documents"), "source", 10
+    ).select(
+        F.lit("host_cap").alias("variant"), "doc_id",
+        F.coalesce(F.col("source"), F.lit("__null__")).alias("lang"),
+        null_epoch, null_score,
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f)
+    )
 
 
 ORACLE_CONTENT_SAMPLE = (
@@ -4408,6 +4423,20 @@ ORACLE_CONTENT_SAMPLE = (
         "leak_split",
         "SELECT doc_id, split AS lang, CAST(NULL AS BIGINT) AS epoch, "
         f"CAST(NULL AS DOUBLE) AS score FROM ({ORACLE_LEAKAGE_SPLIT})",
+    )
+    + "\nUNION ALL\n"
+    + _wrap_variant(
+        "host_cap",
+        f"""SELECT doc_id, grp AS lang, CAST(NULL AS BIGINT) AS epoch,
+       CAST(NULL AS DOUBLE) AS score
+FROM (SELECT doc_id, coalesce(source, '__null__') AS grp,
+             {_oracle_mix_ticket("coalesce(CAST(doc_id AS VARCHAR), '')",
+                                 "cap")} AS tick
+      FROM documents) d
+JOIN (SELECT coalesce(source, '__null__') AS grp,
+             floor({10 * (1 << 32)} / count(*)) AS thr
+      FROM documents GROUP BY 1) t USING (grp)
+WHERE d.tick < t.thr""",
     )
 )
 
