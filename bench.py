@@ -132,12 +132,14 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
         )
         return time.perf_counter() - t0, rows
 
-    # best of 3 measured runs (post-warmup) — steady-state, noise-resistant.
-    # The full rep spread rides the output (flagship_reps): a ±8% swing in
-    # the headline number must be readable as noise or regression without
-    # a re-run (the r4 dip turned out to be measurement-protocol change).
+    # MEDIAN of 3 measured runs (post-warmup) is the headline — the same
+    # statistic the scaling methodology uses (best-of-reps biases upward;
+    # BENCH/BASELINE.md). The full rep spread rides the output
+    # (flagship_reps): a ±8% swing in the headline number must be readable
+    # as noise or regression without a re-run.
     runs = [run_once() for _ in range(3)]
-    secs, per_part = min(runs, key=lambda r: r[0])
+    runs_sorted = sorted(runs, key=lambda r: r[0])
+    secs, per_part = runs_sorted[1]  # median rep
     rep_secs = sorted(round(r[0], 3) for r in runs)
     total = sum(r["total"] for r in per_part)
     _ = partition_pass_fail  # kept importable for parity runs
@@ -482,6 +484,33 @@ def main() -> None:
         lambda: _force(minhash_near_duplicates(corpus, threshold=0.6))
     )
 
+    # Batch-incremental near-dedup vs a persisted LSH signature store
+    # (the recurring-crawl loop): a 50k historical half signs + commits
+    # generation 1 UNTIMED, then the timed entry near-dedups the other
+    # 50k slice against the store — sign the slice, join the store's
+    # banded layout, exact-verify, component taint, anti-join
+    # (commit=False so the store is identical across reps).
+    import tempfile as _tf
+
+    from validate_xml_rust_spark.operators.dedup import (
+        SignatureStore,
+        incremental_near_dedup,
+    )
+
+    _store = SignatureStore(spark, _tf.mkdtemp(prefix="bench_signstore_"))
+    incremental_near_dedup(
+        corpus.filter(F.col("doc_id") % 2 == 0), _store, threshold=0.6
+    )
+    _sweep()
+    _slice_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    timings["incremental_neardup_100k"] = _time(
+        lambda: _force(
+            incremental_near_dedup(
+                _slice_b, _store, threshold=0.6, commit=False
+            )
+        )
+    )
+
     # End-to-end curation pipeline over the same 100k corpus: validate-free
     # config exercising the per-step checkpoint discipline (exact dedup →
     # MinHash near-dedup → sample → pack). curate() materializes every
@@ -532,6 +561,34 @@ def main() -> None:
     _run_excise()  # Arrow-path warmup
     _sweep()
     timings["excise_passages_100k"] = _time(_run_excise)
+
+    # Published-recipe curation presets over the same 100k corpus — one
+    # entry per preset so recipe-level regressions are tracked
+    # round-over-round (curate_100k times a generic chain; these are the
+    # chains users actually run). Placed after the excise/minhash warmups
+    # so every Arrow path a preset dispatches to is already at steady
+    # state. ccnet needs a lang column and an LM reference frame; a
+    # bounded in-corpus sample stands in for the external target corpus.
+    from validate_xml_rust_spark.pipeline import preset_kwargs
+
+    _ccnet_ref = corpus.filter(F.col("doc_id") < 512).select("text")
+    _corpus_l = corpus.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    for _preset in ("c4", "gopher", "ccnet", "web"):
+        _kw = (
+            preset_kwargs(_preset, lm_ref=_ccnet_ref)
+            if _preset == "ccnet"
+            else preset_kwargs(_preset)
+        )
+        _frame = _corpus_l if _preset == "ccnet" else corpus
+
+        def _run_preset(frame=_frame, kw=_kw) -> None:
+            res = curate(frame, spark, **kw)
+            res.release()
+
+        _sweep()
+        timings[f"curate_{_preset}_100k"] = _time(_run_preset)
 
     # IVF with a BUILT index (cluster_id-partitioned parquet): the probe
     # becomes a partition-pruned scan — contrast with q:ivf_ann_topk,

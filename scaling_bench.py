@@ -116,6 +116,52 @@ spark.stop()
 """
 
 
+WORKER_EXCISE = r"""
+import sys, json, time
+sys.path.insert(0, sys.argv[4])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+from pyspark.sql import functions as F
+from validate_xml_rust_spark import get_spark
+from validate_xml_rust_spark.ckpt import release_blocks
+from validate_xml_rust_spark.operators.dedup import excise_shared_passages
+from validate_xml_rust_spark.sources.corpus import passage_corpus
+
+spark = get_spark(app_name=f"scale-excise-{cpus}", cpus=cpus,
+                  shuffle_partitions=cpus)
+
+def run_once():
+    # winnow prefilter -> positional-gram marking -> keeper groupBy ->
+    # join-back -> interval merge -> Arrow rebuild; ONE aggregation action
+    # consumes the rebuilt frame. The result signature (docs, tokens
+    # removed, spans) is collected every rep so parallelism-invariance is
+    # asserted by the harness, not assumed.
+    st = {}
+    out = excise_shared_passages(passage_corpus(spark, n_docs, 64), stats=st)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens_removed").alias("removed"),
+        F.sum("n_spans").alias("spans"),
+    ).collect()[0]
+    release_blocks(spark.sparkContext, st.get("ckpt_block_ids", frozenset()))
+    return [int(row["n"]), int(row["removed"]), int(row["spans"])]
+
+sig = run_once()  # Arrow-path + JIT warmup, full size
+spark.catalog.clearCache()
+times = []
+for _ in range(reps):
+    t0 = time.perf_counter()
+    sig = run_once()
+    times.append(round(time.perf_counter() - t0, 3))
+    spark.catalog.clearCache()
+times_sorted = sorted(times)
+median = round((times_sorted[(len(times)-1)//2] + times_sorted[len(times)//2]) / 2, 3)
+print(json.dumps({"cpus": cpus, "docs": n_docs, "signature": sig, "times": times,
+                  "best_secs": min(times), "median_secs": median,
+                  "docs_per_sec": round(n_docs / median, 1)}))
+spark.stop()
+"""
+
+
 def run_level(cpus: int, n_docs: int, reps: int = 4, worker: str = WORKER) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
@@ -136,6 +182,14 @@ def main() -> None:
     r32 = run_level(32, n_docs)
     d2 = run_level(2, dedup_docs, worker=WORKER_DEDUP)
     d8 = run_level(8, dedup_docs, worker=WORKER_DEDUP)
+    excise_docs = int(os.environ.get("SCALE_EXCISE_DOCS", "150000"))
+    e2 = run_level(2, excise_docs, reps=3, worker=WORKER_EXCISE)
+    e8 = run_level(8, excise_docs, reps=3, worker=WORKER_EXCISE)
+    if e2["signature"] != e8["signature"]:
+        raise RuntimeError(
+            f"excise result diverged across parallelism levels: "
+            f"{e2['signature']} vs {e8['signature']}"
+        )
 
     def eff(lo, hi, factor):
         return round((hi["docs_per_sec"] / lo["docs_per_sec"]) / factor, 3)
@@ -143,6 +197,7 @@ def main() -> None:
     primary = eff(r2, r8, 4)
     secondary = eff(r8, r32, 4)
     dedup_eff = eff(d2, d8, 4)
+    excise_eff = eff(e2, e8, 4)
     print(json.dumps({
         "primary_2_to_8": {"speedup": round(r8["docs_per_sec"] / r2["docs_per_sec"], 2),
                            "efficiency": primary},
@@ -150,8 +205,11 @@ def main() -> None:
                               "efficiency": secondary},
         "dedup_2_to_8": {"speedup": round(d8["docs_per_sec"] / d2["docs_per_sec"], 2),
                          "efficiency": dedup_eff},
+        "excise_2_to_8": {"speedup": round(e8["docs_per_sec"] / e2["docs_per_sec"], 2),
+                          "efficiency": excise_eff},
         "levels": {"2": r2, "8": r8, "32": r32},
         "dedup_levels": {"2": d2, "8": d8},
+        "excise_levels": {"2": e2, "8": e8},
     }))
 
     bench_dir = Path(__file__).parent / "BENCH"
@@ -217,6 +275,23 @@ that does not shrink with cores — Amdahl's fixed term is ~20% of the
 8-core runtime, which alone accounts for most of the gap to 0.8. The
 north-rule criterion is the validation job above; this contrast is
 reported as supplementary evidence with that caveat.
+
+## Supplementary job: substring passage excision (ExactSubstr), 2 → 8 cores
+
+The heaviest multi-stage shuffle pipeline in the engine (winnow prefilter
+→ positional-gram marking → keeper groupBy → join-back → interval merge →
+Arrow rebuild), same N vs 4N contrast over a {excise_docs:,}-doc
+planted-shared-passage corpus (3 measured reps after a full-size warmup;
+input sized so the 8-core level runs well past the fixed driver term):
+
+| cores | docs | rep times (s) | median s | docs/sec |
+|---|---|---|---|---|
+| {e2['cpus']} | {e2['docs']:,} | {e2['times']} | {e2['median_secs']} | {e2['docs_per_sec']:,} |
+| {e8['cpus']} | {e8['docs']:,} | {e8['times']} | {e8['median_secs']} | {e8['docs_per_sec']:,} |
+
+- speedup: **{e8['docs_per_sec'] / e2['docs_per_sec']:.2f}x**, efficiency **{excise_eff}**
+- parallelism-invariance: (docs, tokens removed, merged spans) =
+  {e2['signature']} at BOTH levels (the harness raises if they diverge)
 
 ## vs reference baseline
 

@@ -932,3 +932,148 @@ def test_leakage_safe_split_no_straddle(spark):
     # rough proportions
     n_train = sum(1 for v in split_of.values() if v == "train")
     assert 0.55 < n_train / 400 < 0.85
+
+
+# ---------------------------------------------------------------------------
+# SignatureStore + incremental_near_dedup (batch near-dedup across ingests)
+# ---------------------------------------------------------------------------
+
+
+def _words(prefix, lo, hi):
+    return [f"{prefix}{i}" for i in range(lo, hi)]
+
+
+def test_incremental_near_dedup_store_taint(spark, tmp_path):
+    """Cross-generation store match + component-level taint propagation:
+    X committed in gen 1; Y (near-dup of X) AND Z (near-dup of Y but NOT
+    of X) both drop from gen 2 — Z only via its component with Y. The
+    planted similarity triangle is asserted numerically first, so the
+    test can't silently stop testing the interesting case."""
+    from validate_xml_rust_spark.functions.texthash import jaccard, shingle_hashes
+    from validate_xml_rust_spark.operators.dedup import (
+        SignatureStore,
+        incremental_near_dedup,
+    )
+
+    a = _words("a", 0, 60)
+    x = " ".join(a)
+    y = " ".join(a[:50] + _words("b", 0, 10))          # tail swapped
+    z = " ".join(_words("c", 0, 10) + a[10:50] + _words("b", 0, 10))
+
+    trio = spark.createDataFrame(
+        [(0, x), (1, y), (2, z)], "doc_id long, text string"
+    )
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in trio.select(
+            "doc_id", shingle_hashes(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    j = lambda p, q: len(set(sh[p]) & set(sh[q])) / len(set(sh[p]) | set(sh[q]))
+    assert j(0, 1) >= 0.6 and j(1, 2) >= 0.6 and j(0, 2) < 0.6
+
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    st0, st1 = {}, {}
+    s0 = incremental_near_dedup(
+        spark.createDataFrame([(0, x), (5, "unrelated spark text entirely")],
+                              "doc_id long, text string"),
+        store, threshold=0.6, stats=st0,
+    )
+    assert {r["doc_id"] for r in s0.collect()} == {0, 5}
+    assert st0["generation"] == 1 and st0["n_store_matches"] == 0
+
+    gen_b = spark.createDataFrame(
+        [(10, y), (11, z), (12, "another fresh unrelated document here")],
+        "doc_id long, text string",
+    )
+    s1 = incremental_near_dedup(gen_b, store, threshold=0.6, stats=st1)
+    kept = {r["doc_id"] for r in s1.collect()}
+    # 10 tainted by store X; 11 dropped ONLY via its component with 10
+    assert kept == {12}
+    assert st1["n_store_matches"] == 1 and st1["n_dropped"] == 2
+    assert st1["generation"] == 2
+    # the store accumulated only survivors
+    gens = store.generations()
+    assert [(g, n) for g, _, n in gens] == [(1, 2), (2, 1)]
+
+    # CONTRAST: a fresh store ingesting gen B alone keeps the component's
+    # min-id member (within-slice near_dedup semantics, no taint)
+    fresh = SignatureStore(spark, str(tmp_path / "fresh"))
+    alone = incremental_near_dedup(gen_b, fresh, threshold=0.6, commit=False)
+    assert {r["doc_id"] for r in alone.collect()} == {10, 12}
+
+
+def test_incremental_near_dedup_matches_global_on_ordered_split(spark):
+    """When every planted pair is generation-local (the synthetic corpus
+    pairs adjacent ids; the split boundary has no pair), the two-run
+    incremental result equals ONE global near_dedup over the union — the
+    keep-first and keep-min-id policies coincide."""
+    import tempfile
+
+    from validate_xml_rust_spark.operators.dedup import (
+        SignatureStore,
+        incremental_near_dedup,
+        near_dedup,
+    )
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 200, n_partitions=4)
+    store = SignatureStore(spark, tempfile.mkdtemp(prefix="vxrs_t_store_"))
+    s0 = incremental_near_dedup(
+        docs.filter(F.col("doc_id") < 100), store, threshold=0.6
+    )
+    s1 = incremental_near_dedup(
+        docs.filter(F.col("doc_id") >= 100), store, threshold=0.6
+    )
+    inc = {r["doc_id"] for r in s0.collect()} | {r["doc_id"] for r in s1.collect()}
+    glob = {r["doc_id"] for r in near_dedup(docs, threshold=0.6).collect()}
+    assert inc == glob
+
+
+def test_signature_store_contracts(spark, tmp_path):
+    """Parameter pinning, shingle-less stores, verify-mode gating, and
+    NULL-text rows."""
+    import pytest
+
+    from validate_xml_rust_spark.operators.dedup import (
+        SignatureStore,
+        incremental_near_dedup,
+    )
+
+    root = str(tmp_path / "pins")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (1, None)],
+        "doc_id long, text string",
+    )
+    store = SignatureStore(spark, root, num_perm=32, bands=8)
+    out = incremental_near_dedup(docs, store, threshold=0.6)
+    # NULL text: empty shingles → Jaccard 0 → never a duplicate; survives
+    assert {r["doc_id"] for r in out.collect()} == {0, 1}
+
+    # reopening with a different hash family refuses to read
+    with pytest.raises(ValueError, match="not comparable"):
+        SignatureStore(spark, root, num_perm=32, bands=16).generations()
+    # bands must divide num_perm
+    with pytest.raises(ValueError, match="divide"):
+        SignatureStore(spark, root, num_perm=32, bands=5)
+
+    # shingle-less store: exact verify refused, estimate verify works
+    lean = SignatureStore(
+        spark, str(tmp_path / "lean"), store_shingles=False
+    )
+    d0 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    incremental_near_dedup(d0, lean, threshold=0.6, verify="estimate")
+    d1 = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="store_shingles=False"):
+        incremental_near_dedup(d1, lean, threshold=0.6, verify="exact")
+    got = incremental_near_dedup(
+        d1, lean, threshold=0.6, verify="estimate", commit=False
+    )
+    # identical text → identical signature → agreement 1.0 → dropped
+    assert got.count() == 0

@@ -670,6 +670,355 @@ def incremental_dedup(
     ).drop("fingerprint")
 
 
+class SignatureStore:
+    """Persisted MinHash-LSH band-signature store for batch-incremental
+    NEAR-dedup across recurring ingests — the near-dup analog of the
+    exact fingerprint store consumed by ``incremental_dedup``, the batch
+    analog of streaming/stateful.py's keyed band-bucket state, and the
+    cross-run-reuse analog of the reference's two-tier cache
+    (src/cache.rs:139-316): today's accepted corpus signs itself ONCE and
+    every later ingest reuses those rows instead of re-shingling history.
+
+    Layout under ``root`` (the DirectorySnapshotSource catalog pattern,
+    operators/resume.py)::
+
+        root/catalog/        — parquet rows (generation, path, n_docs,
+                               num_perm, bands, shingle_k, committed_at),
+                               append-only; doubles as the parameter pin —
+                               every generation must be signed with the
+                               SAME hash family or band keys stop being
+                               comparable, so reads refuse a mismatch
+        root/gen-<g>/bands   — (band int, key long, doc_id) in JOIN layout:
+                               candidate generation is a plain equi-join
+                               on (band, key); at cluster scale this table
+                               is written bucketed by key so the sort-merge
+                               shuffles only the (small) daily slice, never
+                               the 10^12-doc history
+        root/gen-<g>/sketch  — (doc_id, sig array<long>[, shingles
+                               array<long>]) — the verification side;
+                               ``store_shingles=False`` omits the shingle
+                               sets (signature-agreement verification
+                               only) for a ~5-10× smaller store
+
+    No catalog yet → empty store → first ingest bootstraps generation 1
+    (plain within-slice near_dedup semantics)."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        num_perm: int = 32,
+        bands: int = 8,
+        shingle_k: int = 3,
+        store_shingles: bool = True,
+    ) -> None:
+        if num_perm % bands:
+            raise ValueError(f"bands {bands} must divide num_perm {num_perm}")
+        self.spark, self.root = spark, root
+        self.num_perm, self.bands, self.shingle_k = num_perm, bands, shingle_k
+        self.store_shingles = store_shingles
+
+    def _catalog(self) -> DataFrame | None:
+        try:
+            self.spark.catalog.refreshByPath(f"{self.root}/catalog")
+            return self.spark.read.parquet(f"{self.root}/catalog")
+        except Exception as e:  # no catalog yet → empty store
+            from pyspark.errors import AnalysisException
+
+            if isinstance(e, AnalysisException):
+                return None
+            raise
+
+    def generations(self) -> list[tuple[int, str, int]]:
+        """Committed ``(generation, path, n_docs)`` rows, oldest first —
+        O(#generations) driver rows (the bounded-collect rule), also the
+        parameter-pin check: a catalog row signed with a different hash
+        family is a hard error, not a silent recall loss."""
+        cat = self._catalog()
+        if cat is None:
+            return []
+        rows = cat.orderBy("generation").collect()
+        for r in rows:
+            got = (int(r["num_perm"]), int(r["bands"]), int(r["shingle_k"]))
+            want = (self.num_perm, self.bands, self.shingle_k)
+            if got != want:
+                raise ValueError(
+                    f"store generation {int(r['generation'])} was signed with "
+                    f"(num_perm, bands, shingle_k)={got}, store opened with "
+                    f"{want} — band keys are not comparable across families"
+                )
+        return [(int(r["generation"]), r["path"], int(r["n_docs"])) for r in rows]
+
+    def latest_generation(self) -> int:
+        gens = self.generations()
+        return gens[-1][0] if gens else 0
+
+    def bands_frame(self) -> DataFrame | None:
+        """All committed band rows ``(band, key, doc_id)`` — the
+        generation-addressed union read (explicit path selection off the
+        catalog, the Iceberg-snapshot-scan shape)."""
+        gens = self.generations()
+        if not gens:
+            return None
+        return self.spark.read.parquet(*[f"{p}/bands" for _, p, _ in gens])
+
+    def sketch_frame(self) -> DataFrame | None:
+        gens = self.generations()
+        if not gens:
+            return None
+        return self.spark.read.parquet(*[f"{p}/sketch" for _, p, _ in gens])
+
+    def commit(self, sketch: DataFrame) -> int:
+        """Append ``sketch`` — ``(doc_id, sig array<long>, shingles
+        array<long>)`` — as the next generation: write the sketch, derive
+        the banded join-layout rows FROM THE WRITTEN PARQUET (one cheap
+        re-read of id+sig — never recompute the signatures), record the
+        catalog row. Older generations remain for audit/rollback (the
+        reference's cache generations, src/cache.rs:139-316)."""
+        gens = self.generations()
+        gen = (gens[-1][0] if gens else 0) + 1
+        path = f"{self.root}/gen-{gen}"
+        cols = ["doc_id", "sig"] + (["shingles"] if self.store_shingles else [])
+        sketch.select(*cols).write.mode("overwrite").parquet(f"{path}/sketch")
+        written = self.spark.read.parquet(f"{path}/sketch")
+        rows_per_band = self.num_perm // self.bands
+        (
+            written.select(
+                "doc_id",
+                F.explode(
+                    lsh_band_keys(F.col("sig"), self.bands, rows_per_band)
+                ).alias("b"),
+            )
+            .select(F.col("b.band").alias("band"), F.col("b.key").alias("key"), "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/bands")
+        )
+        n = written.count()
+        self.spark.createDataFrame(
+            [(gen, path, n, self.num_perm, self.bands, self.shingle_k)],
+            "generation long, path string, n_docs long, "
+            "num_perm int, bands int, shingle_k int",
+        ).withColumn("committed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{self.root}/catalog")
+        return gen
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    store: SignatureStore,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    verify: str = "exact",
+    commit: bool = True,
+    max_bucket: int = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batch-incremental NEAR-dedup of a new corpus slice (today's crawl)
+    against a persisted :class:`SignatureStore` (last month's accepted
+    corpus) — the recurring-ingest core loop the exact-hash
+    ``incremental_dedup`` can't cover. The slice signs ITSELF only; the
+    historical side is never re-shingled (its stored band rows are the
+    reused computation — reference two-tier-cache analog,
+    src/cache.rs:403-448).
+
+    Drop rule (matches global keep-first semantics over the ingest order):
+    a slice doc is dropped iff it near-matches any store doc, OR it
+    belongs to a within-slice near-dup component that (a) contains such a
+    store-matched doc — the whole component is already represented in the
+    corpus — or (b) whose min-id keeper it is not. Survivors are returned
+    with the slice's full schema; ``commit=True`` appends their
+    signatures (+ shingle sketches) as the next store generation.
+
+    ``verify``: ``"exact"`` (default) re-checks store candidates with
+    exact Jaccard over the stored shingle sketches — the verification the
+    brute-force oracle can reproduce; ``"estimate"`` thresholds on the
+    MinHash signature-agreement fraction instead (E[agree] = J, σ ≈
+    √(J(1−J)/num_perm) ≈ 0.07 at num_perm=32 — a ±1σ band around the
+    threshold misclassifies, so reserve it for stores written with
+    ``store_shingles=False``).
+
+    Scale shape: slice shingles+signatures persisted once (corpus-pass
+    #1 of 1); within-slice pairs via the capped band self-join
+    (minhash_candidates); store candidates via ONE equi-join of the
+    slice's exploded band keys against the store's banded layout (store
+    side pre-bucketed by key at cluster scale → only the slice shuffles);
+    components over the pair subgraph only; the drop set is a broadcast
+    anti-join. Degenerate buckets (e.g. empty-shingle docs collapse to
+    one signature) are capped on BOTH sides by ``max_bucket``.
+
+    Pass ``stats`` to receive ``n_store_matches``, ``n_dropped``,
+    ``generation`` (the committed generation or None) and
+    ``ckpt_block_ids`` (release via ckpt.release_blocks once a downstream
+    checkpoint/action has materialized — near_dedup's contract)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from validate_xml_rust_spark.ckpt import (
+        block_ids_of,
+        eager_checkpoint,
+        release_blocks,
+    )
+
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate': {verify!r}")
+    if verify == "exact" and not store.store_shingles:
+        raise ValueError(
+            "verify='exact' needs stored shingle sketches; this store was "
+            "opened with store_shingles=False — use verify='estimate'"
+        )
+    num_perm, bands, shingle_k = store.num_perm, store.bands, store.shingle_k
+    rows_per_band = num_perm // bands
+    sc = new_df.sparkSession.sparkContext
+
+    # slice pass: tokenize+shingle ONCE; both cached frames feed candidate
+    # generation, verification, and (on commit) the appended generation
+    sh = new_df.select(
+        F.col(id_col).alias("__sid"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.select(
+        F.col("__sid").alias("__id"),
+        minhash_signature(F.col("__sh"), num_perm).alias("__sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # within-slice verified pairs (the minhash_near_duplicates pipeline,
+    # reusing the cached shingles/signatures)
+    cands = minhash_candidates(
+        new_df, id_col, text_col, num_perm, bands, shingle_k,
+        max_bucket=max_bucket, _sig=sig,
+    )
+    within = (
+        cands.join(
+            sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b")),
+            "id_b",
+        )
+        .filter(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    # store candidates: slice band keys ⋈ store banded layout
+    store_bands = store.bands_frame()
+    if store_bands is None:
+        tainted = sig.select(F.col("__id").alias("id")).limit(0)
+    else:
+        banded = sig.select(
+            "__id",
+            F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("b"),
+        ).select("__id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        # defensive degenerate-bucket cap on the store side (the slice
+        # self-join path is capped inside minhash_candidates)
+        widths = store_bands.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__bw")
+        )
+        capped = store_bands.join(
+            widths.filter(F.col("__bw") <= max_bucket).drop("__bw"),
+            ["band", "key"],
+        )
+        cross = (
+            banded.join(capped, ["band", "key"])
+            .select(
+                F.col("__id").alias("id_new"), F.col("doc_id").alias("id_old")
+            )
+            .dropDuplicates(["id_new", "id_old"])
+        )
+        if verify == "exact":
+            sk = store.sketch_frame().select(
+                F.col("doc_id").alias("id_old"), F.col("shingles").alias("sh_old")
+            )
+            ver = (
+                cross.join(sk, "id_old")
+                .join(
+                    sh.select(
+                        F.col("__sid").alias("id_new"), F.col("__sh").alias("sh_new")
+                    ),
+                    "id_new",
+                )
+                .filter(
+                    F.round(jaccard(F.col("sh_new"), F.col("sh_old")), 6)
+                    >= threshold
+                )
+            )
+        else:
+            sk = store.sketch_frame().select(
+                F.col("doc_id").alias("id_old"), F.col("sig").alias("sig_old")
+            )
+            agree = F.expr(
+                "aggregate(zip_with(sig_new, sig_old, (x, y) -> "
+                f"IF(x <=> y, 1, 0)), 0, (acc, v) -> acc + v) / {num_perm}"
+            )
+            ver = (
+                cross.join(sk, "id_old")
+                .join(
+                    sig.select(
+                        F.col("__id").alias("id_new"), F.col("__sig").alias("sig_new")
+                    ),
+                    "id_new",
+                )
+                .filter(agree >= threshold)
+            )
+        tainted = ver.select(F.col("id_new").alias("id")).distinct()
+
+    comp = connected_components(within)  # (id, component=min id), eager
+    taint_ck, taint_ids = eager_checkpoint(tainted)
+    if stats is not None:
+        stats["n_store_matches"] = taint_ck.count()
+    # component-level taint propagation: a within-slice component holding
+    # any store-matched member is already represented in the corpus —
+    # drop ALL of it (this is what keeps incremental == global keep-first)
+    bad_comp = (
+        comp.join(
+            taint_ck.select(F.col("id").alias("__tid")),
+            comp["id"] == F.col("__tid"),
+        )
+        .select("component")
+        .distinct()
+    )
+    drop_frame = (
+        comp.join(F.broadcast(bad_comp), "component", "left_semi")
+        .select("id")
+        .unionByName(comp.filter(F.col("id") != F.col("component")).select("id"))
+        .unionByName(taint_ck.select("id"))
+        .distinct()
+        .select(F.col("id").alias("__drop"))
+    )
+    drop, drop_ids = eager_checkpoint(drop_frame)
+    if stats is not None:
+        stats["n_dropped"] = drop.count()
+        stats["ckpt_block_ids"] = drop_ids
+    release_blocks(sc, block_ids_of(comp) | taint_ids)
+
+    survivors = new_df.join(
+        F.broadcast(drop), new_df[id_col] == F.col("__drop"), "left_anti"
+    )
+    gen = None
+    if commit:
+        # the appended generation is derived from the SLICE's cached
+        # sketches (never from re-reading text); the write is the action
+        # that materializes it, after which the caches can be released
+        surv_sketch = (
+            sig.join(sh, sig["__id"] == sh["__sid"])
+            .select(
+                F.col("__id").alias("doc_id"),
+                F.col("__sig").alias("sig"),
+                F.col("__sh").alias("shingles"),
+            )
+            .join(
+                F.broadcast(drop), F.col("doc_id") == F.col("__drop"), "left_anti"
+            )
+        )
+        gen = store.commit(surv_sketch)
+    if stats is not None:
+        stats["generation"] = gen
+    sig.unpersist()
+    sh.unpersist()
+    return survivors
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

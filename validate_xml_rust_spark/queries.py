@@ -515,24 +515,79 @@ GROUP BY 1 HAVING count(*) > 1
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-incremental dedup (dedup.incremental_dedup): re-ingesting the
-    planted corpus against a historical fingerprint store covering ids
-    < 200 — survivors are the rows whose content is NEW to the store,
-    deduped within the slice (min id per fingerprint). The oracle
-    re-derives both the anti-join and the within-slice keep rule over the
-    committed snapshot."""
+    """Batch-incremental dedup suite, both store families:
+
+    - ``exact``: dedup.incremental_dedup — re-ingesting the planted
+      corpus against a historical EXACT-fingerprint store covering ids
+      < 200; survivors are the rows whose content is NEW to the store,
+      deduped within the slice (min id per fingerprint). Generation NULL
+      (the exact store has no generation structure in this gate).
+    - ``lsh_store``: dedup.incremental_near_dedup — a TWO-GENERATION run
+      against a persisted SignatureStore: slice A (doc_id % 3 != 2)
+      bootstraps generation 1, slice B (doc_id % 3 == 2) near-dedups
+      against A's committed band signatures and commits generation 2.
+      The oracle re-derives BOTH runs from scratch with brute-force
+      string-shingle Jaccard over the union corpus (LSH-free: within-A
+      closure → min-id keepers → store; B docs tainted by any store
+      match, component-level taint propagation, min-id keepers among the
+      clean components) — equality proves the store join + exact-verify
+      path loses no pair and invents none, at the same J ≥ 0.9 planted /
+      0.6 threshold recall margin as the other LSH gates."""
+    import tempfile
+
     from validate_xml_rust_spark.operators.dedup import (
+        SignatureStore,
         fingerprint,
         incremental_dedup,
+        incremental_near_dedup,
     )
+    from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
     from validate_xml_rust_spark.sources.corpus import synthetic_documents
 
     docs = synthetic_documents(spark, 600, n_partitions=8)
     seen = fingerprint(docs.filter(F.col("doc_id") < 200)).select("fingerprint")
-    return incremental_dedup(docs, seen)
+    exact = incremental_dedup(docs, seen).select(
+        F.lit("exact").alias("variant"),
+        "doc_id",
+        "text",
+        F.lit(None).cast("long").alias("generation"),
+    )
+
+    store = SignatureStore(
+        spark, tempfile.mkdtemp(prefix="vxrs_signstore_"),
+        num_perm=32, bands=8, shingle_k=3,
+    )
+    st0: dict = {}
+    st1: dict = {}
+    s0 = incremental_near_dedup(
+        docs.filter(F.col("doc_id") % 3 != 2), store, threshold=0.6, stats=st0
+    )
+    s1 = incremental_near_dedup(
+        docs.filter(F.col("doc_id") % 3 == 2), store, threshold=0.6, stats=st1
+    )
+    lsh = s0.select(
+        F.lit("lsh_store").alias("variant"),
+        "doc_id",
+        "text",
+        F.lit(1).cast("long").alias("generation"),
+    ).unionByName(
+        s1.select(
+            F.lit("lsh_store").alias("variant"),
+            "doc_id",
+            "text",
+            F.lit(2).cast("long").alias("generation"),
+        )
+    )
+    out, _ = eager_checkpoint(exact.unionByName(lsh))
+    release_blocks(
+        spark.sparkContext,
+        st0.get("ckpt_block_ids", frozenset())
+        | st1.get("ckpt_block_ids", frozenset()),
+    )
+    return out
 
 
-ORACLE_INCREMENTAL_DEDUP = rf"""
+_ORACLE_INCR_EXACT = rf"""
 WITH d0 AS (
   SELECT doc_id, text,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
@@ -546,6 +601,76 @@ SELECT doc_id, text FROM (
 -- every NULL fingerprint into one partition and keep only the min id,
 -- the opposite of the engine's SQL-UNIQUE NULL rule (exact_dedup)
 WHERE doc_id = kid OR f IS NULL
+"""
+
+# Two-generation SignatureStore run re-derived WITHOUT the store or LSH:
+# brute-force string-shingle Jaccard pairs over the union corpus, then
+# run A's closure + keepers (→ the store contents), run B's taint set
+# (any pair into the store), component-level taint propagation, and run
+# B's keepers — the incremental semantics restated from first principles.
+_ORACLE_INCR_LSH = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS w
+  FROM '{_FIXTURES / "synthetic_docs_600.parquet"}'),
+shg AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) >= 3 THEN
+                list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks),
+ja AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.6),
+ea AS (SELECT id_a AS s, id_b AS d FROM ja WHERE id_a % 3 != 2 AND id_b % 3 != 2
+       UNION SELECT id_b, id_a FROM ja WHERE id_a % 3 != 2 AND id_b % 3 != 2),
+reacha(s, d) AS (
+  SELECT s, d FROM ea
+  UNION SELECT r.s, e.d FROM reacha r JOIN ea e ON r.d = e.s),
+laba AS (SELECT s AS id, least(s, min(d)) AS component FROM reacha GROUP BY s),
+s0 AS (
+  SELECT d.doc_id FROM toks d LEFT JOIN laba l ON l.id = d.doc_id
+  WHERE d.doc_id % 3 != 2 AND (l.id IS NULL OR l.component = d.doc_id)),
+tainted AS (
+  SELECT DISTINCT CASE WHEN id_a % 3 = 2 THEN id_a ELSE id_b END AS id
+  FROM ja
+  WHERE ((id_a % 3 = 2) <> (id_b % 3 = 2))
+    AND (CASE WHEN id_a % 3 = 2 THEN id_b ELSE id_a END)
+        IN (SELECT doc_id FROM s0)),
+eb AS (SELECT id_a AS s, id_b AS d FROM ja WHERE id_a % 3 = 2 AND id_b % 3 = 2
+       UNION SELECT id_b, id_a FROM ja WHERE id_a % 3 = 2 AND id_b % 3 = 2),
+reachb(s, d) AS (
+  SELECT s, d FROM eb
+  UNION SELECT r.s, e.d FROM reachb r JOIN eb e ON r.d = e.s),
+labb AS (SELECT s AS id, least(s, min(d)) AS component FROM reachb GROUP BY s),
+labbed AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS comp
+  FROM toks d LEFT JOIN labb l ON l.id = d.doc_id
+  WHERE d.doc_id % 3 = 2),
+badcomp AS (SELECT DISTINCT comp FROM labbed
+            WHERE doc_id IN (SELECT id FROM tainted)),
+s1 AS (
+  SELECT doc_id FROM labbed
+  WHERE comp = doc_id AND comp NOT IN (SELECT comp FROM badcomp))
+SELECT t.doc_id, t.text, g.generation
+FROM (SELECT doc_id, CAST(1 AS BIGINT) AS generation FROM s0
+      UNION ALL
+      SELECT doc_id, CAST(2 AS BIGINT) FROM s1) g
+JOIN toks t ON t.doc_id = g.doc_id
+"""
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+SELECT 'exact' AS variant, t.doc_id, t.text,
+       CAST(NULL AS BIGINT) AS generation
+FROM ({_ORACLE_INCR_EXACT}) t
+UNION ALL
+SELECT 'lsh_store', t.doc_id, t.text, t.generation
+FROM ({_ORACLE_INCR_LSH}) t
 """
 
 
