@@ -438,3 +438,72 @@ def test_meta_reset_on_unpinned_empty_overwrite(spark, tmp_path):
     write_training_shards(mk(0), out, tokens_per_shard=2000)
     m1 = append_training_shards(mk(5), out, tokens_per_shard=2000)
     assert {int(r["n_shards"]) for r in m1.collect()} == {1}
+
+
+def test_half_applied_append_names_generation(spark, tmp_path, monkeypatch):
+    """Commit-log WAL: an append killed between its shard overwrite and
+    its manifest write leaves an OPEN generation; the audit reports the
+    touched shards as errors NAMING that generation (distinct from
+    tampering), and a successful re-append closes it."""
+    import pytest
+
+    from validate_xml_rust_spark.operators import outputs as mod
+    from validate_xml_rust_spark.operators.outputs import (
+        append_training_shards,
+        open_commits,
+        verify_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " * (1 + i % 4)) for i in range(120)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.length("text"))
+    out = str(tmp_path / "train")
+    write_training_shards(df, out, tokens_per_shard=1500)
+    assert open_commits(spark, out) == []  # gen 1 begun AND done
+
+    batch = spark.createDataFrame(
+        [(1000 + i, f"new doc {i} content " * 3) for i in range(40)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.length("text"))
+
+    # kill the append AFTER the shard dirs are rewritten but BEFORE the
+    # manifest lands: shard_manifest is the first post-write step
+    real = mod.shard_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("killed mid-append")
+
+    monkeypatch.setattr(mod, "shard_manifest", boom)
+    with pytest.raises(RuntimeError, match="killed mid-append"):
+        append_training_shards(batch, out, tokens_per_shard=1500)
+    monkeypatch.setattr(mod, "shard_manifest", real)
+
+    opens = open_commits(spark, out)
+    assert len(opens) == 1 and opens[0]["generation"] == 2
+    touched = set(opens[0]["touched"])
+    assert touched  # the batch mapped to at least one shard
+
+    audit = {r["shard_id"]: r for r in verify_shards(spark, out, 1500).collect()}
+    for sid in touched:
+        row = audit[sid]
+        assert row["status"] == "error"
+        assert any(
+            "generation 2 begun but never committed" in d
+            for d in row["error_details"]
+        ), row["error_details"]
+    # untouched shards stay valid — the incident is scoped, not global
+    for sid, row in audit.items():
+        if sid not in touched:
+            assert row["status"] == "valid", (sid, row)
+
+    # recovery: re-run the SAME append; generation 3 commits over the
+    # same shards and supersedes the open generation 2 — the audit is
+    # clean again (gen 2 never wrote 'done', but every shard it touched
+    # has a LATER committed mutation)
+    append_training_shards(batch, out, tokens_per_shard=1500)
+    gens = {o["generation"] for o in open_commits(spark, out)}
+    assert gens == {2}  # still open in the raw log — but superseded
+    v2 = verify_shards(spark, out, 1500)
+    assert {r["status"] for r in v2.collect()} == {"valid"}

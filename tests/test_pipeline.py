@@ -665,3 +665,55 @@ def test_curate_dedup_doc_lines_step(spark):
     kept = sorted(r["doc_id"] for r in res.kept.collect())
     assert len(kept) == 2 and 3 in kept
     res.release()
+
+
+def test_curate_url_and_license_policy_steps(spark):
+    """The crawl-side policy steps (domain blocklist, robots exclusion,
+    license allow-list) run FIRST, log their step rows, and strip their
+    signal columns from the kept schema; missing columns are config
+    errors, not silent no-ops."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://ok.example.com/a",
+             '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">x</a>',
+             "alpha beta gamma"),
+            (1, "https://bad.example.com/b",
+             '<a href="https://creativecommons.org/licenses/by/4.0/">x</a>',
+             "delta epsilon zeta"),
+            (2, "https://robots.example.org/c",
+             '<a href="https://creativecommons.org/licenses/by/4.0/">x</a>',
+             "eta theta iota"),
+            (3, "https://ok.example.com/d",
+             '<a href="https://creativecommons.org/licenses/by-nc/2.0/">x</a>',
+             "kappa lambda mu"),
+        ],
+        "doc_id long, url string, html string, text string",
+    )
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    rb = spark.createDataFrame([("robots.example.org",)], "domain string")
+    res = curate(
+        docs, spark,
+        near_dup_threshold=None,
+        blocked_domains=bl, robots_domains=rb,
+        license_allow=("cc-by-4.0",),
+    )
+    names = [s["step"] for s in res.report["steps"]]
+    assert names[:3] == ["domain_blocklist", "robots_filter", "license_filter"]
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    # 1 blocklisted, 2 robots-excluded, 3 wrong license → only 0 survives
+    assert kept == {0}
+    assert set(res.kept.columns) == {"doc_id", "url", "html", "text"}
+    res.release()
+
+    # config errors: the needed columns must exist
+    with pytest.raises(ValueError, match="'url' column"):
+        curate(docs.drop("url"), spark, near_dup_threshold=None,
+               blocked_domains=bl).release()
+    with pytest.raises(ValueError, match="'html' column"):
+        curate(docs.drop("html"), spark, near_dup_threshold=None,
+               license_allow=("cc-by-4.0",)).release()

@@ -316,3 +316,71 @@ def test_perplexity_buckets_terciles(spark):
     }
     assert glob[3] is None
     assert {glob[0], glob[2]} == {"head", "tail"}
+
+
+def test_langid_ngram_model_holdout_accuracy(spark):
+    """The trainable hashed char-n-gram classifier separates all five
+    scripts (incl. two Latin languages distinguished only by gram
+    distribution) on a holdout quarter it never saw; empty/NULL text
+    predicts 'und'."""
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.textstats import (
+        langid_predict,
+        langid_train,
+    )
+    from validate_xml_rust_spark.sources.corpus import lang_corpus
+
+    docs = lang_corpus(spark, 400, n_partitions=4)
+    w = langid_train(docs.filter(F.col("doc_id") % 4 != 0))
+    pred = langid_predict(docs.filter(F.col("doc_id") % 4 == 0), w)
+    rows = pred.select("lang", "detected_lang").collect()
+    acc = sum(1 for r in rows if r["lang"] == r["detected_lang"]) / len(rows)
+    assert acc >= 0.95, acc
+    # every language is actually predicted (not one dominant class)
+    assert {r["detected_lang"] for r in rows} == {"de", "el", "en", "ru", "zh"}
+
+    # no matched gram → 'und' (NULL and empty text)
+    odd = spark.createDataFrame(
+        [(1000, None), (1001, ""), (1002, "zz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in langid_predict(odd, w).collect()}
+    assert got[1000] == "und" and got[1001] == "und"
+
+
+def test_char_gram_extraction_survives_generator_lambdas(spark):
+    """Regression: extracting char n-grams with a HOF lambda over a text
+    column that is ITSELF built from nested transform lambdas (every
+    synthetic generator) corrupts the grams — CollapseProject inlines
+    the generator expression into the outer lambda and the nested lambda
+    variables collide (measured: empty and whole-document 'grams'). The
+    explode-based extraction must match a driver-side reference exactly,
+    multiset-wise, straight off the generator plan (no checkpoint)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.textstats import _char_gram_buckets
+    from validate_xml_rust_spark.operators.curation import sample_ticket
+    from validate_xml_rust_spark.sources.corpus import lang_corpus
+
+    docs = lang_corpus(spark, 10, n_partitions=2)
+    got = Counter(
+        r["b"]
+        for r in _char_gram_buckets(
+            docs, "text", {"__id": F.col("doc_id")}, (3, 4, 5), 65536, "langid"
+        ).collect()
+    )
+    # driver-side reference over the same rows
+    import hashlib
+
+    def ticket(g: str) -> int:
+        return int(hashlib.md5(f"langid:{g}".encode()).hexdigest()[:8], 16)
+
+    want: Counter = Counter()
+    for r in docs.collect():
+        t = (r["text"] or "").lower()
+        for n in (3, 4, 5):
+            for i in range(len(t) - n + 1):
+                want[ticket(t[i : i + n]) % 65536] += 1
+    assert got == want

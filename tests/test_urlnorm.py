@@ -135,3 +135,62 @@ def test_domain_blocklist_matching(spark):
         r["id"]
         for r in domain_blocklist_flags(df, bl2).filter(F.col("blocked")).collect()
     } == {0, 1, 2, 4}
+
+
+def test_license_signals(spark):
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.operators.textstats import license_signals
+
+    rows = [
+        (0, '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">x</a>'),
+        (1, '<A REL="LICENSE" HREF="HTTPS://CREATIVECOMMONS.ORG/LICENSES/BY-SA/3.0/">y</A>'),
+        (2, "<a rel='license' href='https://example.com/tos'>terms</a>"),
+        (3, '<a href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a>'),
+        (4, "<p>plain page</p>"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: (r["has_license_rel"], r["cc_license"], r["license_ok"])
+        for r in license_signals(df, allow=("cc-by-4.0", "cc0-1.0")).collect()
+    }
+    assert got[0] == (True, "cc-by-4.0", True)
+    assert got[1] == (True, "cc-by-sa-3.0", False)  # case-insensitive
+    assert got[2] == (True, None, False)            # rel without CC URL
+    assert got[3] == (False, "cc0-1.0", True)
+    assert got[4] == (False, None, False)
+    assert got[5] == (False, None, False)           # NULL html
+
+
+def test_robots_exclusion_composes_with_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from validate_xml_rust_spark.functions.urlnorm import (
+        domain_blocklist_flags,
+        robots_exclusion_flags,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example.com/1",),
+            ("https://b.example.org/2",),
+            ("https://sub.b.example.org/3",),
+            ("https://c.example.net/4",),
+            (None,),
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame([("a.example.com",)], "domain string")
+    rb = spark.createDataFrame(
+        [("a.example.com",), ("b.example.org",)], "domain string"
+    )
+    out = robots_exclusion_flags(domain_blocklist_flags(urls, bl), rb)
+    got = {
+        r["url"]: (r["blocked"], r["robots_excluded"]) for r in out.collect()
+    }
+    assert got["https://a.example.com/1"] == (True, True)       # both
+    assert got["https://b.example.org/2"] == (False, True)      # robots only
+    assert got["https://sub.b.example.org/3"] == (False, True)  # subdomain
+    assert got["https://c.example.net/4"] == (False, False)
+    assert got[None] == (False, False)                          # NULL url

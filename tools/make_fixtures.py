@@ -76,6 +76,12 @@ def main() -> None:
     # over these rows in DuckDB while Spark runs the live generator —
     # equality also pins the generator's determinism.
     write_one(docs, f"synthetic_docs_{N_DOCS}")
+    # labeled multilingual corpus (Latin ×2 / Cyrillic / Greek / CJK):
+    # the langid-classifier oracle retrains the hashed char-n-gram model
+    # from this snapshot in SQL while Spark runs the live generator
+    from validate_xml_rust_spark.sources.corpus import lang_corpus
+
+    write_one(lang_corpus(spark, N_DOCS, n_partitions=8), f"lang_docs_{N_DOCS}")
 
     # quality model: weights trained on the labeled good/bad corpus
     # (sources/corpus.py:quality_corpus, deterministic) + the corpus

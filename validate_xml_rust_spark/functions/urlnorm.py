@@ -130,6 +130,7 @@ def domain_blocklist_flags(
     url_col: str = "url",
     domain_col: str = "domain",
     host_out: str | None = None,
+    out_col: str = "blocked",
 ) -> DataFrame:
     """Flag rows whose url host equals OR is a subdomain of any blocked
     registered domain — the C4/RefinedWeb UT1-blocklist curation step
@@ -172,7 +173,7 @@ def domain_blocklist_flags(
         with_host.join(
             hit_hosts, with_host["__h"] == F.col("__bh"), "left"
         )
-        .withColumn("blocked", F.col("__bh").isNotNull())
+        .withColumn(out_col, F.col("__bh").isNotNull())
         .drop("__bh")
     )
     if host_out is None:
@@ -190,3 +191,35 @@ def domain_blocklist_filter(
     NULL-host rows survive — a missing url is not a blocked url."""
     flagged = domain_blocklist_flags(df, blocked, url_col, domain_col)
     return flagged.filter(~F.col("blocked")).drop("blocked")
+
+
+def robots_exclusion_flags(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    host_out: str | None = None,
+) -> DataFrame:
+    """Robots-disallow registry exclusion: flag rows whose host equals or
+    is a subdomain of any domain in the crawler's robots-excluded list —
+    the SAME equals-or-subdomain machinery as the UT1 domain blocklist,
+    under its own flag name (``robots_excluded``) so both policies
+    compose in one frame (a page can be blocklisted, robots-excluded,
+    both, or neither). Reference analog: the include/exclude glob family
+    where exclude wins (src/file_discovery.rs S3)."""
+    return domain_blocklist_flags(
+        df, robots, url_col, domain_col, host_out=host_out,
+        out_col="robots_excluded",
+    )
+
+
+def robots_exclusion_filter(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop robots-excluded rows; NULL-host rows survive (no url is not
+    an excluded url — the blocklist rule)."""
+    flagged = robots_exclusion_flags(df, robots, url_col, domain_col)
+    return flagged.filter(~F.col("robots_excluded")).drop("robots_excluded")

@@ -219,6 +219,9 @@ def write_training_shards(
         id_col=id_col,
         tokens_col=tokens_col,
     )
+    # WAL: a full (re)write RESETS the commit log — generation 1 begins
+    # before the first shard byte moves ([] = the whole store)
+    _log_commit(spark, out_dir, 1, "begin", [], mode="overwrite")
     (
         sharded.repartition(n_shards, F.col("shard_id"))
         .sortWithinPartitions("shard_id", id_col)
@@ -250,6 +253,7 @@ def write_training_shards(
     spark.createDataFrame(
         meta_rows, "n_shards long, tokens_per_shard long"
     ).write.mode(mode).parquet(f"{out_dir}/meta")
+    _log_commit(spark, out_dir, 1, "done", [])
     release_blocks(spark.sparkContext, blocks)
     return stored
 
@@ -312,6 +316,8 @@ def append_training_shards(
     ]
     if not touched:  # empty batch: nothing to rewrite
         return prior
+    gen = _next_generation(spark, out_dir)
+    _log_commit(spark, out_dir, gen, "begin", touched)
     # the rewrite READS the shard dirs it is about to overwrite — the
     # combined rows must be materialized (checkpoint blocks) before the
     # write starts deleting source files
@@ -358,11 +364,73 @@ def append_training_shards(
     # the manifest overwrite also reads its own prior generation
     manifest, mblocks = eager_checkpoint(manifest)
     manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    _log_commit(spark, out_dir, gen, "done", touched)
     release_blocks(spark.sparkContext, blocks | mblocks)
     # re-read from the sink: the checkpoint frames above just had their
     # blocks released, so they must not escape to the caller
     spark.catalog.refreshByPath(f"{out_dir}/manifest")
     return spark.read.parquet(f"{out_dir}/manifest")
+
+
+def _log_commit(
+    spark: SparkSession,
+    out_dir: str,
+    generation: int,
+    phase: str,
+    touched: list[int],
+    mode: str = "append",
+) -> None:
+    """One commit-log record under ``out_dir/commits`` — the shard
+    store's WAL (the DirectorySnapshotSource generation pattern,
+    operators/resume.py; an Iceberg table gets this from its atomic
+    snapshot commit). A mutation writes ``begin`` BEFORE touching any
+    shard directory and ``done`` after its manifest lands, so a crash
+    between them is DETECTABLE as an open generation instead of reading
+    as payload tampering. ``touched=[]`` means the whole store (a full
+    rewrite)."""
+    spark.createDataFrame(
+        [(int(generation), phase, [int(t) for t in touched])],
+        "generation long, phase string, touched array<long>",
+    ).withColumn("committed_at", F.current_timestamp()).write.mode(mode).parquet(
+        f"{out_dir}/commits"
+    )
+
+
+def open_commits(spark: SparkSession, out_dir: str) -> list[dict]:
+    """Generations with a ``begin`` record but no ``done`` — half-applied
+    mutations. Empty for a healthy store; [] for a pre-commit-log store
+    (backward compatible). O(#mutations) driver rows."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.catalog.refreshByPath(f"{out_dir}/commits")
+        log = spark.read.parquet(f"{out_dir}/commits").collect()
+    except AnalysisException:
+        return []
+    done = {int(r["generation"]) for r in log if r["phase"] == "done"}
+    return [
+        {
+            "generation": int(r["generation"]),
+            "touched": [int(t) for t in (r["touched"] or [])],
+        }
+        for r in log
+        if r["phase"] == "begin" and int(r["generation"]) not in done
+    ]
+
+
+def _next_generation(spark: SparkSession, out_dir: str) -> int:
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.catalog.refreshByPath(f"{out_dir}/commits")
+        head = (
+            spark.read.parquet(f"{out_dir}/commits")
+            .agg(F.max("generation").alias("g"))
+            .first()
+        )
+        return (int(head["g"]) if head and head["g"] is not None else 0) + 1
+    except AnalysisException:
+        return 1
 
 
 def verify_shards(
@@ -429,6 +497,56 @@ def verify_shards(
         F.col("content_sum").alias("o_sum"),
     )
     j = m.join(o, "shard_id", "full_outer")
+    # commit-log check: a shard touched by a BEGUN-but-never-COMMITTED
+    # mutation is half-applied — report it as a structural error NAMING
+    # the generation, distinctly from payload tampering (whose checksum
+    # detail it would otherwise be indistinguishable from). touched=[]
+    # (a full rewrite) covers every shard.
+    opens = open_commits(spark, out_dir)
+    # a LATER committed mutation covering the same shard supersedes the
+    # open generation there (the recovery path: re-running the failed
+    # append commits a new generation over the same shards and the
+    # incident closes; a full rewrite resets the whole log)
+    try:
+        spark.catalog.refreshByPath(f"{out_dir}/commits")
+        dones = [
+            (int(r["generation"]), [int(t) for t in (r["touched"] or [])])
+            for r in spark.read.parquet(f"{out_dir}/commits").collect()
+            if r["phase"] == "done"
+        ]
+    except AnalysisException:
+        dones = []
+
+    def _resolved(gen: int, shard: int) -> bool:
+        return any(
+            g2 > gen and (not t2 or shard in t2) for g2, t2 in dones
+        )
+
+    whole_gen = max(
+        (c["generation"] for c in opens if not c["touched"]), default=None
+    )
+    per_shard = {}
+    for c in opens:
+        for t in c["touched"]:
+            if not _resolved(c["generation"], t):
+                per_shard[t] = max(per_shard.get(t, 0), c["generation"])
+    open_gen = F.lit(None).cast("long")
+    if per_shard:
+        gen_map = F.create_map(
+            *[F.lit(x) for kv in per_shard.items() for x in kv]
+        )
+        open_gen = gen_map[F.col("shard_id")].cast("long")
+    if whole_gen is not None:
+        open_gen = F.greatest(open_gen, F.lit(whole_gen).cast("long"))
+    half_applied = F.when(
+        open_gen.isNotNull(),
+        F.concat(
+            F.lit("append generation "),
+            open_gen.cast("string"),
+            F.lit(" begun but never committed — half-applied write, "
+                  "not tampering; re-run the append"),
+        ),
+    )
     checks = [
         (
             F.col("m_docs").isNotNull() & F.col("o_docs").isNotNull()
@@ -454,6 +572,7 @@ def verify_shards(
     ]
     details = F.filter(
         F.array(
+            half_applied,
             *[F.when(cond, msg) for cond, msg in checks],
             F.when(F.col("o_docs").isNull(), F.lit("shard missing from store")),
             F.when(
@@ -464,7 +583,10 @@ def verify_shards(
     )
     status = (
         F.when(
-            F.col("o_docs").isNull() | F.col("m_docs").isNull(), F.lit("error")
+            open_gen.isNotNull()
+            | F.col("o_docs").isNull()
+            | F.col("m_docs").isNull(),
+            F.lit("error"),
         )
         .when(F.size(details) > 0, F.lit("invalid"))
         .otherwise(F.lit("valid"))

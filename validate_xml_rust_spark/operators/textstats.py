@@ -664,3 +664,226 @@ def gopher_signals(
         & (sig["g_stop_hits"] >= 2)
     )
     return sig
+
+
+# --- trainable hashed char-n-gram language identifier -------------------
+
+
+def _char_gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    carry: dict[str, Column],
+    ns: tuple[int, ...],
+    n_buckets: int,
+    seed: str,
+) -> DataFrame:
+    """One row per char n-gram OCCURRENCE of ``text_col`` (lowercased;
+    grams span word boundaries — spaces included, the fastText-style
+    feature space without boundary markers), with its md5-derived feature
+    bucket ``b`` in [0, n_buckets) — md5 (not xxhash64) so the DuckDB
+    oracle recomputes the identical bucket (curation.sample_ticket).
+
+    Extraction is two Generate nodes + plain projections — NO
+    higher-order-function lambdas: a position-explode, then
+    ``substr(__t, p, n)`` per n gathered by a second explode. Beyond
+    staying in whole-stage codegen, this dodges a real corruption
+    hazard: when the input text column is itself built from nested
+    ``transform`` lambdas (the synthetic corpus generators),
+    CollapseProject inlines that expression tree INTO an outer HOF
+    lambda and the nested lambda variables collide — measured producing
+    empty and whole-document "grams". Generate is a projection barrier;
+    plain ``substr`` over attributes cannot capture anything.
+    ``sequence(1, 0)`` would generate DESCENDING [1, 0], so the position
+    end is clamped to ≥1 and out-of-range grams are NULL-filtered."""
+    from validate_xml_rust_spark.operators.curation import sample_ticket
+
+    names = list(carry)
+    base = df.select(
+        *[c.alias(name) for name, c in carry.items()],
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    pos = base.select(
+        *names,
+        "__t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__t") - (min(ns) - 1), F.lit(1)))
+        ).alias("__p"),
+    )
+    per_n = [
+        F.when(
+            F.col("__p") <= F.length("__t") - (n - 1),
+            F.col("__t").substr(F.col("__p"), F.lit(n)),
+        )
+        for n in ns
+    ]
+    return (
+        pos.select(*names, F.explode(F.array(*per_n)).alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .select(
+            *names,
+            (sample_ticket(F.col("__g"), seed) % F.lit(n_buckets)).alias("b"),
+        )
+    )
+
+
+def langid_train(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (3, 4, 5),
+    n_buckets: int = 65536,
+    alpha: float = 1.0,
+    seed: str = "langid",
+) -> DataFrame:
+    """Train the hashed char-n-gram language identifier (the fastText /
+    langid.py feature space — Joulin et al. 2016, public recipe — with
+    closed-form multinomial weights so training is deterministic and
+    SQL-restatable, no SGD): for every feature bucket seen in training
+    and every language,
+
+        w[b, lang] = ln( (c[b, lang] + α) / (c[b, ·] + α·L) )
+
+    — the add-α language posterior of the bucket. Normalizing over
+    LANGUAGES per bucket (not over buckets per language) makes a bucket
+    never seen in training a constant ln(1/L) for every language, so the
+    scorer can SKIP unmatched grams without shifting the argmax — and
+    unequal per-language corpus sizes never leak through missing rows.
+
+    Returns ``(b, lang, w DECIMAL(18,9))`` — ≤ n_buckets·L rows,
+    broadcastable; weights in DECIMAL so both engines sum them exactly
+    (double sums are addition-order-dependent; the argmax must not flip
+    on a near-tie). Scale shape: ONE explode + groupBy(b, lang) count
+    (map-side partials), a per-bucket total join, and the language count
+    riding the plan as a broadcast one-row aggregate."""
+    g = _char_gram_buckets(
+        df.filter(F.col(lang_col).isNotNull()),
+        text_col, {"__l": F.col(lang_col)}, ns, n_buckets, seed,
+    )
+    cnt = g.groupBy("b", "__l").agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy("b").agg(F.sum("__c").alias("__tot"))
+    langs = df.select(F.col(lang_col).alias("__l")).filter(
+        F.col("__l").isNotNull()
+    ).distinct()
+    nl = F.broadcast(langs.agg(F.count(F.lit(1)).alias("__nl")))
+    a = float(alpha)
+    w = (
+        tot.crossJoin(F.broadcast(langs))
+        .join(cnt, ["b", "__l"], "left")
+        .crossJoin(nl)
+        .select(
+            "b",
+            F.col("__l").alias("lang"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(a))
+                    / (F.col("__tot") + F.lit(a) * F.col("__nl"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+    )
+    return w
+
+
+def langid_predict(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "detected_lang",
+    ns: tuple[int, ...] = (3, 4, 5),
+    n_buckets: int = 65536,
+    seed: str = "langid",
+) -> DataFrame:
+    """Score every document against the trained weight table and predict
+    the argmax language (ANSI-safe two-aggregate argmax: max DECIMAL
+    score, then the alphabetically-first language among exact ties —
+    never struct(-id)/max_by, per the repo rule). Docs with NO matched
+    gram (empty/NULL text, or every gram in a bucket unseen at training)
+    get ``'und'``.
+
+    Scale shape: explode grams → ONE BroadcastHashJoin against the
+    ≤ n_buckets·L weight table → groupBy(id, lang) with map-side DECIMAL
+    partials → two tiny argmax aggregations on the (docs × L) scores."""
+    g = _char_gram_buckets(
+        df, text_col, {"__id": F.col(id_col)}, ns, n_buckets, seed
+    )
+    sc = (
+        g.join(F.broadcast(weights), "b")
+        .groupBy("__id", "lang")
+        .agg(F.sum("w").alias("__s"))
+    )
+    mx = sc.groupBy("__id").agg(F.max("__s").alias("__mx"))
+    pred = (
+        sc.join(mx, "__id")
+        .filter(F.col("__s") == F.col("__mx"))
+        .groupBy("__id")
+        .agg(F.min("lang").alias("__pred"))
+    )
+    return df.join(
+        pred, df[id_col] == F.col("__id"), "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("__pred"), F.lit("und")).alias(out_col),
+    )
+
+
+# --- license signal pack (rel="license" / CC-license URL detection) -----
+
+# first CC license URL: type (by, by-sa, by-nc-nd, ...) + version; and the
+# CC0 public-domain dedication. RE2-safe (no lookaround) so the DuckDB
+# oracle restates them verbatim.
+CC_LICENSE_RE = r"creativecommons\.org/licenses/([a-z][a-z-]*)/([0-9]+(\.[0-9]+)?)"
+CC_ZERO_RE = r"creativecommons\.org/publicdomain/zero/([0-9]+(\.[0-9]+)?)"
+
+
+def license_signals(
+    df: DataFrame,
+    html_col: str = "html",
+    allow: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """License-detection signal pack over an HTML STRING column — the
+    filter family for building permissively-licensed subsets (public
+    recipe: CC-licensed crawl corpora à la C4's licensed variants; the
+    rel="license" microformat is the HTML spec's license link relation).
+    Binary html must first go through the engine's guarded decode
+    (specs.py is_valid_utf8 gate — Spark 4 decode THROWS on malformed
+    bytes).
+
+    Adds (all pure codegen — one lowered copy, contains probes, two RE2
+    regexp_extracts; the C4-pack shape):
+
+    - ``has_license_rel`` — an element carries rel="license" (double,
+      single, or no quotes);
+    - ``cc_license``     — ``cc-<type>-<version>`` from the first
+      creativecommons.org license URL, ``cc0-<version>`` for the
+      public-domain dedication, NULL when absent;
+    - ``license_ok``     — ``cc_license ∈ allow`` (only when ``allow``
+      is given; NULL cc_license is never ok).
+    """
+    h = F.lower(F.coalesce(F.col(html_col), F.lit("")))
+    rel = (
+        h.contains('rel="license"')
+        | h.contains("rel='license'")
+        | h.contains("rel=license")
+    )
+    cc_type = F.regexp_extract(h, CC_LICENSE_RE, 1)
+    cc_ver = F.regexp_extract(h, CC_LICENSE_RE, 2)
+    cc0_ver = F.regexp_extract(h, CC_ZERO_RE, 1)
+    cc = (
+        F.when(cc_type != "", F.concat(F.lit("cc-"), cc_type, F.lit("-"), cc_ver))
+        .when(cc0_ver != "", F.concat(F.lit("cc0-"), cc0_ver))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = df.withColumn("has_license_rel", rel).withColumn("cc_license", cc)
+    if allow is not None:
+        out = out.withColumn(
+            "license_ok", F.coalesce(F.col("cc_license").isin(*allow), F.lit(False))
+        )
+    return out
+
+
+# columns license_signals adds — filter steps drop exactly this set
+LICENSE_COLUMNS: tuple[str, ...] = ("has_license_rel", "cc_license", "license_ok")

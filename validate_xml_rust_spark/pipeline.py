@@ -176,6 +176,11 @@ def curate(
     pack_max_tokens: int | None = None,
     pack_shards: int = 32,
     contamination_n: int = 8,
+    url_col: str = "url",
+    blocked_domains: DataFrame | None = None,
+    robots_domains: DataFrame | None = None,
+    license_allow: tuple[str, ...] | None = None,
+    license_col: str = "html",
 ) -> CurationResult:
     """Run the configured curation steps in order; every step logs
     (rows_in, rows_out) into ``result.report['steps']``. One pass per
@@ -215,6 +220,51 @@ def curate(
             cur.join(
                 valid_ids, cur[id_col].cast("string") == F.col("__vid"), "left_semi"
             ),
+        )
+
+    # URL/license policy first — crawl-side filters are the cheapest
+    # (pure projections + one broadcast host join) and everything
+    # downstream (dedup, LM scoring) should never pay for pages policy
+    # already excludes
+    if blocked_domains is not None or robots_domains is not None:
+        if url_col not in cur.columns:
+            raise ValueError(
+                f"domain/robots filtering needs a {url_col!r} column"
+            )
+        from validate_xml_rust_spark.functions.urlnorm import (
+            domain_blocklist_filter,
+            robots_exclusion_filter,
+        )
+
+        if blocked_domains is not None:
+            cur = log(
+                "domain_blocklist",
+                domain_blocklist_filter(cur, blocked_domains, url_col),
+            )
+        if robots_domains is not None:
+            cur = log(
+                "robots_filter",
+                robots_exclusion_filter(cur, robots_domains, url_col),
+            )
+
+    if license_allow is not None:
+        # keep only pages whose detected CC license is in the allow set
+        # (building a permissively-licensed subset); signals never leak
+        # into the kept schema
+        if license_col not in cur.columns:
+            raise ValueError(
+                f"license filtering needs a {license_col!r} column"
+            )
+        from validate_xml_rust_spark.operators.textstats import (
+            LICENSE_COLUMNS,
+            license_signals,
+        )
+
+        cur = log(
+            "license_filter",
+            license_signals(cur, license_col, allow=tuple(license_allow))
+            .filter(F.col("license_ok"))
+            .drop(*LICENSE_COLUMNS),
         )
 
     if normalize_form is not None:

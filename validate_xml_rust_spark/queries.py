@@ -2232,10 +2232,86 @@ def q_url_policy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # composed policy: UT1 blocklist + robots-disallow registry on the
+    # same urls — the reason key proves both flags ride one frame and a
+    # host hit by both policies reports 'both', not two rows
+    from validate_xml_rust_spark.functions.urlnorm import (
+        robots_exclusion_flags,
+    )
+
+    bl = spark.createDataFrame([("h2.example.com",)], "domain string")
+    rb = spark.createDataFrame(
+        [("h2.example.com",), ("h5.example.com",), ("h6.example.com",)],
+        "domain string",
+    )
+    flagged = robots_exclusion_flags(
+        domain_blocklist_flags(urls, bl), rb, host_out="__h"
+    )
+    reason = (
+        F.when(F.col("blocked") & F.col("robots_excluded"), "both")
+        .when(F.col("robots_excluded"), "robots")
+        .otherwise("blocklist")
+    )
+    robots = (
+        flagged.filter(F.col("blocked") | F.col("robots_excluded"))
+        .select(F.concat(F.col("__h"), F.lit(":"), reason).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        .select(
+            F.lit("robots").alias("variant"),
+            "canonical_url",
+            "n_raw",
+            F.lit(None).cast("long").alias("n_distinct_raw"),
+        )
+    )
+
+    # license signal pack over synthesized html snippets (rel="license"
+    # microformat in both quote styles, CC license URLs, CC0 dedication)
+    from validate_xml_rust_spark.operators.textstats import license_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 7
+    html = (
+        F.when(v == 1, F.lit(
+            '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY</a>'
+        ))
+        .when(v == 2, F.lit(
+            '<a href="https://creativecommons.org/licenses/by-sa/3.0/">share-alike</a>'
+        ))
+        .when(v == 3, F.lit(
+            "<a rel='license' href='https://creativecommons.org/licenses/by-nc-nd/2.5/'>nc</a>"
+        ))
+        .when(v == 4, F.lit(
+            '<a href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a>'
+        ))
+        .otherwise(F.lit("<p>no license here</p>"))
+    )
+    lic = (
+        license_signals(docs.select(html.alias("html")), "html")
+        .select(
+            F.concat(
+                F.coalesce(F.col("cc_license"), F.lit("none")),
+                F.lit(":"),
+                F.when(F.col("has_license_rel"), "rel").otherwise("norel"),
+            ).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        .select(
+            F.lit("license").alias("variant"),
+            "canonical_url",
+            "n_raw",
+            F.lit(None).cast("long").alias("n_distinct_raw"),
+        )
+    )
+
     return (
         canon.unionByName(
             blocked_counts(["h2.example.com", "h4.example.com"], "blocked_host")
-        ).unionByName(blocked_counts(["example.com"], "blocked_suffix"))
+        )
+        .unionByName(blocked_counts(["example.com"], "blocked_suffix"))
+        .unionByName(robots)
+        .unionByName(lic)
     )
 
 
@@ -2315,6 +2391,80 @@ hostx AS (
 SELECT h AS canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
        CAST(NULL AS BIGINT) AS n_distinct_raw
 FROM hostx WHERE scheme <> '' AND ({cond}) GROUP BY 1
+"""
+
+
+def _oracle_url_policy_composed(bl_cond: str, rb_cond: str) -> str:
+    """Composed blocklist + robots policy over the same raw-url
+    synthesis: per-host counts keyed by host:reason (both / robots /
+    blocklist)."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, CAST(floor(doc_id / 5) AS BIGINT) AS g, doc_id % 5 AS v
+  FROM documents),
+raw AS (
+  SELECT CASE v
+    WHEN 0 THEN 'https://h' || (g % 7) || '.example.com/a/doc-' || g
+    WHEN 1 THEN 'https://www.h' || (g % 7) || '.example.com/a/doc-' || g || '/'
+    WHEN 2 THEN 'HTTPS://h' || (g % 7) || '.example.com:443/a/doc-' || g || '#frag'
+    WHEN 3 THEN 'https://h' || (g % 7) || '.example.com/a/doc-' || g
+                || '?utm_source=feed&b=2&a=1'
+    ELSE 'https://h' || (g % 7) || '.example.com/a/doc-' || g || '?a=1&b=2'
+    END AS url
+  FROM u),
+hostx AS (
+  SELECT lower(regexp_extract(trim(url), '{_URL_RE}', 1)) AS scheme,
+         regexp_replace(regexp_replace(regexp_replace(
+             lower(regexp_extract(trim(url), '{_URL_RE}', 2)),
+             '^[^@]*@', ''), ':[0-9]+$', ''), '^(www\\.)+', '') AS h
+  FROM raw),
+fl AS (
+  SELECT h, scheme, ({bl_cond}) AS bl, ({rb_cond}) AS rb FROM hostx)
+SELECT h || ':' || CASE WHEN bl AND rb THEN 'both'
+                        WHEN rb THEN 'robots'
+                        ELSE 'blocklist' END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(NULL AS BIGINT) AS n_distinct_raw
+FROM fl WHERE scheme <> '' AND (bl OR rb) GROUP BY 1
+"""
+
+
+# license-signal restatement: the same html synthesis schedule, the same
+# RE2 regexes (CC_LICENSE_RE / CC_ZERO_RE verbatim from textstats.py),
+# the same contains probes on the lowered copy
+from validate_xml_rust_spark.operators.textstats import (  # noqa: E402
+    CC_LICENSE_RE as _CC_RE,
+    CC_ZERO_RE as _CC0_RE,
+)
+
+_ORACLE_LICENSE_SIGNALS = f"""
+WITH synth AS (
+  SELECT CASE doc_id % 7
+    WHEN 1 THEN '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY</a>'
+    WHEN 2 THEN '<a href="https://creativecommons.org/licenses/by-sa/3.0/">share-alike</a>'
+    WHEN 3 THEN '<a rel=''license'' href=''https://creativecommons.org/licenses/by-nc-nd/2.5/''>nc</a>'
+    WHEN 4 THEN '<a href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a>'
+    ELSE '<p>no license here</p>' END AS html
+  FROM documents),
+sig AS (
+  SELECT lower(coalesce(html, '')) AS h FROM synth),
+ext AS (
+  SELECT (contains(h, 'rel="license"') OR contains(h, 'rel=''license''')
+          OR contains(h, 'rel=license')) AS rel,
+         regexp_extract(h, '{_CC_RE}', 1) AS cc_type,
+         regexp_extract(h, '{_CC_RE}', 2) AS cc_ver,
+         regexp_extract(h, '{_CC0_RE}', 1) AS cc0_ver
+  FROM sig),
+lic AS (
+  SELECT CASE WHEN cc_type <> '' THEN 'cc-' || cc_type || '-' || cc_ver
+              WHEN cc0_ver <> '' THEN 'cc0-' || cc0_ver
+              ELSE NULL END AS cc_license, rel
+  FROM ext)
+SELECT coalesce(cc_license, 'none') || ':' ||
+       CASE WHEN rel THEN 'rel' ELSE 'norel' END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(NULL AS BIGINT) AS n_distinct_raw
+FROM lic GROUP BY 1
 """
 
 
@@ -3533,6 +3683,18 @@ ORACLE_URL_POLICY_SUITE = (
         "blocked_suffix",
         _oracle_url_blocked("h = 'example.com' OR h LIKE '%.example.com'"),
     )
+    + "\nUNION ALL\n"
+    + _wrap_variant(
+        "robots",
+        _oracle_url_policy_composed(
+            "h = 'h2.example.com' OR h LIKE '%.h2.example.com'",
+            "h IN ('h2.example.com', 'h5.example.com', 'h6.example.com') "
+            "OR h LIKE '%.h2.example.com' OR h LIKE '%.h5.example.com' "
+            "OR h LIKE '%.h6.example.com'",
+        ),
+    )
+    + "\nUNION ALL\n"
+    + _wrap_variant("license", _ORACLE_LICENSE_SIGNALS)
 )
 
 
@@ -4038,6 +4200,82 @@ ORACLE_LANGID_LABELED = (
     "SELECT d.doc_id, documents.lang AS labeled, d.detected_lang AS detected "
     "FROM documents JOIN d USING (doc_id)"
 )
+
+
+def q_langid_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification, both families, one gate:
+
+    - ``signal``: the marker-occurrence heuristic (detect_language) over
+      the sf documents table — the cheap Latin-stopword path;
+    - ``ngram_model``: the TRAINABLE hashed char-n-gram classifier
+      (textstats.langid_train/langid_predict, fastText-style feature
+      space with closed-form per-bucket language posteriors) — trained
+      INSIDE the gate on the multilingual fixture corpus (doc_id % 4 !=
+      0; Latin ×2 / Cyrillic / Greek / CJK scripts) and scored on the
+      holdout quarter. The oracle RETRAINS the whole model in SQL from
+      the committed snapshot: char 3/4/5-gram extraction, md5 feature
+      buckets, add-1 language posteriors in DECIMAL(18,9), exact DECIMAL
+      score sums, and the two-step argmax."""
+    from validate_xml_rust_spark.operators.textstats import (
+        langid_predict,
+        langid_train,
+    )
+    from validate_xml_rust_spark.sources.corpus import lang_corpus
+
+    sig = q_langid_labeled(spark, sf_dir).select(
+        F.lit("signal").alias("variant"), "doc_id", "labeled", "detected"
+    )
+    docs = lang_corpus(spark, 600, n_partitions=8)
+    w = langid_train(docs.filter(F.col("doc_id") % 4 != 0))
+    pred = langid_predict(docs.filter(F.col("doc_id") % 4 == 0), w)
+    model = pred.select(
+        F.lit("ngram_model").alias("variant"),
+        "doc_id",
+        F.col("lang").alias("labeled"),
+        F.col("detected_lang").alias("detected"),
+    )
+    return sig.unionByName(model)
+
+
+_ORACLE_LANGID_NGRAM = rf"""
+WITH d AS (
+  SELECT doc_id, lang, lower(coalesce(text, '')) AS t
+  FROM '{_FIXTURES / "lang_docs_600.parquet"}'),
+g AS (
+  SELECT doc_id, lang,
+         CAST({_oracle_mix_ticket("substr(t, CAST(p AS INT), n)", "langid")}
+              AS BIGINT) % 65536 AS b
+  FROM d
+  CROSS JOIN (SELECT unnest([3, 4, 5]) AS n) ns
+  CROSS JOIN unnest(range(1, length(t) - n + 2)) AS u(p)),
+cnt AS (
+  SELECT b, lang, count(*) AS c FROM g WHERE doc_id % 4 != 0 GROUP BY b, lang),
+tot AS (SELECT b, sum(c) AS tot FROM cnt GROUP BY b),
+langs AS (SELECT DISTINCT lang FROM d),
+nl AS (SELECT count(*) AS L FROM langs),
+w AS (
+  SELECT tot.b, langs.lang,
+         CAST(round(ln((coalesce(cnt.c, 0) + 1.0) / (tot.tot + 1.0 * nl.L)), 9)
+              AS DECIMAL(18,9)) AS w
+  FROM tot CROSS JOIN langs CROSS JOIN nl
+  LEFT JOIN cnt ON cnt.b = tot.b AND cnt.lang = langs.lang),
+sc AS (
+  SELECT g.doc_id, w.lang, sum(w.w) AS s
+  FROM g JOIN w ON w.b = g.b WHERE g.doc_id % 4 = 0 GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(s) AS m FROM sc GROUP BY 1),
+pred AS (
+  SELECT sc.doc_id, min(sc.lang) AS detected
+  FROM sc JOIN mx ON mx.doc_id = sc.doc_id AND sc.s = mx.m GROUP BY 1)
+SELECT d.doc_id, d.lang AS labeled, coalesce(p.detected, 'und') AS detected
+FROM d LEFT JOIN pred p ON p.doc_id = d.doc_id
+WHERE d.doc_id % 4 = 0
+"""
+
+ORACLE_LANGID_SUITE = f"""
+SELECT 'signal' AS variant, t.* FROM ({ORACLE_LANGID_LABELED}) t
+UNION ALL
+SELECT 'ngram_model' AS variant, t.* FROM ({_ORACLE_LANGID_NGRAM}) t
+"""
 
 
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5167,7 +5405,7 @@ QUERIES = {
     "fingerprints": q_fingerprint_suite,
     "text_metrics": q_text_metrics,
     "model_quality": q_model_quality_suite,
-    "langid": q_langid_labeled,
+    "langid": q_langid_suite,
     "ann_topk": q_ann_suite,
     "embedding_neardup": q_embedding_neardup_suite,
     "neardup_pairs": q_neardup_pairs_suite,
@@ -5220,7 +5458,7 @@ ORACLES = {
     "fingerprints": ORACLE_FINGERPRINT_SUITE,
     "text_metrics": ORACLE_TEXT_METRICS,
     "model_quality": ORACLE_MODEL_QUALITY_SUITE,
-    "langid": ORACLE_LANGID_LABELED,
+    "langid": ORACLE_LANGID_SUITE,
     "ann_topk": ORACLE_ANN_SUITE,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP_SUITE,
     "neardup_pairs": ORACLE_NEARDUP_PAIRS_SUITE,

@@ -182,3 +182,78 @@ def quality_corpus(
         F.transform(idx, lambda j: F.when(label == 1, good_word(j)).otherwise(bad_word(j))),
     )
     return df.select(i.alias("doc_id"), text.alias("text"), label.alias("label"))
+
+
+# --- multilingual corpus for the trainable language identifier ----------
+
+LANGID_LANGS = ("de", "el", "en", "ru", "zh")
+# per-language alphabets (already lowercase, so `lower()` is an identity
+# on both engines — no locale-sensitive case mapping in the gate):
+# two Latin-script languages with overlapping letters (separation must
+# come from the learned gram distribution, not the script), plus
+# Cyrillic, Greek, and CJK for non-Latin coverage
+_LANG_ALPHA = {
+    "en": "etaoinshrdlc",
+    "de": "ensiratdhulg",
+    "ru": "оеаинтсрвлкм",
+    "el": "αοιετσνηρκπμ",
+    "zh": "的一是不了人我在有他这中大来上",
+}
+LANGID_VOCAB = 50
+LANGID_DOC_WORDS = 30
+
+
+def lang_corpus(
+    spark: SparkSession, n_rows: int, n_partitions: int | None = None
+) -> DataFrame:
+    """Labeled multilingual corpus for the hashed char-n-gram language
+    identifier (operators/textstats.py:langid_train/langid_predict).
+    ``lang = LANGID_LANGS[id % 5]``; each language has a FIXED 50-word
+    pseudo-vocabulary whose words (3-5 chars) are hash-drawn from its own
+    alphabet, so each language concentrates on a stable, language-specific
+    set of character n-grams — exactly the signal a fastText-style
+    classifier learns. Pure Column expressions (scales like the other
+    generators); committed snapshot: fixtures/lang_docs_600.parquet.
+    Output: ``doc_id, lang, text``."""
+    df = spark.range(0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    lang = F.element_at(
+        F.array(*[F.lit(l) for l in LANGID_LANGS]), ((i % 5) + 1).cast("int")
+    )
+
+    def lang_text(code: str) -> F.Column:
+        alpha = _LANG_ALPHA[code]
+        arr = F.array(*[F.lit(c) for c in alpha])
+
+        def word(w: F.Column) -> F.Column:
+            # vocabulary index: which of the language's 50 words sits at
+            # slot w of doc i (depends on the doc, not the language)
+            v = F.abs(F.xxhash64(i, w, F.lit(SEED + 7))) % LANGID_VOCAB
+            nw = (F.abs(F.xxhash64(F.lit(code), v, F.lit(SEED + 11))) % 3) + 3
+            chars = F.transform(
+                F.sequence(F.lit(0), F.lit(4)),
+                lambda j: F.when(
+                    j < nw,
+                    F.element_at(
+                        arr,
+                        (
+                            (
+                                F.abs(
+                                    F.xxhash64(F.lit(code), v, j, F.lit(SEED + 12))
+                                )
+                                % len(alpha)
+                            )
+                            + 1
+                        ).cast("int"),
+                    ),
+                ).otherwise(F.lit("")),
+            )
+            return F.array_join(chars, "")
+
+        idx = F.sequence(F.lit(0), F.lit(LANGID_DOC_WORDS - 1))
+        return F.concat_ws(" ", F.transform(idx, word))
+
+    text = F.lit(None).cast("string")
+    for code in LANGID_LANGS:
+        text = F.when(lang == code, lang_text(code)).otherwise(text)
+    return df.select(i.alias("doc_id"), lang.alias("lang"), text.alias("text"))
