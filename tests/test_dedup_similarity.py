@@ -1077,3 +1077,47 @@ def test_signature_store_contracts(spark, tmp_path):
     )
     # identical text → identical signature → agreement 1.0 → dropped
     assert got.count() == 0
+
+
+def test_signature_store_compact(spark, tmp_path):
+    """compact() rewrites the generation chain as ONE generation whose
+    contents behave identically: a third slice dedups to the same
+    survivors against the compacted store as against the chain."""
+    from validate_xml_rust_spark.operators.dedup import (
+        SignatureStore,
+        incremental_near_dedup,
+    )
+    from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+    docs = synthetic_documents(spark, 300, n_partitions=4)
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+
+    chain = SignatureStore(spark, str(tmp_path / "chain"))
+    incremental_near_dedup(a, chain, threshold=0.6)
+    incremental_near_dedup(b, chain, threshold=0.6)
+    want = {
+        r["doc_id"]
+        for r in incremental_near_dedup(
+            c, chain, threshold=0.6, commit=False
+        ).collect()
+    }
+
+    packed = SignatureStore(spark, str(tmp_path / "packed"))
+    incremental_near_dedup(a, packed, threshold=0.6)
+    incremental_near_dedup(b, packed, threshold=0.6)
+    n_before = sum(n for _, _, n in packed.generations())
+    gen = packed.compact()
+    gens = packed.generations()
+    assert [g for g, _, _ in gens] == [gen]          # one catalog row
+    assert gens[0][2] == n_before                     # nothing lost
+    got = {
+        r["doc_id"]
+        for r in incremental_near_dedup(
+            c, packed, threshold=0.6, commit=False
+        ).collect()
+    }
+    assert got == want
+    # compacting a single-generation store is a no-op
+    assert packed.compact() == gen

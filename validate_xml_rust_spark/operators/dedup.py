@@ -768,15 +768,10 @@ class SignatureStore:
             return None
         return self.spark.read.parquet(*[f"{p}/sketch" for _, p, _ in gens])
 
-    def commit(self, sketch: DataFrame) -> int:
-        """Append ``sketch`` — ``(doc_id, sig array<long>, shingles
-        array<long>)`` — as the next generation: write the sketch, derive
-        the banded join-layout rows FROM THE WRITTEN PARQUET (one cheap
-        re-read of id+sig — never recompute the signatures), record the
-        catalog row. Older generations remain for audit/rollback (the
-        reference's cache generations, src/cache.rs:139-316)."""
-        gens = self.generations()
-        gen = (gens[-1][0] if gens else 0) + 1
+    def _write_generation(self, sketch: DataFrame, gen: int) -> int:
+        """Write one generation dir (sketch + banded layout derived FROM
+        THE WRITTEN PARQUET — one cheap re-read of id+sig, never a
+        signature recompute) and return its row count."""
         path = f"{self.root}/gen-{gen}"
         cols = ["doc_id", "sig"] + (["shingles"] if self.store_shingles else [])
         sketch.select(*cols).write.mode("overwrite").parquet(f"{path}/sketch")
@@ -793,14 +788,53 @@ class SignatureStore:
             .write.mode("overwrite")
             .parquet(f"{path}/bands")
         )
-        n = written.count()
-        self.spark.createDataFrame(
-            [(gen, path, n, self.num_perm, self.bands, self.shingle_k)],
+        return written.count()
+
+    def _catalog_row(self, gen: int, n: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(gen, f"{self.root}/gen-{gen}", n,
+              self.num_perm, self.bands, self.shingle_k)],
             "generation long, path string, n_docs long, "
             "num_perm int, bands int, shingle_k int",
-        ).withColumn("committed_at", F.current_timestamp()).write.mode(
-            "append"
-        ).parquet(f"{self.root}/catalog")
+        ).withColumn("committed_at", F.current_timestamp())
+
+    def commit(self, sketch: DataFrame) -> int:
+        """Append ``sketch`` — ``(doc_id, sig array<long>, shingles
+        array<long>)`` — as the next generation. Older generations remain
+        for audit/rollback (the reference's cache generations,
+        src/cache.rs:139-316)."""
+        gens = self.generations()
+        gen = (gens[-1][0] if gens else 0) + 1
+        n = self._write_generation(sketch, gen)
+        self._catalog_row(gen, n).write.mode("append").parquet(
+            f"{self.root}/catalog"
+        )
+        return gen
+
+    def compact(self) -> int:
+        """Rewrite all committed generations as ONE (the reference's
+        cache-cleanup analog, src/cache.rs:422-448): the union sketch is
+        written as generation max+1 and the catalog is REPLACED with that
+        single row, so reads stop unioning a long generation chain.
+        Old generation dirs stay on disk unreferenced (audit/rollback —
+        the DirectorySnapshotSource policy). Duplicate doc_ids across
+        generations collapse to one row (identical content → identical
+        sketch; a RE-SUBMITTED id with different content is ambiguous —
+        dedupe upstream). No-op (returns the head generation) on stores
+        with ≤1 generation."""
+        gens = self.generations()
+        if len(gens) <= 1:
+            return gens[-1][0] if gens else 0
+        from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+
+        union = self.sketch_frame().dropDuplicates(["doc_id"])
+        gen = gens[-1][0] + 1
+        n = self._write_generation(union, gen)
+        # the catalog overwrite must not read the catalog it replaces:
+        # the row is materialized first (one tiny checkpoint)
+        row, ids = eager_checkpoint(self._catalog_row(gen, n))
+        row.write.mode("overwrite").parquet(f"{self.root}/catalog")
+        release_blocks(self.spark.sparkContext, ids)
         return gen
 
 
