@@ -101,13 +101,17 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
 
     # JIT warmup: C2 compilation of the generated validation code dominates
     # a cold first run (measured 27s cold vs 5s steady at 32 threads), and
-    # tiered compilation keeps improving for several executions past the
-    # first (measured 0.87-1.15s spread across consecutive full-size reps
-    # after ONE warmup) — two full-size passes (fresh plans, so no shuffle
-    # reuse) pin the code cache at steady state so the measurement reflects
-    # what a long cluster job sees, not the JIT tier the round happened to
-    # land on.
-    for _ in range(2):
+    # tiered compilation keeps improving for SEVERAL executions past the
+    # first. Two warmups were not enough: with 2 warmups + 3 reps the rep
+    # spread was 1.16/1.73/2.22s, while an immediately following identical
+    # 5-execution block measured 1.10/1.14/1.32s — i.e. executions 6-10
+    # are steady, 3-5 are still compiling. FIVE full-size warmup passes
+    # (fresh plans, so no shuffle reuse) put the measured reps in the
+    # steady band, so the median reflects what a long cluster job sees,
+    # not the JIT tier the round happened to land on — and the residual
+    # flagship_reps spread becomes readable as ambient noise (max/min
+    # ≤ ~1.3 on an idle box).
+    for _ in range(5):
         warm = with_partition_id(pages(spark, n_docs, n_partitions), 64)
         validate(warm, spark, registry).verdicts.groupBy("status").count().collect()
 
@@ -363,6 +367,40 @@ def main() -> None:
     timings["c4_rules_pages"] = _time(
         lambda: _force(c4_rules(pg, min_lines=2))
     )
+
+    # trainable char-n-gram langid at volume: train on a 50k slice (one
+    # gram explode + (bucket, lang) count shuffle, weights ≤ 65536·L
+    # rows), score 200k docs through ONE BroadcastHashJoin + the
+    # two-step argmax — the per-language routing model (CCNet terciles,
+    # vocab drift) scored at corpus rates
+    from validate_xml_rust_spark.operators.textstats import (
+        langid_predict,
+        langid_train,
+    )
+    from validate_xml_rust_spark.sources.corpus import lang_corpus
+
+    # corpus written to parquet FIRST (the semdedup-entry rule): the
+    # multilingual generator is nested-HOF expressions whose interpreted
+    # evaluation would dominate the timing (~3 corpus scans per run);
+    # the operator's cost is the gram explode + count shuffle + the
+    # broadcast-weights scoring join, and that is what gets timed
+    import tempfile
+
+    _lc_dir = tempfile.mkdtemp(prefix="bench_langid_") + "/docs"
+    lang_corpus(spark, 200_000, cpus * 2).write.mode("overwrite").parquet(
+        _lc_dir
+    )
+    _lc = spark.read.parquet(_lc_dir)
+
+    def _run_langid() -> None:
+        w = langid_train(_lc.filter(F.col("doc_id") < 50_000))
+        _force(
+            langid_predict(_lc, w).groupBy("lang", "detected_lang").count()
+        )
+
+    _run_langid()  # warmup (md5/codegen paths)
+    _sweep()
+    timings["langid_train_score_200k"] = _time(_run_langid)
 
     # training-shard sink arithmetic at pages scale: deterministic
     # md5-ticket assignment (narrow) + the manifest aggregation on the
