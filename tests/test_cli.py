@@ -554,3 +554,51 @@ def test_cli_shards_fresh_manifest_composes(tmp_path, capsys):
     assert main(args) == 1
     assert "RESUMED" in capsys.readouterr().err
     assert spark.read.parquet(f"{shards}/shards").count() == n0
+
+
+def test_cli_policy_filters(spark, tmp_path, capsys):
+    """--blocked-domains / --robots-domains / --license-allow filter the
+    input BEFORE validation; a missing list file is a config error (1)."""
+    from validate_xml_rust_spark.cli import main
+
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# comment\nhot.example.com\n\n")
+    rc = main(["synth:2000", "--blocked-domains", str(bl)])
+    assert rc in (0, 2, 3)  # verdict-driven, not config error
+    out = capsys.readouterr().out
+    # the hot host is ~40% of urls: the validated total printed by the
+    # summary must be well below 2000 (the blocklist ran BEFORE
+    # validation, not after)
+    import re
+
+    m = re.search(r"Total:\s*(\d+)", out)
+    assert m is not None, out
+    assert int(m.group(1)) < 1500, out
+
+    rc = main(["synth:50", "-q", "--blocked-domains", str(tmp_path / "nope.txt")])
+    assert rc == 1
+
+    rb = tmp_path / "robots.txt"
+    rb.write_text("static.example.org\n")
+    assert main(
+        ["synth:500", "-q", "--blocked-domains", str(bl),
+         "--robots-domains", str(rb)]
+    ) in (0, 2, 3)
+
+    # license gate over synthetic pages: no CC license markers exist in
+    # the synthetic html, so everything drops -> empty-input exit path
+    rc = main(["synth:200", "-q", "--license-allow", "cc-by-4.0"])
+    assert rc in (0, 1, 2, 3)
+
+
+def test_cli_redact_pii(tmp_path, capsys):
+    """--redact-pii rewrites bytes but keeps every row (the summary
+    Total is unchanged); it is a config error without a text column."""
+    import re
+
+    from validate_xml_rust_spark.cli import main
+
+    rc = main(["synth:300", "--redact-pii"])
+    assert rc in (0, 2, 3)
+    m = re.search(r"Total:\s*(\d+)", capsys.readouterr().out)
+    assert m is not None and int(m.group(1)) == 300

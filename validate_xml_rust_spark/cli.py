@@ -92,6 +92,34 @@ def build_parser() -> argparse.ArgumentParser:
              "workflow over shards as the files",
     )
     p.add_argument(
+        "--blocked-domains",
+        help="UT1-style domain blocklist file (one registered domain per "
+             "line, # comments): drop rows whose url host equals or is a "
+             "subdomain of any entry, BEFORE validation (the C4/"
+             "RefinedWeb blocked-domain step)",
+    )
+    p.add_argument(
+        "--robots-domains",
+        help="robots-disallow registry file (same format): drop "
+             "robots-excluded hosts before validation; composes with "
+             "--blocked-domains (exclude wins, like --exclude globs)",
+    )
+    p.add_argument(
+        "--license-allow",
+        help="comma-separated CC license ids (e.g. cc-by-4.0,cc0-1.0): "
+             "keep only pages whose html carries one of them "
+             "(rel=license / creativecommons.org URL detection; html "
+             "decoded only where valid UTF-8)",
+    )
+    p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="rewrite the text column with PII class tokens "
+             "(|||EMAIL_ADDRESS||| / |||IP_ADDRESS||| / "
+             "|||PHONE_NUMBER|||, the Dolma convention) before "
+             "validation — rows are kept, bytes change",
+    )
+    p.add_argument(
         "--datasheet",
         help="write the corpus datasheet (composition summary parquet: "
              "corpus/lang/host sections + length percentiles) of the "
@@ -264,6 +292,73 @@ def main(argv: list[str] | None = None) -> int:
         from validate_xml_rust_spark.sources.scan import extension_filter
 
         df = extension_filter(df, args.extension)
+
+    def _domain_file(path: str):
+        try:
+            lines = Path(path).read_text().splitlines()
+        except OSError as e:
+            print(f"Cannot read domain list: {e}", file=sys.stderr)
+            return None
+        domains = [
+            ln.strip() for ln in lines
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+        return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+    # crawl-side policy BEFORE validation (the cheapest filters first —
+    # same position pipeline.curate gives them)
+    if args.blocked_domains:
+        from validate_xml_rust_spark.functions.urlnorm import (
+            domain_blocklist_filter,
+        )
+
+        bl = _domain_file(args.blocked_domains)
+        if bl is None:
+            return 1
+        df = domain_blocklist_filter(df, bl, url_col="url")
+    if args.robots_domains:
+        from validate_xml_rust_spark.functions.urlnorm import (
+            robots_exclusion_filter,
+        )
+
+        rb = _domain_file(args.robots_domains)
+        if rb is None:
+            return 1
+        df = robots_exclusion_filter(df, rb, url_col="url")
+    if args.license_allow:
+        if "html" not in df.columns:
+            print("--license-allow needs an html column", file=sys.stderr)
+            return 1
+        from validate_xml_rust_spark.operators.textstats import (
+            LICENSE_COLUMNS,
+            license_signals,
+        )
+
+        allow = tuple(
+            t.strip() for t in args.license_allow.split(",") if t.strip()
+        )
+        # binary html: decode ONLY where valid UTF-8 (Spark 4 decode
+        # THROWS on malformed bytes — the repo rule); undecodable pages
+        # carry no detectable license and are dropped by the allow gate
+        lic_src = df.withColumn(
+            "__lic_html",
+            F.expr(
+                "CASE WHEN html IS NOT NULL AND is_valid_utf8(html) "
+                "THEN decode(html, 'UTF-8') END"
+            ) if dict(df.dtypes).get("html") == "binary" else F.col("html"),
+        )
+        df = (
+            license_signals(lic_src, "__lic_html", allow=allow)
+            .filter(F.col("license_ok"))
+            .drop(*LICENSE_COLUMNS, "__lic_html")
+        )
+    if args.redact_pii:
+        if "text" not in df.columns:
+            print("--redact-pii needs a text column", file=sys.stderr)
+            return 1
+        from validate_xml_rust_spark.functions.pii import redact_pii
+
+        df = redact_pii(df, "text")
     df = with_partition_id(df, args.partitions)
 
     # --- resume: restrict to partitions not yet in the manifest (S9/J2).

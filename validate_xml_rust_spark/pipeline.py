@@ -181,6 +181,7 @@ def curate(
     robots_domains: DataFrame | None = None,
     license_allow: tuple[str, ...] | None = None,
     license_col: str = "html",
+    pii_redact: bool = False,
 ) -> CurationResult:
     """Run the configured curation steps in order; every step logs
     (rows_in, rows_out) into ``result.report['steps']``. One pass per
@@ -584,6 +585,17 @@ def curate(
             .drop("dsir_score")
             .unionByName(ds_pass.select(*ds_scorable.columns)),
         )
+
+    if pii_redact:
+        # PII redaction on the SURVIVORS only (the Dolma position: scrub
+        # after filtering so dropped docs never pay the regex pass) and
+        # BEFORE mixture replication, so each document's text is
+        # redacted exactly once however many epochs copy it. Pure
+        # codegen projection — the step checkpoint materializes the
+        # redacted bytes; rows_in == rows_out by construction.
+        from validate_xml_rust_spark.functions.pii import redact_pii
+
+        cur = log("pii_redact", redact_pii(cur, text_col))
 
     if mixture is not None:
         # weighted mixture composition LAST (the training-mix assembly
