@@ -368,6 +368,21 @@ def main() -> None:
         lambda: _force(c4_rules(pg, min_lines=2))
     )
 
+    # PII redaction at pages scale: three java.util.regex count probes
+    # + the chained three-pattern replace (curation.redact_pii, the
+    # q:redact_pii-gated operator), all codegen — the regex scans are
+    # the cost, so this entry tracks the per-byte price on 1M pages
+    from validate_xml_rust_spark.operators.curation import redact_pii
+
+    timings["pii_redact_pages"] = _time(
+        lambda: _force(
+            redact_pii(pg.select("url", "text"), "text").select(
+                F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("t"),
+                F.sum(F.length("redacted")).alias("b"),
+            )
+        )
+    )
+
     # trainable char-n-gram langid at volume: train on a 50k slice (one
     # gram explode + (bucket, lang) count shuffle, weights ≤ 65536·L
     # rows), score 200k docs through ONE BroadcastHashJoin + the
@@ -600,26 +615,60 @@ def main() -> None:
     _sweep()
     timings["excise_passages_100k"] = _time(_run_excise)
 
-    # Published-recipe curation presets over the same 100k corpus — one
-    # entry per preset so recipe-level regressions are tracked
-    # round-over-round (curate_100k times a generic chain; these are the
-    # chains users actually run). Placed after the excise/minhash warmups
-    # so every Arrow path a preset dispatches to is already at steady
-    # state. ccnet needs a lang column and an LM reference frame; a
-    # bounded in-corpus sample stands in for the external target corpus.
+    # Published-recipe curation presets — one entry per preset so
+    # recipe-level regressions are tracked round-over-round
+    # (curate_100k times a generic chain; these are the chains users
+    # actually run). Placed after the excise/minhash warmups so every
+    # Arrow path a preset dispatches to is already at steady state.
+    #
+    # NOT over the raw synthetic corpus: that is single-line
+    # stopword-free word soup, which the published packs are DESIGNED
+    # to annihilate (no terminal punctuation → C4 keeps 0 lines; no
+    # stopword hits → Gopher drops every doc) — a preset bench over it
+    # times steps over doomed rows and ends at kept=0. Re-shape each
+    # doc into 5 punctuated, stopword-bearing lines (~70 words) so the
+    # packs keep a realistic fraction and every per-row cost is real;
+    # the planted exact/near duplicates survive the reshaping (same
+    # transform of the same text), so the dedup steps stay exercised.
+    # Parquet-materialized first (the semdedup-entry rule).
     from validate_xml_rust_spark.pipeline import preset_kwargs
 
-    _ccnet_ref = corpus.filter(F.col("doc_id") < 512).select("text")
-    _corpus_l = corpus.withColumn(
+    # distinct per-line templates: identical cross-line filler would
+    # itself be Gopher-failing boilerplate (repeated 4/5-grams cover
+    # >16% of chars) — vary the stopword filler so only genuinely
+    # repetitive docs fail the published thresholds
+    _LINE_TEMPLATES = (
+        ("It was the part ", " and so it goes on."),
+        ("Then we see some ", " which is read now."),
+        ("Here are more of ", " that came before this."),
+        ("Not all of those ", " will be kept today."),
+        ("In the end there is ", " and that is all."),
+    )
+
+    def _preset_line(i: int):
+        pre, post = _LINE_TEMPLATES[i]
+        return F.concat(
+            F.lit(pre), F.substring(F.col("text"), 1 + 60 * i, 55), F.lit(post)
+        )
+
+    _pc_dir = tempfile.mkdtemp(prefix="bench_presets_") + "/docs"
+    corpus.select(
+        "doc_id",
+        F.concat_ws("\n", *[_preset_line(i) for i in range(5)]).alias("text"),
+    ).write.mode("overwrite").parquet(_pc_dir)
+    _pcorpus = spark.read.parquet(_pc_dir)
+
+    _ccnet_ref = _pcorpus.filter(F.col("doc_id") < 512).select("text")
+    _corpus_l = _pcorpus.withColumn(
         "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
     )
-    for _preset in ("c4", "gopher", "ccnet", "web"):
+    for _preset in ("c4", "gopher", "ccnet", "web", "dolma"):
         _kw = (
             preset_kwargs(_preset, lm_ref=_ccnet_ref)
             if _preset == "ccnet"
             else preset_kwargs(_preset)
         )
-        _frame = _corpus_l if _preset == "ccnet" else corpus
+        _frame = _corpus_l if _preset == "ccnet" else _pcorpus
 
         def _run_preset(frame=_frame, kw=_kw) -> None:
             res = curate(frame, spark, **kw)

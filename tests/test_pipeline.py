@@ -557,7 +557,8 @@ def test_curate_presets(spark):
     res = curate(docs, spark, **preset_kwargs("gopher"))
     g_steps = [s["step"] for s in res.report["steps"]]
     assert g_steps == [
-        "exact_dedup", "near_dedup", "repetition_filter", "gopher_filter",
+        "exact_dedup", "near_dedup", "gopher_repetition_filter",
+        "gopher_filter",
     ]
     res.release()
 
@@ -571,7 +572,8 @@ def test_curate_presets(spark):
     assert kw["near_dup_threshold"] is None
     res = curate(docs, spark, **kw)
     assert [s["step"] for s in res.report["steps"]] == [
-        "exact_dedup", "repetition_filter", "gopher_filter", "sample",
+        "exact_dedup", "gopher_repetition_filter", "gopher_filter",
+        "sample",
     ]
     res.release()
 
@@ -595,7 +597,16 @@ def test_curate_presets(spark):
     res = curate(docs, spark, **preset_kwargs("web"))
     assert [s["step"] for s in res.report["steps"]] == [
         "normalize", "dedup_doc_lines", "exact_dedup", "near_dedup",
-        "c4_clean", "repetition_filter", "gopher_filter",
+        "c4_clean", "gopher_repetition_filter", "gopher_filter",
+    ]
+    res.release()
+
+    # dolma = web's dedup/quality chain + PII masking on survivors
+    res = curate(docs, spark, **preset_kwargs("dolma"))
+    assert [s["step"] for s in res.report["steps"]] == [
+        "normalize", "dedup_doc_lines", "exact_dedup", "near_dedup",
+        "c4_clean", "gopher_repetition_filter", "gopher_filter",
+        "pii_redact",
     ]
     res.release()
 

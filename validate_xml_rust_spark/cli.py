@@ -114,10 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--redact-pii",
         action="store_true",
-        help="rewrite the text column with PII class tokens "
-             "(|||EMAIL_ADDRESS||| / |||IP_ADDRESS||| / "
-             "|||PHONE_NUMBER|||, the Dolma convention) before "
-             "validation — rows are kept, bytes change",
+        help="rewrite the text column with PII class tokens (<EMAIL> / "
+             "<IP> / <PHONE>, curation.redact_pii) before validation — "
+             "rows are kept, bytes change",
     )
     p.add_argument(
         "--datasheet",
@@ -356,9 +355,11 @@ def main(argv: list[str] | None = None) -> int:
         if "text" not in df.columns:
             print("--redact-pii needs a text column", file=sys.stderr)
             return 1
-        from validate_xml_rust_spark.functions.pii import redact_pii
+        from validate_xml_rust_spark.operators.curation import redact_pii
 
-        df = redact_pii(df, "text")
+        df = redact_pii(df, "text", out_col="text").drop(
+            "n_email", "n_ip", "n_phone"
+        )
     df = with_partition_id(df, args.partitions)
 
     # --- resume: restrict to partitions not yet in the manifest (S9/J2).

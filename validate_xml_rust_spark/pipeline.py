@@ -59,7 +59,9 @@ class CurationResult:
 # The values are the published ones: C4's ≥3-line page gate (Raffel et
 # al. 2020 §2.2) with span-level dedup realized as ≥50-token passage
 # excision (Lee et al. 2021's recommended run length); Gopher's 50-word
-# floor, 0.2 repetition flag, and MassiveText's 0.8-Jaccard MinHash
+# floor, its PUBLISHED repetition thresholds (Table A1 n-gram/dup-line
+# char fractions — not the blunt duplicated-unigram flag, which real
+# prose fails), and MassiveText's 0.8-Jaccard MinHash
 # dedup (Rae et al. 2021 A1.1); CCNet's keep-head+middle perplexity
 # terciles per language group (Wenzek et al. 2019 §4); "web" composes
 # the C4 line cleaning, Gopher heuristics, and MinHash dedup the way the
@@ -74,7 +76,7 @@ CURATE_PRESETS: dict[str, dict] = {
     "gopher": {
         "near_dup_threshold": 0.8,
         "gopher_min_words": 50,
-        "max_repetition": 0.2,
+        "gopher_repetition": True,
     },
     "ccnet": {
         "normalize_form": "NFC",
@@ -88,7 +90,19 @@ CURATE_PRESETS: dict[str, dict] = {
         "near_dup_threshold": 0.8,
         "c4_min_lines": 3,
         "gopher_min_words": 50,
-        "max_repetition": 0.2,
+        "gopher_repetition": True,
+    },
+    # the Dolma toolkit's published chain (Soldaini et al. 2024):
+    # dedup → Gopher/C4 quality heuristics → PII masking; masking runs
+    # on survivors only (curate's pii_redact position)
+    "dolma": {
+        "normalize_form": "NFC",
+        "dedup_doc_lines": True,
+        "near_dup_threshold": 0.8,
+        "c4_min_lines": 3,
+        "gopher_min_words": 50,
+        "gopher_repetition": True,
+        "pii_redact": True,
     },
 }
 
@@ -162,6 +176,7 @@ def curate(
     excise_min_run: int | None = None,
     c4_min_lines: int | None = None,
     max_repetition: float | None = None,
+    gopher_repetition: bool = False,
     gopher_min_words: int | None = None,
     lm_ref: DataFrame | None = None,
     max_log_ppl: float | None = None,
@@ -467,6 +482,29 @@ def curate(
             rep.filter(~F.col("repetitive")).drop(*REPETITION_COLUMNS),
         )
 
+    if gopher_repetition:
+        # Gopher's PUBLISHED repetition thresholds (Rae et al. 2021
+        # Table A1: most-common-{2,3,4}-gram char fractions, duplicate-
+        # {5,10}-gram char fractions, duplicate line/paragraph counts
+        # and char fractions) — NOT the blunt duplicated-unigram flag
+        # above. Real prose repeats function words constantly
+        # (unigram_rep ≈ 0.4-0.5 on ordinary English), so a 0.2 unigram
+        # cut annihilates real text; Gopher's rules are calibrated to
+        # pass it. The gopher/web presets use THIS knob; max_repetition
+        # stays available as the aggressive spam/boilerplate cut.
+        from validate_xml_rust_spark.operators.textstats import (
+            REPETITION_COLUMNS,
+            repetition_stats,
+        )
+
+        rep = repetition_stats(cur, text_col)
+        cur = log(
+            "gopher_repetition_filter",
+            rep.filter(
+                F.col("rep_ngram_pass") & F.col("rep_dup_pass")
+            ).drop(*REPETITION_COLUMNS),
+        )
+
     if gopher_min_words is not None:
         # Gopher rule-pack quality filter (Rae et al. 2021 A1.1): pure
         # codegen'd Column predicates, so the step is a zero-shuffle
@@ -591,11 +629,18 @@ def curate(
         # after filtering so dropped docs never pay the regex pass) and
         # BEFORE mixture replication, so each document's text is
         # redacted exactly once however many epochs copy it. Pure
-        # codegen projection — the step checkpoint materializes the
-        # redacted bytes; rows_in == rows_out by construction.
-        from validate_xml_rust_spark.functions.pii import redact_pii
+        # codegen projection (the GATED operator, q:redact_pii) — the
+        # step checkpoint materializes the redacted bytes; the per-kind
+        # audit counts are a report concern, not pipeline schema, so
+        # they are dropped here; rows_in == rows_out by construction.
+        from validate_xml_rust_spark.operators.curation import redact_pii
 
-        cur = log("pii_redact", redact_pii(cur, text_col))
+        cur = log(
+            "pii_redact",
+            redact_pii(cur, text_col, out_col=text_col).drop(
+                "n_email", "n_ip", "n_phone"
+            ),
+        )
 
     if mixture is not None:
         # weighted mixture composition LAST (the training-mix assembly

@@ -21,9 +21,6 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from validate_xml_rust_spark.functions.pii import EMAIL_RE as PII_EMAIL_RE
-from validate_xml_rust_spark.functions.pii import IPV4_RE as PII_IPV4_RE
-from validate_xml_rust_spark.functions.pii import PHONE_RE as PII_PHONE_RE
 from validate_xml_rust_spark.operators.referential import referential_violations
 from validate_xml_rust_spark.operators.summary import summarize
 from validate_xml_rust_spark.operators.uniqueness import duplicate_keys
@@ -3170,105 +3167,26 @@ GROUP BY doc_id
 """
 
 
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII signal + redaction pack (functions/pii.py, the Dolma/ROOTS
-    recipe): every doc_id % 5 != 0 document gets a footer planted with a
-    doc_id-derived email, phone, and IPv4; the pack counts each class on
-    the raw text (``n_emails``/``n_ipv4``/``n_phones``) and rewrites the
-    text with the class tokens. The oracle re-plants the identical
-    footer and restates the VERBATIM pattern strings under RE2 (the
-    patterns are written in the Java∩RE2 common subset — no lookaround,
-    no ``\\b``) with ``regexp_extract_all`` counts and ``'g'``-flag
-    replaces, so clean_text must match byte-for-byte."""
-    from validate_xml_rust_spark.functions.pii import pii_signals, redact_pii
-
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    footer = F.concat(
-        F.lit("\nContact user"), did.cast("string"),
-        F.lit("@mail"), F.pmod(did, 7).cast("string"),
-        F.lit(".example.com or (55"), F.pmod(did, 10).cast("string"),
-        F.lit(") 0"), F.lpad(F.pmod(did, 100).cast("string"), 2, "0"),
-        F.lit("-"), F.lpad(F.pmod(did, 10000).cast("string"), 4, "0"),
-        F.lit(" from 10."), F.pmod(did, 256).cast("string"),
-        F.lit("."), F.pmod(F.expr("doc_id DIV 7"), 256).cast("string"),
-        F.lit("."), F.pmod(did, 200).cast("string"),
-    )
-    t = F.concat(
-        F.coalesce(F.col("text"), F.lit("")),
-        F.when(did % 5 != 0, footer).otherwise(F.lit("")),
-    )
-    d = docs.select("doc_id", t.alias("text"))
-    return redact_pii(pii_signals(d, "text"), "text").select(
-        "doc_id", F.col("text").alias("clean_text"),
-        "n_emails", "n_ipv4", "n_phones",
-    )
-
-
-ORACLE_PII_REDACT = f"""
-WITH d AS (
-  SELECT doc_id,
-         coalesce(text, '') ||
-         CASE WHEN doc_id % 5 != 0 THEN
-           chr(10) || 'Contact user' || CAST(doc_id AS VARCHAR) ||
-           '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
-           '.example.com or (55' || CAST(doc_id % 10 AS VARCHAR) ||
-           ') 0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
-           '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-           ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
-           '.' || CAST((doc_id // 7) % 256 AS VARCHAR) ||
-           '.' || CAST(doc_id % 200 AS VARCHAR)
-         ELSE '' END AS t
-  FROM documents)
-SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(t,
-           '{PII_EMAIL_RE}', '|||EMAIL_ADDRESS|||', 'g'),
-           '{PII_IPV4_RE}', '|||IP_ADDRESS|||', 'g'),
-           '{PII_PHONE_RE}', '|||PHONE_NUMBER|||', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
-       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
-FROM d
-"""
-
-
 def q_strip_boilerplate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-rewrite operators, one gate: corpus-level boilerplate
-    voting, the page-local within-document line rule, and PII
-    redaction with per-class counts (the two line-dedup variants carry
-    NULL counts)."""
-    pad = [
-        F.lit(None).cast("long").alias(c)
-        for c in ("n_emails", "n_ipv4", "n_phones")
-    ]
-    a = q_strip_boilerplate(spark, sf_dir).select(
-        "doc_id", "clean_text", *pad
-    ).withColumn("variant", F.lit("corpus"))
-    b = q_dedup_lines_within(spark, sf_dir).select(
-        "doc_id", "clean_text", *pad
-    ).withColumn("variant", F.lit("within_doc"))
-    c = q_pii_redact(spark, sf_dir).withColumn(
-        "variant", F.lit("pii_redact")
+    """Both line-dedup granularities, one gate: corpus-level boilerplate
+    voting and the page-local within-document rule. (PII redaction has
+    its own registry gate, q:redact_pii — curation.redact_pii.)"""
+    a = q_strip_boilerplate(spark, sf_dir).withColumn(
+        "variant", F.lit("corpus")
     )
-    return a.unionByName(b).unionByName(c)
+    b = q_dedup_lines_within(spark, sf_dir).withColumn(
+        "variant", F.lit("within_doc")
+    )
+    return a.unionByName(b)
 
-
-_PII_NULLS = (
-    "CAST(NULL AS BIGINT) AS n_emails, CAST(NULL AS BIGINT) AS n_ipv4, "
-    "CAST(NULL AS BIGINT) AS n_phones"
-)
 
 ORACLE_STRIP_BOILERPLATE_SUITE = f"""
-SELECT 'corpus' AS variant, t.*, {_PII_NULLS} FROM (
+SELECT 'corpus' AS variant, t.* FROM (
 {ORACLE_STRIP_BOILERPLATE}
 ) t
 UNION ALL
-SELECT 'within_doc' AS variant, t.*, {_PII_NULLS} FROM (
+SELECT 'within_doc' AS variant, t.* FROM (
 {ORACLE_DEDUP_LINES_WITHIN}
-) t
-UNION ALL
-SELECT 'pii_redact' AS variant, t.* FROM (
-{ORACLE_PII_REDACT}
 ) t
 """
 
