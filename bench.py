@@ -742,6 +742,25 @@ def main() -> None:
         lambda: _force(diversity_sample(vecs, 5_000, centroids=_div_cents))
     )
 
+    # cross-corpus semantic decontamination over the same 200k vectors
+    # vs a 1,000-vector "benchmark" slice: corpus signatures (one Arrow
+    # matmul) + band explode + the broadcast bucket probe with in-place
+    # verification — zero corpus shuffle; the benchmark layout and
+    # vectors ride one broadcast
+    from validate_xml_rust_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    _sd_bench = vecs.filter(F.col("vec_id") % 200 == 0)
+    timings["semantic_decontam_200k"] = _time(
+        lambda: _force(
+            semantic_decontaminate(
+                vecs.filter(F.col("vec_id") % 200 != 0), _sd_bench,
+                threshold=0.95,
+            )
+        )
+    )
+
     # Operator queries over the sf parquet tables — every output column
     # fully evaluated (hash-aggregated), never count()-pruned.
     for name, fn in QUERIES.items():

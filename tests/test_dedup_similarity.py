@@ -1121,3 +1121,66 @@ def test_signature_store_compact(spark, tmp_path):
     assert got == want
     # compacting a single-generation store is a no-op
     assert packed.compact() == gen
+
+
+def test_semantic_decontaminate_paths_agree(spark):
+    """Cross-corpus semantic decontamination: the banded-LSH broadcast
+    path finds exactly the brute-force cross pairs on the planted
+    vectors (recall 1.0 at 16x4 bits / cos 0.9 — the embedding_neardup
+    fixture argument, cross-corpus), and the drop policy composes as a
+    left_anti."""
+    from validate_xml_rust_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("fixtures/planted_vectors.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    bench = emb.filter(F.col("vec_id") % 5 == 0)
+    kw = dict(threshold=0.9, bits_per_band=4, bands=16)
+    lsh = {
+        (r["id"], r["bench_id"], r["cos_sim"])
+        for r in semantic_decontaminate(corpus, bench, **kw).collect()
+    }
+    exact = {
+        (r["id"], r["bench_id"], r["cos_sim"])
+        for r in semantic_decontaminate(
+            corpus, bench, exact=True, **kw
+        ).collect()
+    }
+    assert lsh == exact and len(lsh) > 0
+    flagged = {i for i, _, _ in lsh}
+    kept = corpus.join(
+        semantic_decontaminate(corpus, bench, **kw)
+        .select(F.col("id").alias("vec_id")).distinct(),
+        "vec_id", "left_anti",
+    )
+    assert {r["vec_id"] for r in kept.collect()} == (
+        {r["vec_id"] for r in corpus.collect()} - flagged
+    )
+
+
+def test_curate_semantic_decontaminate_step(spark):
+    """curate(semantic_benchmark=...) drops docs whose embedding is a
+    near-copy of a benchmark vector; clean docs pass."""
+    from validate_xml_rust_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "close to bench", [1.0, 0.0, 0.0, 0.01]),
+            (2, "far from bench", [0.0, 1.0, 0.0, 0.0]),
+            (3, "also far", [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, text string, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    res = curate(
+        docs, spark, near_dup_threshold=None,
+        semantic_benchmark=bench, semantic_decontam_threshold=0.95,
+    )
+    assert {r["doc_id"] for r in res.kept.collect()} == {2, 3}
+    entry = next(
+        s for s in res.report["steps"] if s["step"] == "semantic_decontaminate"
+    )
+    assert entry["dropped"] == 1

@@ -511,20 +511,13 @@ def embedding_near_duplicates(
     buckets (zero vectors, boilerplate embeddings) are capped like the
     MinHash path. Output: id_a < id_b, cos_sim."""
     n_bits = bits_per_band * bands
-    mask = (1 << bits_per_band) - 1
     sigd = df.select(
         F.col(id_col).alias("__id"),
         lsh_signature(F.col(vec_col), n_bits).alias("__sig"),
     )
     banded = sigd.select(
         "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, shiftrightunsigned(__sig, b * {bits_per_band}) "
-                f"& {mask} AS key))"
-            )
-        ).alias("bk"),
+        F.explode(_band_keys_expr("__sig", bands, bits_per_band)).alias("bk"),
     ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bw"))
     banded = banded.join(
@@ -555,4 +548,111 @@ def embedding_near_duplicates(
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _band_keys_expr(sig_col: str, bands: int, bits_per_band: int):
+    """(band, key) structs from a packed sign signature — the banded
+    slice layout shared by the self-join near-dup and the cross-corpus
+    decontamination paths. Bounded HOF (``bands`` elements), safe: the
+    lambda references only the plain signature attribute."""
+    mask = (1 << bits_per_band) - 1
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"struct(b AS band, shiftrightunsigned({sig_col}, b * {bits_per_band}) "
+        f"& {mask} AS key))"
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits_per_band: int = 8,
+    bands: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Semantic test-set decontamination: every (corpus, benchmark) pair
+    with embedding cosine ≥ ``threshold`` — the EMBEDDING-SPACE
+    complement of the n-gram ``contamination_flags`` (paraphrased or
+    re-tokenized benchmark leakage that shares no 8-gram still lands
+    next to the benchmark item in embedding space; flagging by
+    embedding similarity is the published practice behind
+    SemDeDup-style semantic matching, applied cross-corpus).
+
+    Output: ``(id, bench_id, cos_sim)`` — one row per contaminated pair;
+    drop policy belongs to the caller (left_anti on ``id``), mirroring
+    ``contamination_flags``.
+
+    Scale shape (the n-gram decontaminate's cost profile, in embedding
+    space): the benchmark is SMALL — eval suites are 10³–10⁶ rows — so
+    its banded sign-LSH layout, carrying its raw vectors, BROADCASTS.
+    The corpus side computes its own signatures (one Arrow matmul per
+    batch), explodes ``bands`` band keys, probes the broadcast buckets,
+    and exact-verifies each collision in place against the benchmark
+    vector riding the broadcast row — ZERO corpus-side shuffle; only
+    the verified hits (the contamination, tiny by construction) reach
+    the final distinct. A pair colliding in k bands is verified k≤bands
+    times before the distinct — the price of never joining back into
+    the corpus for vectors; both engines' cosine is deterministic, so
+    the duplicates collapse exactly. Same signature family as
+    embedding_near_duplicates (seeded hyperplanes regenerated anywhere),
+    so the recall argument carries over: at 16×4 bits the per-pair miss
+    probability at cos 0.9 is ~4e-6, and the gate asserts recall 1.0 on
+    the planted corpus. ``exact=True`` skips the LSH prefilter (corpus ×
+    broadcast-benchmark cross join) for recall audits at bounded sizes.
+    """
+    bench = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.col(bench_vec_col).alias("__bv"),
+    )
+    if exact:
+        pairs = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+        ).crossJoin(F.broadcast(bench))
+    else:
+        n_bits = bits_per_band * bands
+        bband = (
+            bench.withColumn("__sig", lsh_signature(F.col("__bv"), n_bits))
+            .select(
+                "__bid", "__bv",
+                F.explode(
+                    _band_keys_expr("__sig", bands, bits_per_band)
+                ).alias("bk"),
+            )
+            .select(
+                "__bid", "__bv",
+                F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+            )
+        )
+        cband = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("__v"),
+                lsh_signature(F.col(vec_col), n_bits).alias("__sig"),
+            )
+            .select(
+                "id", "__v",
+                F.explode(
+                    _band_keys_expr("__sig", bands, bits_per_band)
+                ).alias("bk"),
+            )
+            .select(
+                "id", "__v",
+                F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+            )
+        )
+        pairs = cband.join(F.broadcast(bband), ["band", "key"])
+    return (
+        pairs.select(
+            "id",
+            F.col("__bid").alias("bench_id"),
+            F.round(cosine(F.col("__v"), F.col("__bv")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )

@@ -191,6 +191,8 @@ def curate(
     pack_max_tokens: int | None = None,
     pack_shards: int = 32,
     contamination_n: int = 8,
+    semantic_benchmark: DataFrame | None = None,
+    semantic_decontam_threshold: float = 0.95,
     url_col: str = "url",
     blocked_domains: DataFrame | None = None,
     robots_domains: DataFrame | None = None,
@@ -447,6 +449,26 @@ def curate(
         cur = log(
             "decontaminate",
             cur.join(clean, cur[id_col] == F.col("__kid"), "left_semi"),
+        )
+
+    if semantic_benchmark is not None:
+        # embedding-space decontamination (the paraphrase/re-tokenize
+        # leakage the n-gram step can't see): drop every doc whose
+        # embedding sits within semantic_decontam_threshold cosine of
+        # ANY benchmark embedding. The benchmark's banded layout +
+        # vectors broadcast; the corpus side never shuffles — only the
+        # flagged ids come back for the anti join.
+        from validate_xml_rust_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        hits = semantic_decontaminate(
+            cur, semantic_benchmark, id_col=id_col, vec_col=vec_col,
+            threshold=semantic_decontam_threshold,
+        ).select(F.col("id").alias("__sdid")).distinct()
+        cur = log(
+            "semantic_decontaminate",
+            cur.join(hits, cur[id_col] == F.col("__sdid"), "left_anti"),
         )
 
     if c4_min_lines is not None:

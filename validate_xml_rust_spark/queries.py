@@ -4351,12 +4351,49 @@ ORACLE_ANN_SUITE = (
 )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus semantic decontamination
+    (similarity.semantic_decontaminate): the planted vectors split into
+    a "benchmark" (vec_id % 5 == 0) and a "corpus" (the rest); every
+    (benchmark, corpus) pair at cosine ≥ 0.9 must surface through the
+    broadcast banded-LSH probe. The oracle is the brute-force CROSS
+    cosine scan, so gate equality asserts cross-recall 1.0 at 16×4 bits
+    (the same per-pair miss bound as the lsh self-join variant) and
+    that the in-place verification against the broadcast vector agrees
+    with SQL cosine at 6dp."""
+    from validate_xml_rust_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(_PLANTED_VECS)
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        threshold=0.9, bits_per_band=4, bands=16,
+    )
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = f"""
+WITH e AS (SELECT vec_id, embedding FROM '{_PLANTED_VECS}'),
+p AS (
+  SELECT c.vec_id AS id, b.vec_id AS bench_id,
+         round(list_sum(list_transform(list_zip(c.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+  FROM e c JOIN e b ON c.vec_id % 5 != 0 AND b.vec_id % 5 = 0)
+SELECT id, bench_id, cos_sim FROM p WHERE cos_sim >= 0.9
+"""
+
+
 def q_embedding_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, brute-force block scan (exact) + banded sign-LSH
-    + SemDeDup cluster-scoped pruning over the planted vectors (recall
-    1.0 at the gate threshold for both approximate paths). The semdedup
-    variant maps (witness, dropped) onto (id_a, id_b) — id_a < id_b by
-    construction, like the pair variants."""
+    + SemDeDup cluster-scoped pruning + cross-corpus semantic
+    decontamination over the planted vectors (recall 1.0 at the gate
+    threshold for every approximate path). The semdedup variant maps
+    (witness, dropped) onto (id_a, id_b) — id_a < id_b by construction;
+    the decontam variant maps (bench_id, id) onto (id_a, id_b) — the
+    two id spaces are disjoint residue classes."""
     a = q_embedding_neardup_exact(spark, sf_dir).withColumn("variant", F.lit("exact"))
     b = q_embedding_neardup_lsh(spark, sf_dir).withColumn("variant", F.lit("lsh"))
     c = q_semantic_dedup(spark, sf_dir).select(
@@ -4365,7 +4402,13 @@ def q_embedding_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"),
         "cos_sim",
     )
-    return a.unionByName(b).unionByName(c)
+    d = q_semantic_decontaminate(spark, sf_dir).select(
+        F.lit("decontam").alias("variant"),
+        F.col("bench_id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        "cos_sim",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 ORACLE_EMBEDDING_NEARDUP_SUITE = (
@@ -4373,6 +4416,9 @@ ORACLE_EMBEDDING_NEARDUP_SUITE = (
     + "\nUNION ALL\n"
     + "SELECT 'semdedup' AS variant, witness_id AS id_a, vec_id AS id_b, cos_sim\n"
     + f"FROM ({ORACLE_SEMANTIC_DEDUP}) sd\n"
+    + "UNION ALL\n"
+    + "SELECT 'decontam' AS variant, bench_id AS id_a, id AS id_b, cos_sim\n"
+    + f"FROM ({ORACLE_SEMANTIC_DECONTAMINATE}) dc\n"
     + "UNION ALL\n"
     + _wrap_variant("lsh", ORACLE_EMBEDDING_NEARDUP_LSH)
 )
