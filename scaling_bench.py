@@ -198,6 +198,60 @@ spark.stop()
 """
 
 
+WORKER_INCR = r"""
+import sys, json, time, tempfile
+sys.path.insert(0, sys.argv[4])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+from pyspark.sql import functions as F
+from validate_xml_rust_spark import get_spark
+from validate_xml_rust_spark.operators.dedup import (
+    SignatureStore, incremental_near_dedup,
+)
+from validate_xml_rust_spark.sources.corpus import synthetic_documents
+
+spark = get_spark(app_name=f"scale-incr-{cpus}", cpus=cpus,
+                  shuffle_partitions=cpus)
+# bootstrap generation (the historical corpus) is built ONCE, untimed —
+# the recurring-ingest loop's cost is the SLICE side only
+corpus = synthetic_documents(spark, n_docs, 64)
+store = SignatureStore(spark, tempfile.mkdtemp(prefix=f"scale_store_{cpus}_"))
+incremental_near_dedup(corpus.filter(F.col("doc_id") % 2 == 0), store,
+                       threshold=0.6)
+slice_b = corpus.filter(F.col("doc_id") % 2 == 1)
+
+def run_once():
+    # sign the slice -> capped band self-join (within-slice pairs) ->
+    # ONE equi-join vs the store's banded layout -> exact-Jaccard verify
+    # over stored sketches -> component taint -> anti join. commit=False
+    # keeps the store identical across reps; the survivor count is the
+    # parallelism-invariance signature.
+    st = {}
+    out = incremental_near_dedup(slice_b, store, threshold=0.6,
+                                 commit=False, stats=st)
+    n = out.count()
+    return [int(n), int(st.get("n_store_matches", -1)),
+            int(st.get("n_dropped", -1))]
+
+sig = run_once()  # Arrow-path + JIT warmup, full size
+spark.catalog.clearCache()
+times = []
+c0 = _tree_cpu_secs()
+for _ in range(reps):
+    t0 = time.perf_counter()
+    sig = run_once()
+    times.append(round(time.perf_counter() - t0, 3))
+    spark.catalog.clearCache()
+cpu = _tree_cpu_secs() - c0
+times_sorted = sorted(times)
+median = round((times_sorted[(len(times)-1)//2] + times_sorted[len(times)//2]) / 2, 3)
+print(json.dumps({"cpus": cpus, "docs": n_docs // 2, "signature": sig, "times": times,
+                  "best_secs": min(times), "median_secs": median,
+                  "avg_parallelism": round(cpu / sum(times), 2),
+                  "docs_per_sec": round((n_docs // 2) / median, 1)}))
+spark.stop()
+"""
+
+
 def run_level(cpus: int, n_docs: int, reps: int = 4, worker: str = WORKER) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
@@ -212,20 +266,83 @@ def run_level(cpus: int, n_docs: int, reps: int = 4, worker: str = WORKER) -> di
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    dedup_docs = int(os.environ.get("SCALE_DEDUP_DOCS", "200000"))
-    r2 = run_level(2, n_docs)
-    r8 = run_level(8, n_docs)
-    r32 = run_level(32, n_docs)
-    d2 = run_level(2, dedup_docs, worker=WORKER_DEDUP)
-    d8 = run_level(8, dedup_docs, worker=WORKER_DEDUP)
-    excise_docs = int(os.environ.get("SCALE_EXCISE_DOCS", "150000"))
-    e2 = run_level(2, excise_docs, reps=3, worker=WORKER_EXCISE)
-    e8 = run_level(8, excise_docs, reps=3, worker=WORKER_EXCISE)
+    # SCALE_JOBS selects which contrasts to (re)measure this invocation;
+    # the rest load from BENCH/scaling_results.json (written every run).
+    # Rationale: one noisy co-tenant window shouldn't force re-measuring
+    # ALL four jobs (~50 min) to refresh one table — re-run the affected
+    # job alone and regenerate the document from the freshest per-job
+    # results. The sidecar records every job's full level payloads, so
+    # the document is always reproducible from committed state.
+    jobs = set(
+        (os.environ.get("SCALE_JOBS") or "validation,dedup,excise,incr")
+        .split(",")
+    )
+    bench_dir = Path(__file__).parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    sidecar = bench_dir / "scaling_results.json"
+    res: dict = json.loads(sidecar.read_text()) if sidecar.exists() else {}
+
+    if "validation" in jobs:
+        n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+        res["validation"] = {
+            "2": run_level(2, n_docs),
+            "8": run_level(8, n_docs),
+            "32": run_level(32, n_docs),
+        }
+    if "dedup" in jobs:
+        dedup_docs = int(os.environ.get("SCALE_DEDUP_DOCS", "200000"))
+        res["dedup"] = {
+            "2": run_level(2, dedup_docs, worker=WORKER_DEDUP),
+            "8": run_level(8, dedup_docs, worker=WORKER_DEDUP),
+        }
+    if "excise" in jobs:
+        excise_docs = int(os.environ.get("SCALE_EXCISE_DOCS", "150000"))
+        res["excise"] = {
+            "2": run_level(2, excise_docs, reps=3, worker=WORKER_EXCISE),
+            "8": run_level(8, excise_docs, reps=3, worker=WORKER_EXCISE),
+        }
+    if "incr" in jobs:
+        # sized by the module's fixed-term rule: the incremental loop
+        # carries ~11s of SIZE-INDEPENDENT driver cost (fitting
+        # T = F + P/cores at 100k- and 300k-doc slices gives F = 11.7
+        # and 10.9s — iterative component rounds + checkpoint/count
+        # actions are scheduling latency, not compute), so the slice
+        # must be big enough that F is <16% of the 8-core runtime before
+        # the efficiency reads on the ENGINE. (An earlier run ALSO
+        # carried a size-DEPENDENT serial term — the store generations
+        # landed as single parquet files, so every store-side scan ran
+        # at parallelism 1; fixed by key-repartitioned generation
+        # writes, SignatureStore._write_generation.)
+        incr_docs = int(os.environ.get("SCALE_INCR_DOCS", "1600000"))
+        res["incr"] = {
+            "2": run_level(2, incr_docs, reps=3, worker=WORKER_INCR),
+            "8": run_level(8, incr_docs, reps=3, worker=WORKER_INCR),
+        }
+
+    missing = [
+        j for j in ("validation", "dedup", "excise", "incr") if j not in res
+    ]
+    if missing:
+        raise RuntimeError(
+            f"no stored results for {missing}; run with SCALE_JOBS including them"
+        )
+    sidecar.write_text(json.dumps(res, indent=1) + "\n")
+
+    r2, r8, r32 = (res["validation"][k] for k in ("2", "8", "32"))
+    d2, d8 = res["dedup"]["2"], res["dedup"]["8"]
+    e2, e8 = res["excise"]["2"], res["excise"]["8"]
+    i2, i8 = res["incr"]["2"], res["incr"]["8"]
+    n_docs, dedup_docs = r2["docs"], d2["docs"]
+    excise_docs, incr_docs = e2["docs"], i2["docs"] * 2
     if e2["signature"] != e8["signature"]:
         raise RuntimeError(
             f"excise result diverged across parallelism levels: "
             f"{e2['signature']} vs {e8['signature']}"
+        )
+    if i2["signature"] != i8["signature"]:
+        raise RuntimeError(
+            f"incremental near-dedup diverged across parallelism levels: "
+            f"{i2['signature']} vs {i8['signature']}"
         )
 
     def eff(lo, hi, factor):
@@ -248,6 +365,8 @@ def main() -> None:
     excise_eff = eff(e2, e8, 4)
     dedup_eff_res = eff_resource(d2, d8)
     excise_eff_res = eff_resource(e2, e8)
+    incr_eff = eff(i2, i8, 4)
+    incr_eff_res = eff_resource(i2, i8)
     print(json.dumps({
         "primary_2_to_8": {"speedup": round(r8["docs_per_sec"] / r2["docs_per_sec"], 2),
                            "efficiency": primary},
@@ -259,9 +378,13 @@ def main() -> None:
         "excise_2_to_8": {"speedup": round(e8["docs_per_sec"] / e2["docs_per_sec"], 2),
                           "efficiency": excise_eff,
                           "efficiency_per_consumed_core": excise_eff_res},
+        "incr_neardup_2_to_8": {"speedup": round(i8["docs_per_sec"] / i2["docs_per_sec"], 2),
+                                "efficiency": incr_eff,
+                                "efficiency_per_consumed_core": incr_eff_res},
         "levels": {"2": r2, "8": r8, "32": r32},
         "dedup_levels": {"2": d2, "8": d8},
         "excise_levels": {"2": e2, "8": e8},
+        "incr_levels": {"2": i2, "8": i8},
     }))
 
     bench_dir = Path(__file__).parent / "BENCH"
@@ -358,6 +481,40 @@ input sized so the 8-core level runs well past the fixed driver term):
   Arrow UDFs, so the subsidy at the low level is largest here)
 - parallelism-invariance: (docs, tokens removed, merged spans) =
   {e2['signature']} at BOTH levels (the harness raises if they diverge)
+
+## Supplementary job: incremental near-dedup vs the signature store, 2 → 8 cores
+
+The recurring-ingest loop (r6's headline operator): a {incr_docs // 2:,}-doc
+slice signs itself, runs the capped band self-join for within-slice
+pairs, equi-joins the persisted store's banded layout, exact-verifies
+against stored shingle sketches, and anti-joins the drop set. The
+bootstrap generation (the other {incr_docs // 2:,} docs) is built once,
+UNTIMED, per level — the loop's recurring cost is the slice side only
+(3 measured reps after a full-size warmup, commit=False so the store is
+rep-stable). This job carries ~11s of SIZE-INDEPENDENT driver cost
+(fitted as T = F + P/cores at 100k- and 300k-doc slices: F = 11.7 /
+10.9s — the iterative component rounds and checkpoint/count actions are
+scheduling latency a long ingest amortizes), hence the slice is sized so
+that term is <16% of the 8-core runtime (the module's standing rule).
+Finding from the first run of this contrast: the store generations
+landed as single parquet files, so every store-side scan/join ran at
+parallelism 1 regardless of cores — a size-DEPENDENT serial term (F
+fitted 26s at a 600k slice), removed by key-repartitioned generation
+writes (SignatureStore._write_generation; both levels got ~15% faster
+and F returned to the constant ~11s):
+
+| cores | slice docs | rep times (s) | median s | docs/sec |
+|---|---|---|---|---|
+| {i2['cpus']} | {i2['docs']:,} | {i2['times']} | {i2['median_secs']} | {i2['docs_per_sec']:,} |
+| {i8['cpus']} | {i8['docs']:,} | {i8['times']} | {i8['median_secs']} | {i8['docs_per_sec']:,} |
+
+- speedup: **{i8['docs_per_sec'] / i2['docs_per_sec']:.2f}x**, slot efficiency **{incr_eff}**,
+  per-consumed-core efficiency **{incr_eff_res}**
+  (cores actually consumed: {i2['avg_parallelism']} at 2 slots,
+  {i8['avg_parallelism']} at 8 — the Python-offload artifact above:
+  the slice signing is an Arrow stage)
+- parallelism-invariance: (survivors, store matches, dropped) =
+  {i2['signature']} at BOTH levels (the harness raises if they diverge)
 
 ## vs reference baseline
 

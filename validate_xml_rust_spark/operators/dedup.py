@@ -771,10 +771,23 @@ class SignatureStore:
     def _write_generation(self, sketch: DataFrame, gen: int) -> int:
         """Write one generation dir (sketch + banded layout derived FROM
         THE WRITTEN PARQUET — one cheap re-read of id+sig, never a
-        signature recompute) and return its row count."""
+        signature recompute) and return its row count.
+
+        Both tables are REPARTITIONED on write — bands by ``key`` (the
+        candidate join's equi-key: key-clustered files are the layout
+        that lets a cluster deployment bucket the store so only the
+        slice shuffles), sketches by ``doc_id``. Without this a small
+        store lands as one parquet file, and every later ingest's
+        store-side scan/join/widths-agg runs at parallelism 1 REGARDLESS
+        of cores — measured as a size-dependent serial term in the 2→8
+        scaling contrast (the write-once shuffle here is amortized over
+        every future ingest that reads the generation)."""
         path = f"{self.root}/gen-{gen}"
+        npart = self.spark.sparkContext.defaultParallelism
         cols = ["doc_id", "sig"] + (["shingles"] if self.store_shingles else [])
-        sketch.select(*cols).write.mode("overwrite").parquet(f"{path}/sketch")
+        sketch.select(*cols).repartition(npart, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/sketch")
         written = self.spark.read.parquet(f"{path}/sketch")
         rows_per_band = self.num_perm // self.bands
         (
@@ -785,6 +798,7 @@ class SignatureStore:
                 ).alias("b"),
             )
             .select(F.col("b.band").alias("band"), F.col("b.key").alias("key"), "doc_id")
+            .repartition(npart, "key")
             .write.mode("overwrite")
             .parquet(f"{path}/bands")
         )
