@@ -633,29 +633,12 @@ def main() -> None:
     # Parquet-materialized first (the semdedup-entry rule).
     from validate_xml_rust_spark.pipeline import preset_kwargs
 
-    # distinct per-line templates: identical cross-line filler would
-    # itself be Gopher-failing boilerplate (repeated 4/5-grams cover
-    # >16% of chars) — vary the stopword filler so only genuinely
-    # repetitive docs fail the published thresholds
-    _LINE_TEMPLATES = (
-        ("It was the part ", " and so it goes on."),
-        ("Then we see some ", " which is read now."),
-        ("Here are more of ", " that came before this."),
-        ("Not all of those ", " will be kept today."),
-        ("In the end there is ", " and that is all."),
-    )
-
-    def _preset_line(i: int):
-        pre, post = _LINE_TEMPLATES[i]
-        return F.concat(
-            F.lit(pre), F.substring(F.col("text"), 1 + 60 * i, 55), F.lit(post)
-        )
+    from validate_xml_rust_spark.sources.corpus import prose_documents
 
     _pc_dir = tempfile.mkdtemp(prefix="bench_presets_") + "/docs"
-    corpus.select(
-        "doc_id",
-        F.concat_ws("\n", *[_preset_line(i) for i in range(5)]).alias("text"),
-    ).write.mode("overwrite").parquet(_pc_dir)
+    prose_documents(spark, 100_000, cpus * 2).write.mode("overwrite").parquet(
+        _pc_dir
+    )
     _pcorpus = spark.read.parquet(_pc_dir)
 
     _ccnet_ref = _pcorpus.filter(F.col("doc_id") < 512).select("text")

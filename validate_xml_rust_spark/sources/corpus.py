@@ -257,3 +257,48 @@ def lang_corpus(
     for code in LANGID_LANGS:
         text = F.when(lang == code, lang_text(code)).otherwise(text)
     return df.select(i.alias("doc_id"), lang.alias("lang"), text.alias("text"))
+
+
+# --- prose-shaped corpus for quality-pack benchmarks/tests ---------------
+
+# distinct per-line templates: identical cross-line filler would itself
+# be Gopher-failing boilerplate (a repeated 4/5-gram covering >16% of
+# chars); each template carries stopwords and terminal punctuation so
+# the published packs judge per-document CONTENT, not the generator's
+# shape
+PROSE_LINE_TEMPLATES: tuple[tuple[str, str], ...] = (
+    ("It was the part ", " and so it goes on."),
+    ("Then we see some ", " which is read now."),
+    ("Here are more of ", " that came before this."),
+    ("Not all of those ", " will be kept today."),
+    ("In the end there is ", " and that is all."),
+)
+
+
+def prose_documents(
+    spark: SparkSession, n_rows: int, n_partitions: int | None = None
+) -> DataFrame:
+    """The synthetic corpus re-shaped so the PUBLISHED quality packs keep
+    a realistic fraction: raw ``synthetic_documents`` text is single-line
+    stopword-free word soup, which C4 (no line ends in punctuation → 0
+    lines kept) and Gopher (no stopword hits → every doc dropped) are
+    DESIGNED to annihilate — a preset benchmark over it times steps over
+    doomed rows and ends at kept=0. Each doc becomes 5 punctuated,
+    stopword-bearing lines (~70 words) whose content words come from
+    spans of the original text, so the planted exact/near duplicates
+    survive the reshaping and dedup steps stay exercised.
+    Output: ``doc_id, text``."""
+    base = synthetic_documents(spark, n_rows, n_partitions)
+
+    def line(idx: int) -> F.Column:
+        pre, post = PROSE_LINE_TEMPLATES[idx]
+        return F.concat(
+            F.lit(pre), F.substring(F.col("text"), 1 + 60 * idx, 55), F.lit(post)
+        )
+
+    return base.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", *[line(i) for i in range(len(PROSE_LINE_TEMPLATES))]
+        ).alias("text"),
+    )
