@@ -136,14 +136,18 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
         )
         return time.perf_counter() - t0, rows
 
-    # MEDIAN of 3 measured runs (post-warmup) is the headline — the same
+    # MEDIAN of 5 measured runs (post-warmup) is the headline — the same
     # statistic the scaling methodology uses (best-of-reps biases upward;
-    # BENCH/BASELINE.md). The full rep spread rides the output
-    # (flagship_reps): a ±8% swing in the headline number must be readable
-    # as noise or regression without a re-run.
-    runs = [run_once() for _ in range(3)]
+    # BENCH/BASELINE.md). Five reps, not three: flagship reps measured in
+    # ISOLATION are tight (1.19-1.37s spread), but ambient co-tenant
+    # bursts can inflate 1-2 reps of a 3-rep window by 50%+ and drag the
+    # median with them — the median of 5 rides out up to two noisy reps
+    # for ~3s of extra bench time. The full rep spread rides the output
+    # (flagship_reps): a ±8% swing in the headline number must be
+    # readable as noise or regression without a re-run.
+    runs = [run_once() for _ in range(5)]
     runs_sorted = sorted(runs, key=lambda r: r[0])
-    secs, per_part = runs_sorted[1]  # median rep
+    secs, per_part = runs_sorted[2]  # median rep
     rep_secs = sorted(round(r[0], 3) for r in runs)
     total = sum(r["total"] for r in per_part)
     _ = partition_pass_fail  # kept importable for parity runs
@@ -153,9 +157,9 @@ def run_validation_bench(spark, n_docs: int, n_partitions: int) -> tuple[float, 
         "partitions": len(per_part),
         "docs_per_sec": round(total / secs, 1),
         "reps": {
-            "min": rep_secs[0], "median": rep_secs[1], "max": rep_secs[-1],
+            "min": rep_secs[0], "median": rep_secs[2], "max": rep_secs[-1],
             "docs_per_sec_min": round(total / rep_secs[-1], 1),
-            "docs_per_sec_median": round(total / rep_secs[1], 1),
+            "docs_per_sec_median": round(total / rep_secs[2], 1),
             "docs_per_sec_max": round(total / rep_secs[0], 1),
         },
     }
