@@ -1184,3 +1184,27 @@ def test_curate_semantic_decontaminate_step(spark):
         s for s in res.report["steps"] if s["step"] == "semantic_decontaminate"
     )
     assert entry["dropped"] == 1
+
+
+def test_semantic_decontaminate_edges(spark):
+    """Empty benchmark → zero matches; NULL corpus embeddings never
+    match (signature 0 may collide with a band bucket, but the cosine
+    guard returns 0.0 for NULL/zero vectors, below any threshold)."""
+    from validate_xml_rust_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    empty_bench = corpus.filter(F.lit(False))
+    assert semantic_decontaminate(corpus, empty_bench).count() == 0
+
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = semantic_decontaminate(
+        corpus, bench, threshold=0.9, bits_per_band=4, bands=16
+    ).collect()
+    assert {(r["id"], r["bench_id"]) for r in got} == {(1, 9)}
