@@ -204,6 +204,7 @@ sys.path.insert(0, sys.argv[4])
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
 from pyspark.sql import functions as F
 from validate_xml_rust_spark import get_spark
+from validate_xml_rust_spark.ckpt import release_blocks
 from validate_xml_rust_spark.operators.dedup import (
     SignatureStore, incremental_near_dedup,
 )
@@ -229,6 +230,11 @@ def run_once():
     out = incremental_near_dedup(slice_b, store, threshold=0.6,
                                  commit=False, stats=st)
     n = out.count()
+    # the survivor count has materialized, so the operator's drop-frame
+    # localCheckpoint blocks are releasable — clearCache() cannot reach
+    # RDD-level checkpoint blocks (repo rule), and a stats-less loop
+    # would leak one block set per rep, skewing later reps (ADVICE r6)
+    release_blocks(spark.sparkContext, st.get("ckpt_block_ids", frozenset()))
     return [int(n), int(st.get("n_store_matches", -1)),
             int(st.get("n_dropped", -1))]
 

@@ -277,15 +277,43 @@ def minhash_near_duplicates(
     cands = minhash_candidates(
         df, id_col, text_col, num_perm, bands, shingle_k, _sig=sig
     )
+    sh_v = sh
+    cand_ck = None
+    if eager:
+        # r7 (guide §2.3/§8: decide with small rows, move heavy rows
+        # once): materialize the candidate pairs, then semi-join the
+        # shingle table down to the ids that actually appear in a pair
+        # BEFORE the two verify joins — the join then shuffles only the
+        # candidate fraction's arrays instead of every document's
+        # (measured 1/3 of the ids and 2/3 fewer array bytes on the
+        # 100k prose corpus; at crawl scale the candidate fraction is
+        # percents). Identical output: verification only ever reads
+        # candidate ids' shingles. Eager mode only — the lazy path has
+        # no materialized cands to derive the id set from without
+        # re-running candidate generation.
+        cand_ck = cands.localCheckpoint(eager=True)
+        cands = cand_ck
+        cand_ids = (
+            cand_ck.select(F.col("id_a").alias("__cid"))
+            .unionByName(cand_ck.select(F.col("id_b").alias("__cid")))
+            .distinct()
+        )
+        sh_v = sh.join(
+            F.broadcast(cand_ids), sh["__sid"] == F.col("__cid"), "left_semi"
+        )
     j = (
-        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        cands.join(sh_v.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh_v.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     if eager:
         out = j.localCheckpoint(eager=True)
+        if cand_ck is not None:
+            from validate_xml_rust_spark.ckpt import block_ids_of, release_blocks
+
+            release_blocks(df.sparkSession.sparkContext, block_ids_of(cand_ck))
         sig.unpersist()
         sh.unpersist()
         return out
@@ -381,6 +409,10 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    # running Σ component for the monotone convergence test (see loop)
+    label_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     # Iteration hygiene for web-scale pair tables: every round REPLACES the
     # labels frame with an eager localCheckpoint — the round is materialized
     # anyway (the convergence count), and with pointer jumping the logical
@@ -420,15 +452,19 @@ def connected_components(
             )
         )
         new_labels, new_ckpt_ids = eager_checkpoint(updated)
-        # convergence test over two materialized, lineage-free frames
-        # (labels frames are #near-dup-nodes rows — tiny next to the corpus)
-        changed = (
-            new_labels.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+        # convergence test WITHOUT a join (r7): labels are MONOTONE —
+        # every round replaces a component with least(old, ...), so some
+        # label changed iff Σ component strictly decreased. One block-scan
+        # DECIMAL aggregate (exact, overflow-free) over the new checkpoint
+        # replaces the old u⋈l inequality probe — one fewer shuffle join
+        # per round, same fixpoint (guide §2.4).
+        new_sum = (
+            new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
         )
+        changed = 0 if new_sum == label_sum else 1
+        label_sum = new_sum
         # A checkpoint's blocks ARE its data (lineage-free): release the
         # superseded one only now that the newer checkpoint has
         # materialized and nothing in any live plan can reach it.

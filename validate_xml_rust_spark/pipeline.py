@@ -222,6 +222,72 @@ def curate(
         n = m
         return out
 
+    # --- fused narrow-step machinery (r7 optimization, guide §2.4) ------
+    # Consecutive ZERO-SHUFFLE steps (pure per-row projections / filters)
+    # are queued and materialized as ONE eager checkpoint instead of one
+    # per step: the fused frame carries every queued step's transform plus
+    # one boolean keep-flag per filtering step; per-step (rows_in,
+    # rows_out) come from a single block-scan aggregate of CUMULATIVE flag
+    # conjunctions — identical numbers to the sequential pipeline (a row
+    # counts for step i iff it passes flags 1..i, which is exactly the
+    # population the sequential version hands step i+1; TRUE&TRUE only,
+    # NULL/FALSE both fail, matching filter()'s NULL-drops semantics).
+    # Transforms are pure per-row functions, so applying them to rows a
+    # later flag drops cannot change any surviving row's bytes. A k-step
+    # narrow segment costs ONE compute pass + one checkpoint + one count
+    # scan instead of k materializations + k counts (measured: the five
+    # preset chains spend most of their non-dedup time here). The final
+    # frame is a filter VIEW over the fused checkpoint's blocks — still
+    # "one pass per step": downstream reads materialized blocks plus a
+    # codegen filter.
+    pending: list[tuple[str, object]] = []
+
+    def queue(step: str, builder) -> None:
+        """``builder(frame) -> (frame_with_transform, flag_col | None)``;
+        flag_col names a boolean keep column (None = pure transform,
+        rows_out == rows_in by construction)."""
+        pending.append((step, builder))
+
+    def flush() -> None:
+        nonlocal cur, n, prev_ids
+        if not pending:
+            return
+        work = cur
+        flags: list[tuple[str, str | None]] = []
+        for step, builder in pending:
+            work, keep = builder(work)
+            flags.append((step, keep))
+        pending.clear()
+        out, ids = eager_checkpoint(work)
+        aggs, cum = [], None
+        for i, (_, keep) in enumerate(flags):
+            if keep is None:
+                continue
+            cum = F.col(keep) if cum is None else (cum & F.col(keep))
+            aggs.append(F.sum(cum.cast("long")).alias(f"__c{i}"))
+        counts = out.agg(*aggs).collect()[0] if aggs else None
+        running = n
+        for i, (step, keep) in enumerate(flags):
+            if keep is None:
+                steps.append({"step": step, "rows_in": running,
+                              "rows_out": running, "dropped": 0})
+            else:
+                mo = int(counts[f"__c{i}"] or 0)
+                steps.append({"step": step, "rows_in": running,
+                              "rows_out": mo, "dropped": running - mo})
+                running = mo
+        keep_cols = [k for _, k in flags if k is not None]
+        final = out
+        if keep_cols:
+            pred = None
+            for k in keep_cols:
+                pred = F.col(k) if pred is None else (pred & F.col(k))
+            final = out.filter(pred).drop(*keep_cols)
+        release_blocks(sc, prev_ids)
+        prev_ids = ids
+        n = running
+        cur = final
+
     if registry is not None:
         from validate_xml_rust_spark.operators.validate import validate
 
@@ -278,12 +344,18 @@ def curate(
             license_signals,
         )
 
-        cur = log(
-            "license_filter",
-            license_signals(cur, license_col, allow=tuple(license_allow))
-            .filter(F.col("license_ok"))
-            .drop(*LICENSE_COLUMNS),
-        )
+        def _b_license(frame: DataFrame):
+            sig = license_signals(
+                frame, license_col, allow=tuple(license_allow)
+            )
+            return (
+                sig.withColumn("__keep_lic", F.col("license_ok")).drop(
+                    *LICENSE_COLUMNS
+                ),
+                "__keep_lic",
+            )
+
+        queue("license_filter", _b_license)
 
     if normalize_form is not None:
         # Unicode normalization BEFORE dedup: composed vs decomposed
@@ -291,9 +363,12 @@ def curate(
         # fingerprint group. One Arrow pass, text rewritten in place.
         from validate_xml_rust_spark.operators.curation import normalize_text
 
-        cur = log(
+        queue(
             "normalize",
-            normalize_text(cur, text_col, form=normalize_form),
+            lambda frame: (
+                normalize_text(frame, text_col, form=normalize_form),
+                None,
+            ),
         )
 
     if dedup_doc_lines:
@@ -308,13 +383,17 @@ def curate(
         # out_col=text_col rewrites in place (the normalize_text pattern)
         # — a drop/rename dance would destroy the column when text_col
         # is itself named 'clean_text', or eat an unrelated clean_text
-        cur = log(
+        queue(
             "dedup_doc_lines",
-            dedup_lines_within_doc(cur, text_col, out_col=text_col),
+            lambda frame: (
+                dedup_lines_within_doc(frame, text_col, out_col=text_col),
+                None,
+            ),
         )
 
     from validate_xml_rust_spark.operators.dedup import exact_dedup, near_dedup
 
+    flush()
     cur = log("exact_dedup", exact_dedup(cur, id_col, text_col))
     if near_dup_threshold is not None:
         nd_stats: dict = {}
@@ -484,13 +563,16 @@ def curate(
             c4_rules,
         )
 
-        cur = log(
-            "c4_clean",
-            c4_rules(cur, text_col, min_lines=c4_min_lines)
-            .filter(F.col("c4_pass"))
-            .withColumn(text_col, F.col("c4_text"))
-            .drop(*C4_COLUMNS),
-        )
+        def _b_c4(frame: DataFrame):
+            c4 = c4_rules(frame, text_col, min_lines=c4_min_lines)
+            return (
+                c4.withColumn("__keep_c4", F.col("c4_pass"))
+                .withColumn(text_col, F.col("c4_text"))
+                .drop(*C4_COLUMNS),
+                "__keep_c4",
+            )
+
+        queue("c4_clean", _b_c4)
 
     if max_repetition is not None:
         from validate_xml_rust_spark.operators.textstats import (
@@ -498,11 +580,18 @@ def curate(
             repetition_stats,
         )
 
-        rep = repetition_stats(cur, text_col, flag_threshold=max_repetition)
-        cur = log(
-            "repetition_filter",
-            rep.filter(~F.col("repetitive")).drop(*REPETITION_COLUMNS),
-        )
+        def _b_rep(frame: DataFrame):
+            rep = repetition_stats(
+                frame, text_col, flag_threshold=max_repetition
+            )
+            return (
+                rep.withColumn("__keep_rep", ~F.col("repetitive")).drop(
+                    *REPETITION_COLUMNS
+                ),
+                "__keep_rep",
+            )
+
+        queue("repetition_filter", _b_rep)
 
     if gopher_repetition:
         # Gopher's PUBLISHED repetition thresholds (Rae et al. 2021
@@ -519,13 +608,17 @@ def curate(
             repetition_stats,
         )
 
-        rep = repetition_stats(cur, text_col)
-        cur = log(
-            "gopher_repetition_filter",
-            rep.filter(
-                F.col("rep_ngram_pass") & F.col("rep_dup_pass")
-            ).drop(*REPETITION_COLUMNS),
-        )
+        def _b_grep(frame: DataFrame):
+            rep = repetition_stats(frame, text_col)
+            return (
+                rep.withColumn(
+                    "__keep_grep",
+                    F.col("rep_ngram_pass") & F.col("rep_dup_pass"),
+                ).drop(*REPETITION_COLUMNS),
+                "__keep_grep",
+            )
+
+        queue("gopher_repetition_filter", _b_grep)
 
     if gopher_min_words is not None:
         # Gopher rule-pack quality filter (Rae et al. 2021 A1.1): pure
@@ -534,17 +627,21 @@ def curate(
         # heuristic quality filters, before the (costlier) LM filter.
         from validate_xml_rust_spark.operators.textstats import gopher_rules
 
-        g = gopher_rules(cur, text_col, min_words=gopher_min_words)
-        cur = log(
-            "gopher_filter",
-            g.filter(F.col("gopher_pass")).drop(
-                "g_n_words", "g_mean_wl", "g_symbol_ratio", "g_bullet_frac",
-                "g_ellipsis_frac", "g_alpha_frac", "g_stop_hits",
-                "gopher_pass",
-            ),
-        )
+        def _b_gopher(frame: DataFrame):
+            g = gopher_rules(frame, text_col, min_words=gopher_min_words)
+            return (
+                g.withColumn("__keep_gopher", F.col("gopher_pass")).drop(
+                    "g_n_words", "g_mean_wl", "g_symbol_ratio",
+                    "g_bullet_frac", "g_ellipsis_frac", "g_alpha_frac",
+                    "g_stop_hits", "gopher_pass",
+                ),
+                "__keep_gopher",
+            )
+
+        queue("gopher_filter", _b_gopher)
 
     if max_log_ppl is not None:
+        flush()
         # CCNet-style LM filter: drop docs whose bigram-LM log-perplexity
         # against lm_ref exceeds the budget. Docs too short to score
         # (log_ppl NULL, <2 tokens) are KEPT — absence of evidence;
@@ -572,6 +669,7 @@ def curate(
         )
 
     if lm_keep_buckets is not None:
+        flush()
         # CCNet bucket filter: keep only the head/middle(/tail) thirds
         # of the per-group perplexity distribution (Wenzek et al. 2019
         # keep head+middle, drop tail). Unscorable docs (<2 tokens,
@@ -621,11 +719,28 @@ def curate(
             pb_handles["scores"].unpersist()
 
     if sample_rate is not None:
-        from validate_xml_rust_spark.operators.curation import hash_sample
+        # hash_sample is a stateless per-row md5-ticket predicate — queue
+        # it as a fused filter (membership is content-keyed, so deciding
+        # it alongside other narrow flags changes nothing)
+        from validate_xml_rust_spark.operators.curation import (
+            TICKET_SPACE,
+            sample_ticket,
+        )
 
-        cur = log("sample", hash_sample(cur, sample_rate, id_col))
+        def _b_sample(frame: DataFrame):
+            return (
+                frame.withColumn(
+                    "__keep_sample",
+                    sample_ticket(F.col(id_col))
+                    < int(sample_rate * TICKET_SPACE),
+                ),
+                "__keep_sample",
+            )
+
+        queue("sample", _b_sample)
 
     if dsir_target is not None and dsir_k is not None:
+        flush()
         # DSIR importance selection (Xie et al. 2023): keep the dsir_k
         # most target-like rows by hashed-ngram importance weight. Same
         # id contract as lm_filter: only unique non-NULL ids are
@@ -657,14 +772,18 @@ def curate(
         # they are dropped here; rows_in == rows_out by construction.
         from validate_xml_rust_spark.operators.curation import redact_pii
 
-        cur = log(
+        queue(
             "pii_redact",
-            redact_pii(cur, text_col, out_col=text_col).drop(
-                "n_email", "n_ip", "n_phone"
+            lambda frame: (
+                redact_pii(frame, text_col, out_col=text_col).drop(
+                    "n_email", "n_ip", "n_phone"
+                ),
+                None,
             ),
         )
 
     if mixture is not None:
+        flush()
         # weighted mixture composition LAST (the training-mix assembly
         # step): per-source epochs-per-subset replication/sampling. Adds
         # an ``epoch`` column; rows_out can EXCEED rows_in (upsampling —
@@ -681,6 +800,7 @@ def curate(
             ),
         )
 
+    flush()
     kept_ids = prev_ids
     packs = None
     pack_ids: frozenset = frozenset()

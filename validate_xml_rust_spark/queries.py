@@ -3529,18 +3529,30 @@ def _replayed_stream(spark: SparkSession, sf_dir: str, table: str):
 
 def _run_to_memory(stream, prefix: str) -> str:
     """Run a streaming aggregation to completion (AvailableNow) into a
-    complete-mode memory sink; returns the sink table name."""
+    complete-mode memory sink; returns the sink table name. State-store
+    shard count pinned low for the replay drain (the stateful.py
+    run_available_now rationale: per-trigger state commits scale with the
+    shuffle-partition count, results are partition-invariant; the env
+    knob raises it for real deployments)."""
+    import os
     import uuid
 
-    name = prefix + uuid.uuid4().hex[:8]
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream.sparkSession
+    parts = os.environ.get("VXRS_STREAM_STATE_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        name = prefix + uuid.uuid4().hex[:8]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 

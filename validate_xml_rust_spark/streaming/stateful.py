@@ -184,17 +184,46 @@ def streaming_near_dedup(
 
 
 def run_available_now(
-    sdf: "DataFrame", checkpoint_dir: str, output_dir: str
+    sdf: "DataFrame",
+    checkpoint_dir: str,
+    output_dir: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain the stream synchronously into an append parquet sink (the
     memory sink cannot recover from a checkpoint, so cross-RUN state
-    continuity requires a recoverable sink)."""
-    q = (
-        sdf.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    continuity requires a recoverable sink).
+
+    ``state_partitions`` (default ``$VXRS_STREAM_STATE_PARTITIONS``, else
+    8) pins ``spark.sql.shuffle.partitions`` for the stream's lifetime —
+    a NEW checkpoint bakes this in as the state-store shard count. Every
+    micro-batch commits one state-store delta PER PARTITION, so a
+    replay-style drain (AvailableNow, a handful of triggers, bounded
+    rows) at the session default (= core count) pays 5-10x the
+    state-commit/file I/O the data needs; results are partition-invariant
+    (keyed state — the shard only decides WHERE a key lives). Production
+    streams with large keyed state raise the env knob (2-3x cores, the
+    usual shuffle-partition sizing) — the value is a deployment knob, not
+    a semantics knob. An EXISTING checkpoint keeps whatever count it was
+    created with (Structured Streaming ignores the conf then), so resumed
+    streams are unaffected."""
+    spark = sdf.sparkSession
+    if state_partitions is None:
+        import os
+
+        state_partitions = int(
+            os.environ.get("VXRS_STREAM_STATE_PARTITIONS", "8")
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
