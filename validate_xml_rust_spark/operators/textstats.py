@@ -9,6 +9,7 @@ the driver's correctness gate covers it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -726,6 +727,95 @@ def _char_gram_buckets(
     )
 
 
+_GRAM_BUCKET_CACHES: dict = {}
+_GRAM_CACHE_MAX = 1 << 21
+
+
+def _gram_bucket_cache(seed: str, n_buckets: int) -> dict:
+    """Per-(seed, n_buckets) gram→bucket memo shared across tasks in a
+    reused Python worker (guide §4.5 — the module is importable, so
+    worker reuse keeps the global); size-capped defensively."""
+    key = (seed, n_buckets)
+    c = _GRAM_BUCKET_CACHES.get(key)
+    if c is None:
+        c = _GRAM_BUCKET_CACHES[key] = {}
+    return c
+
+
+def _langid_gram_counts(
+    df: DataFrame,
+    text_col: str,
+    carry_col: Column,
+    ns: tuple[int, ...],
+    n_buckets: int,
+    seed: str,
+) -> DataFrame:
+    """Arrow twin of ``_char_gram_buckets(...).groupBy(b, carry).count()``
+    (r7, guide §4.2/§2.3): ONE mapInPandas pass emitting PARTIAL
+    (b, carry, count) rows per task; the downstream integer sum equals
+    the exploded path's count exactly. Byte-identical bucketing: Python
+    slicing and Spark ``substr`` are both code-point indexed, the
+    lowercase stays JVM-side (``lower()`` semantics preserved), and
+    hashlib.md5 over UTF-8 == Spark ``md5`` — the sample_ticket
+    arithmetic restated (parity-tested against _char_gram_buckets).
+    Replaces ~Σ_n (len−n+1) exploded rows per doc — each paying an md5
+    projection and a shuffle write — with a per-task dict count whose
+    md5 runs once per DISTINCT gram (memoized; the char-gram universe is
+    tiny next to its occurrence count), and the shuffle shrinks from
+    per-occurrence rows to per-(task, bucket, carry) partials."""
+    import hashlib
+
+    import pandas as pd
+
+    src = df.select(
+        carry_col.alias("__carry"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    ns_t = tuple(int(n) for n in ns)
+    nb = int(n_buckets)
+
+    def count_part(it):
+        cache = _gram_bucket_cache(seed, nb)
+        md5 = hashlib.md5
+        by_carry: dict[object, dict[int, int]] = {}
+        for pdf in it:
+            for carry, text in zip(pdf["__carry"], pdf["__t"]):
+                d = by_carry.get(carry)
+                if d is None:
+                    d = by_carry[carry] = {}
+                for n in ns_t:
+                    for i in range(len(text) - n + 1):
+                        g = text[i : i + n]
+                        b = cache.get(g)
+                        if b is None:
+                            b = (
+                                int(
+                                    md5(
+                                        f"{seed}:{g}".encode("utf-8")
+                                    ).hexdigest()[:8],
+                                    16,
+                                )
+                                % nb
+                            )
+                            if len(cache) < _GRAM_CACHE_MAX:
+                                cache[g] = b
+                        d[b] = d.get(b, 0) + 1
+        rows_c: list = []
+        rows_b: list = []
+        rows_n: list = []
+        for carry, d in by_carry.items():
+            rows_c.extend([carry] * len(d))
+            rows_b.extend(d.keys())
+            rows_n.extend(d.values())
+        if rows_b:
+            yield pd.DataFrame(
+                {"__carry": rows_c, "b": rows_b, "__pc": rows_n}
+            )
+
+    part = src.mapInPandas(count_part, "__carry string, b long, __pc long")
+    return part.groupBy("b", "__carry").agg(F.sum("__pc").alias("__c"))
+
+
 def langid_train(
     df: DataFrame,
     lang_col: str = "lang",
@@ -755,11 +845,14 @@ def langid_train(
     on a near-tie). Scale shape: ONE explode + groupBy(b, lang) count
     (map-side partials), a per-bucket total join, and the language count
     riding the plan as a broadcast one-row aggregate."""
-    g = _char_gram_buckets(
+    # r7: gram counting moved into the Arrow partial-count pass (see
+    # _langid_gram_counts — identical counts, ~occurrence-count fewer
+    # shuffled rows); `_char_gram_buckets` remains the expression-path
+    # reference twin, parity-tested.
+    cnt = _langid_gram_counts(
         df.filter(F.col(lang_col).isNotNull()),
-        text_col, {"__l": F.col(lang_col)}, ns, n_buckets, seed,
-    )
-    cnt = g.groupBy("b", "__l").agg(F.count(F.lit(1)).alias("__c"))
+        text_col, F.col(lang_col), ns, n_buckets, seed,
+    ).withColumnRenamed("__carry", "__l")
     tot = cnt.groupBy("b").agg(F.sum("__c").alias("__tot"))
     langs = df.select(F.col(lang_col).alias("__l")).filter(
         F.col("__l").isNotNull()
@@ -818,11 +911,154 @@ def langid_predict(
     the per-(id, lang) sums the oracle restates, bit for bit. The
     language list is collected driver-side — bounded by L, never by
     corpus size."""
-    langs = sorted(
-        r["lang"] for r in weights.select("lang").distinct().collect()
-    )
+    # r7 fast path (guide §4.2): the weight table is collected ONCE to the
+    # driver as an int64 matrix of 1e9-scaled weights — DECIMAL(18,9) →
+    # unscaled int64 is EXACT, and int64 sums are exact and
+    # order-independent, so the per-doc scores (and every tie) equal the
+    # DECIMAL sums bit for bit. Scoring is then one Arrow pass per row
+    # (grams sliced + md5-memoized buckets + one fancy-index matmul row
+    # sum), a per-id integer-sum aggregate for the dup-id blend, and the
+    # same first-tie-ascending argmax — no gram explode, no 65k-row
+    # broadcast pivot, no per-occurrence join. Falls back to the
+    # expression path for weight frames langid_train did not produce
+    # (incomplete bucket rows / non-9dp weights).
+    import numpy as np
+
+    wl = weights.select("b", "lang", "w").toPandas()
+    langs = sorted(set(wl["lang"].tolist()))
     if not langs:
         return df.withColumn(out_col, F.lit("und"))
+    L = len(langs)
+    lidx = {lang: j for j, lang in enumerate(langs)}
+    uniq_b = sorted(set(int(x) for x in wl["b"].tolist()))
+    brow = {b: r for r, b in enumerate(uniq_b)}
+    wmat = np.zeros((len(uniq_b), L), dtype=np.int64)
+    seen = np.zeros((len(uniq_b), L), dtype=bool)
+    exact = True
+    for bb, ll, ww in zip(wl["b"], wl["lang"], wl["w"]):
+        if ww is None:
+            exact = False
+            break
+        scaled = ww.scaleb(9)
+        if scaled != int(scaled):
+            exact = False
+            break
+        r, j = brow[int(bb)], lidx[ll]
+        if seen[r, j]:  # duplicate (b, lang) rows — ambiguous, fall back
+            exact = False
+            break
+        wmat[r, j] = int(scaled)
+        seen[r, j] = True
+    if not exact or not seen.all():
+        return _langid_predict_exprs(
+            df, weights, langs, id_col, text_col, out_col, ns, n_buckets,
+            seed,
+        )
+
+    import hashlib
+
+    ns_t = tuple(int(n) for n in ns)
+    nb = int(n_buckets)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = "__id " + id_type + ", __m0 long, " + ", ".join(
+        f"__e{j} long" for j in range(L)
+    )
+
+    # mapInPandas, not a scalar pandas UDF: MapInPandas is a projection
+    # BARRIER. The gate feeds this operator the in-memory multilingual
+    # generator frame, whose text column is a nested-transform-lambda
+    # expression tree — a scalar PythonUDF directly over that tree is
+    # never extracted into an ArrowEvalPython node (observed
+    # INTERNAL_ERROR "cannot evaluate/generate code for expression:
+    # score(...)"), the same lambda-inlining hazard _char_gram_buckets
+    # documents and dodges with its Generate barrier.
+    def score_part(it):
+        cache = _gram_bucket_cache(seed, nb)
+        md5 = hashlib.md5
+        for pdf in it:
+            ids = pdf["__id"]
+            res = np.zeros((len(pdf), L + 1), dtype=np.int64)
+            for k, text in enumerate(pdf["__t"]):
+                rows: list = []
+                for n in ns_t:
+                    for i in range(len(text) - n + 1):
+                        g = text[i : i + n]
+                        b = cache.get(g)
+                        if b is None:
+                            b = (
+                                int(
+                                    md5(
+                                        f"{seed}:{g}".encode("utf-8")
+                                    ).hexdigest()[:8],
+                                    16,
+                                )
+                                % nb
+                            )
+                            if len(cache) < _GRAM_CACHE_MAX:
+                                cache[g] = b
+                        r = brow.get(b)
+                        if r is not None:
+                            rows.append(r)
+                if rows:
+                    res[k, 0] = len(rows)
+                    res[k, 1:] = wmat[np.asarray(rows, dtype=np.int64)].sum(
+                        axis=0, dtype=np.int64
+                    )
+            out = pd.DataFrame(res, columns=["__m0"] + [f"__e{j}" for j in range(L)])
+            out.insert(0, "__id", ids.to_numpy())
+            yield out
+
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    ).mapInPandas(score_part, out_schema)
+    # per-id sum: dup-id rows blend into one bag exactly as the exploded
+    # path's groupBy(__id) did (int sums are associative/exact); docs
+    # with zero MATCHED grams (no row in the old inner join) drop here
+    sums = (
+        g.groupBy("__id")
+        .agg(
+            F.sum(F.col("__m0")).alias("__m"),
+            *[F.sum(F.col(f"__e{j}")).alias(f"__s{j}") for j in range(L)],
+        )
+        .filter(F.col("__m") > 0)
+    )
+    scols = [f"__s{j}" for j in range(L)]
+    mx = (
+        F.greatest(*[F.col(c) for c in scols]) if L > 1 else F.col(scols[0])
+    )
+    expr = None
+    for lang, c in zip(langs, scols):  # ascending → first tie wins
+        cond = F.col(c) == F.col("__mx")
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
+    pred = sums.withColumn("__mx", mx).select("__id", expr.alias("__pred"))
+    return df.join(
+        pred, df[id_col] == F.col("__id"), "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("__pred"), F.lit("und")).alias(out_col),
+    )
+
+
+def _langid_predict_exprs(
+    df: DataFrame,
+    weights: DataFrame,
+    langs: list,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+    ns: tuple[int, ...],
+    n_buckets: int,
+    seed: str,
+) -> DataFrame:
+    """Pre-r7 expression scoring path (pivoted broadcast weights over the
+    exploded gram stream) — kept as the fallback for weight frames not
+    shaped like langid_train's output, and as the parity-test twin of
+    the Arrow fast path."""
     wcols = [f"__w_{i}" for i in range(len(langs))]
     # toDF, not select: lang values are data (could contain dots or
     # backticks a col() reference would parse)
