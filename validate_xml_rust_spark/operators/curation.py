@@ -250,6 +250,80 @@ def _dsir_gram_buckets(
     ).drop("__g")
 
 
+_DSIR_SPLIT = None  # lazily-compiled [^a-z0-9]+ splitter (module-level)
+
+
+def _dsir_tokens_py(text: str) -> list:
+    """Python twin of texthash.tokens() over ALREADY lowered+trimmed
+    text: split on [^a-z0-9]+ (ASCII classes — identical in Java and
+    Python regex), drop empties."""
+    global _DSIR_SPLIT
+    if _DSIR_SPLIT is None:
+        import re
+
+        _DSIR_SPLIT = re.compile(r"[^a-z0-9]+")
+    return [w for w in _DSIR_SPLIT.split(text) if w]
+
+
+def _dsir_bucket_counts_arrow(
+    frame: DataFrame, text_col: str, n_buckets: int, seed: str
+) -> dict:
+    """Driver-side dict ``bucket → occurrence count`` of word unigrams +
+    bigrams (the DSIR feature bag) — the Arrow twin of
+    ``_dsir_gram_buckets(...).groupBy(b).count().collect()``: one
+    mapInPandas pass emitting per-task partial counts (md5 memoized per
+    DISTINCT gram — texstats._gram_bucket_cache), summed exactly. The
+    result is ≤ n_buckets entries, driver-bounded by construction."""
+    import hashlib
+
+    import pandas as pd
+
+    from validate_xml_rust_spark.operators.textstats import (
+        _GRAM_CACHE_MAX,
+        _gram_bucket_cache,
+    )
+
+    src = frame.select(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))).alias("__t")
+    )
+    nb = int(n_buckets)
+
+    def count_part(it):
+        cache = _gram_bucket_cache(seed, nb)
+        md5 = hashlib.md5
+        agg: dict[int, int] = {}
+        for pdf in it:
+            for text in pdf["__t"]:
+                toks = _dsir_tokens_py(text)
+                for g in toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]:
+                    b = cache.get(g)
+                    if b is None:
+                        b = (
+                            int(
+                                md5(
+                                    f"{seed}:{g}".encode("utf-8")
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % nb
+                        )
+                        if len(cache) < _GRAM_CACHE_MAX:
+                            cache[g] = b
+                    agg[b] = agg.get(b, 0) + 1
+        if agg:
+            yield pd.DataFrame(
+                {"b": list(agg.keys()), "__pc": list(agg.values())}
+            )
+
+    part = src.mapInPandas(count_part, "b long, __pc long")
+    return {
+        int(r["b"]): int(r["__c"])
+        for r in part.groupBy("b").agg(F.sum("__pc").alias("__c")).collect()
+    }
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,
@@ -289,49 +363,95 @@ def dsir_weights(
     a = float(alpha)
     tcol = target_text_col if target_text_col is not None else text_col
 
-    ct = (
-        _dsir_gram_buckets(target, tcol, B, seed, None)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+    # r7 (guide §4.2/§2.3): both bucket models reduce via ONE Arrow
+    # partial-count pass each (md5 once per DISTINCT gram, memoized)
+    # instead of a per-occurrence md5 + explode + count shuffle; the
+    # per-bucket log-ratio table is ≤ B entries, computed driver-side
+    # and shipped in the scoring task closure; scoring is one Arrow
+    # pass per row + a per-key (n, Σ) aggregate. Gram counts are exact
+    # integers (identical to the exploded path — langid parity
+    # pattern); logw is a double sum whose addition order changes, the
+    # same cross-engine tolerance the 6dp-rounded oracle already
+    # absorbs (DuckDB sums in its own order today).
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from validate_xml_rust_spark.operators.textstats import (
+        _GRAM_CACHE_MAX,
+        _gram_bucket_cache,
     )
+
+    ct = _dsir_bucket_counts_arrow(target, tcol, B, seed)
     raw = df if raw_sample_rate is None else hash_sample(
         df, raw_sample_rate, key_col, seed + "_raw"
     )
-    cr = (
-        _dsir_gram_buckets(raw, text_col, B, seed, None)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("__cr"))
-    )
-    # totals as broadcast one-row aggregates — a driver-side .collect()
-    # here would run each reference reduction twice (plan-build job)
-    # coalesce: an empty/gram-less model corpus must behave as total 0
-    # (every bucket at the α floor), exactly as the oracle's
-    # coalesce(sum(c), 0) does — NULL here would NULL every logw
-    tt = F.broadcast(
-        ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
-    )
-    tr = F.broadcast(
-        cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"))
-    )
+    cr = _dsir_bucket_counts_arrow(raw, text_col, B, seed)
+    tt = float(sum(ct.values()))
+    tr = float(sum(cr.values()))
+    ctv = np.zeros(B, dtype=np.float64)
+    for b, c in ct.items():
+        ctv[b] = c
+    crv = np.zeros(B, dtype=np.float64)
+    for b, c in cr.items():
+        crv[b] = c
+    lr = np.log((ctv + a) / (tt + a * B)) - np.log((crv + a) / (tr + a * B))
 
-    lr = F.log(
-        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
-        / (F.col("__tt").cast("double") + F.lit(a * B))
-    ) - F.log(
-        (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(a))
-        / (F.col("__tr").cast("double") + F.lit(a * B))
-    )
+    key_type = df.schema[key_col].dataType.simpleString()
+    nb = B
+
+    def score_part(it):
+        cache = _gram_bucket_cache(seed, nb)
+        md5 = hashlib.md5
+        for pdf in it:
+            n_out = np.zeros(len(pdf), dtype=np.int64)
+            w_out = np.zeros(len(pdf), dtype=np.float64)
+            for k, text in enumerate(pdf["__t"]):
+                toks = _dsir_tokens_py(text)
+                bs: list = []
+                for g in toks + [
+                    f"{x} {y}" for x, y in zip(toks, toks[1:])
+                ]:
+                    b = cache.get(g)
+                    if b is None:
+                        b = (
+                            int(
+                                md5(
+                                    f"{seed}:{g}".encode("utf-8")
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % nb
+                        )
+                        if len(cache) < _GRAM_CACHE_MAX:
+                            cache[g] = b
+                    bs.append(b)
+                n_out[k] = len(bs)
+                if bs:
+                    w_out[k] = lr[np.asarray(bs, dtype=np.int64)].sum()
+            out = pd.DataFrame({"__n": n_out, "__w": w_out})
+            out.insert(0, "__k", pdf["__k"].to_numpy())
+            yield out
+
     scored = (
-        _dsir_gram_buckets(df, text_col, B, seed, key_col)
-        .join(F.broadcast(ct), "b", "left")
-        .join(F.broadcast(cr), "b", "left")
-        .crossJoin(tt)
-        .crossJoin(tr)
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "__t"
+            ),
+        )
+        .mapInPandas(
+            score_part, f"__k {key_type}, __n long, __w double"
+        )
         .groupBy("__k")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(lr).alias("logw"),
+            F.sum("__n").alias("n_grams"),
+            F.sum("__w").alias("logw"),
         )
+        # zero-gram docs contributed (0, 0.0) partials — the exploded
+        # path emitted NO group for them; normalize to the same output
+        # through the left join + coalesce below (values agree: 0, 0.0)
     )
     return (
         df.filter(F.col(key_col).isNotNull())
