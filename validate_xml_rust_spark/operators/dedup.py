@@ -226,16 +226,27 @@ def minhash_candidates(
         sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), ["band", "key"]
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Pair generation per bucket via collect_list + narrow explode (r7,
+    # guide §2.4): the capped join's output is already partitioned on
+    # (band, key), so the groupBy below shares its exchange — where the
+    # old a⋈b self-join paid ANOTHER exchange and materialized every
+    # within-bucket pair as a join output row before the distinct. The
+    # per-bucket id array is bounded by ``max_bucket`` (the width filter
+    # ran above), so aggregate state is O(cap); the pair blowup happens
+    # in a streaming explode instead of a join. Identical pair set
+    # (id_a < id_b within a shared bucket, distinct across bands) —
+    # equality asserted against the self-join form at 100k docs.
+    buckets = banded.groupBy("band", "key").agg(
+        F.collect_list("__id").alias("__ids")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        buckets.select(F.explode("__ids").alias("id_a"), F.col("__ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.filter(F.col("__ids"), lambda x: x > F.col("id_a"))
+            ).alias("id_b"),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
     return pairs
@@ -409,10 +420,23 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    # running Σ component for the monotone convergence test (see loop)
-    label_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # The sum-based convergence test (see loop) needs a numeric label
+    # domain; string/other id types keep the join-based probe (a DECIMAL
+    # cast of 'u0' would THROW under ANSI — caught by the orchestrate
+    # contamination test's string-id corpus).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    numeric_ids = isinstance(
+        labels.schema["component"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    label_sum = (
+        labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if numeric_ids
+        else None
+    )
     # Iteration hygiene for web-scale pair tables: every round REPLACES the
     # labels frame with an eager localCheckpoint — the round is materialized
     # anyway (the convergence count), and with pointer jumping the logical
@@ -452,19 +476,32 @@ def connected_components(
             )
         )
         new_labels, new_ckpt_ids = eager_checkpoint(updated)
-        # convergence test WITHOUT a join (r7): labels are MONOTONE —
-        # every round replaces a component with least(old, ...), so some
-        # label changed iff Σ component strictly decreased. One block-scan
-        # DECIMAL aggregate (exact, overflow-free) over the new checkpoint
-        # replaces the old u⋈l inequality probe — one fewer shuffle join
-        # per round, same fixpoint (guide §2.4).
-        new_sum = (
-            new_labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-        )
-        changed = 0 if new_sum == label_sum else 1
-        label_sum = new_sum
+        if numeric_ids:
+            # convergence test WITHOUT a join (r7): labels are MONOTONE —
+            # every round replaces a component with least(old, ...), so
+            # some label changed iff Σ component strictly decreased. One
+            # block-scan DECIMAL aggregate (exact, overflow-free) over
+            # the new checkpoint replaces the u⋈l inequality probe — one
+            # fewer shuffle join per round, same fixpoint (guide §2.4).
+            new_sum = (
+                new_labels.agg(
+                    F.sum(
+                        F.col("component").cast("decimal(38,0)")
+                    ).alias("s")
+                ).collect()[0]["s"]
+            )
+            changed = 0 if new_sum == label_sum else 1
+            label_sum = new_sum
+        else:
+            # non-numeric label domain: the pre-r7 materialized-frame
+            # inequality probe (both sides are tiny checkpoints)
+            changed = (
+                new_labels.alias("u")
+                .join(labels.alias("l"), "id")
+                .filter(F.col("u.component") != F.col("l.component"))
+                .limit(1)
+                .count()
+            )
         # A checkpoint's blocks ARE its data (lineage-free): release the
         # superseded one only now that the newer checkpoint has
         # materialized and nothing in any live plan can reach it.
@@ -755,9 +792,22 @@ class SignatureStore:
         self.store_shingles = store_shingles
 
     def _catalog(self) -> DataFrame | None:
+        import os
+
+        cat = f"{self.root}/catalog"
+        if not os.path.isdir(cat):
+            # crash recovery for compact()'s stage-then-swap: a fully
+            # written staging catalog with no live catalog means the
+            # crash fell between the two renames — finish the swap
+            # rather than reading the store as empty
+            staging = f"{self.root}/catalog.staging"
+            if os.path.isdir(staging) and os.path.exists(
+                os.path.join(staging, "_SUCCESS")
+            ):
+                os.rename(staging, cat)
         try:
-            self.spark.catalog.refreshByPath(f"{self.root}/catalog")
-            return self.spark.read.parquet(f"{self.root}/catalog")
+            self.spark.catalog.refreshByPath(cat)
+            return self.spark.read.parquet(cat)
         except Exception as e:  # no catalog yet → empty store
             from pyspark.errors import AnalysisException
 
@@ -789,17 +839,20 @@ class SignatureStore:
         gens = self.generations()
         return gens[-1][0] if gens else 0
 
-    def bands_frame(self) -> DataFrame | None:
+    def bands_frame(self, _gens: list | None = None) -> DataFrame | None:
         """All committed band rows ``(band, key, doc_id)`` — the
         generation-addressed union read (explicit path selection off the
-        catalog, the Iceberg-snapshot-scan shape)."""
-        gens = self.generations()
+        catalog, the Iceberg-snapshot-scan shape). ``_gens`` lets a
+        caller thread ONE ``generations()`` read through several
+        accesses (r7: each call is a driver-side catalog refresh + read
+        + collect; incremental_near_dedup paid it 3-4× per ingest)."""
+        gens = self.generations() if _gens is None else _gens
         if not gens:
             return None
         return self.spark.read.parquet(*[f"{p}/bands" for _, p, _ in gens])
 
-    def sketch_frame(self) -> DataFrame | None:
-        gens = self.generations()
+    def sketch_frame(self, _gens: list | None = None) -> DataFrame | None:
+        gens = self.generations() if _gens is None else _gens
         if not gens:
             return None
         return self.spark.read.parquet(*[f"{p}/sketch" for _, p, _ in gens])
@@ -848,12 +901,14 @@ class SignatureStore:
             "num_perm int, bands int, shingle_k int",
         ).withColumn("committed_at", F.current_timestamp())
 
-    def commit(self, sketch: DataFrame) -> int:
+    def commit(self, sketch: DataFrame, _gens: list | None = None) -> int:
         """Append ``sketch`` — ``(doc_id, sig array<long>, shingles
         array<long>)`` — as the next generation. Older generations remain
         for audit/rollback (the reference's cache generations,
-        src/cache.rs:139-316)."""
-        gens = self.generations()
+        src/cache.rs:139-316). ``_gens`` threads a caller's already-read
+        catalog (single-writer contract — the store has no concurrent
+        committers)."""
+        gens = self.generations() if _gens is None else _gens
         gen = (gens[-1][0] if gens else 0) + 1
         n = self._write_generation(sketch, gen)
         self._catalog_row(gen, n).write.mode("append").parquet(
@@ -875,16 +930,29 @@ class SignatureStore:
         gens = self.generations()
         if len(gens) <= 1:
             return gens[-1][0] if gens else 0
-        from validate_xml_rust_spark.ckpt import eager_checkpoint, release_blocks
+        import os
+        import shutil
 
-        union = self.sketch_frame().dropDuplicates(["doc_id"])
+        union = self.sketch_frame(_gens=gens).dropDuplicates(["doc_id"])
         gen = gens[-1][0] + 1
         n = self._write_generation(union, gen)
-        # the catalog overwrite must not read the catalog it replaces:
-        # the row is materialized first (one tiny checkpoint)
-        row, ids = eager_checkpoint(self._catalog_row(gen, n))
-        row.write.mode("overwrite").parquet(f"{self.root}/catalog")
-        release_blocks(self.spark.sparkContext, ids)
+        # STAGE-then-SWAP (r6 ADVICE: an in-place overwrite destroys the
+        # healthy catalog the moment the delete starts — a crash
+        # mid-overwrite read the store as EMPTY and the next ingest
+        # silently re-bootstrapped onto gen-1). The replacement catalog
+        # is fully written to a staging dir first; only then is the old
+        # one moved aside and the staging dir renamed into place (both
+        # directory renames — the compacted generation's data was already
+        # durable before either). A crash between the two renames leaves
+        # the staging dir for _catalog()'s recovery path.
+        staging = f"{self.root}/catalog.staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        self._catalog_row(gen, n).write.mode("overwrite").parquet(staging)
+        old = f"{self.root}/catalog.pre-compact-{gen}"
+        os.rename(f"{self.root}/catalog", old)
+        os.rename(staging, f"{self.root}/catalog")
+        self.spark.catalog.refreshByPath(f"{self.root}/catalog")
         return gen
 
 
@@ -907,13 +975,23 @@ def incremental_near_dedup(
     reused computation — reference two-tier-cache analog,
     src/cache.rs:403-448).
 
-    Drop rule (matches global keep-first semantics over the ingest order):
-    a slice doc is dropped iff it near-matches any store doc, OR it
-    belongs to a within-slice near-dup component that (a) contains such a
-    store-matched doc — the whole component is already represented in the
-    corpus — or (b) whose min-id keeper it is not. Survivors are returned
-    with the slice's full schema; ``commit=True`` appends their
+    Drop rule: a slice doc is dropped iff it near-matches any store doc,
+    OR it belongs to a within-slice near-dup component that (a) contains
+    such a store-matched doc — the whole component is already represented
+    in the corpus — or (b) whose min-id keeper it is not. Survivors are
+    returned with the slice's full schema; ``commit=True`` appends their
     signatures (+ shingle sketches) as the next store generation.
+
+    Equivalence caveat (r6 ADVICE): this equals global keep-first
+    semantics over the union corpus only when duplicate components never
+    straddle a kept/dropped historical boundary. Jaccard is not
+    transitive: a slice doc near-matching a historical doc that was
+    itself DROPPED in an earlier run (a non-keeper — absent from the
+    store) but NOT that doc's stored keeper survives incrementally,
+    while a global near_dedup over the union would drop it. Storing
+    non-keeper signatures too (taint against all historical members)
+    would close the gap at ~n× store growth; the ordered-split test
+    documents the regime where the equality holds exactly.
 
     ``verify``: ``"exact"`` (default) re-checks store candidates with
     exact Jaccard over the stored shingle sketches — the verification the
@@ -985,8 +1063,12 @@ def incremental_near_dedup(
         .select("id_a", "id_b")
     )
 
-    # store candidates: slice band keys ⋈ store banded layout
-    store_bands = store.bands_frame()
+    # store candidates: slice band keys ⋈ store banded layout. ONE
+    # catalog read serves the bands frame, the sketch frame, and the
+    # commit below (r7 — generations() is a driver-side refresh + read +
+    # collect, previously paid 3-4× per ingest).
+    _gens = store.generations()
+    store_bands = store.bands_frame(_gens=_gens)
     if store_bands is None:
         tainted = sig.select(F.col("__id").alias("id")).limit(0)
     else:
@@ -1011,7 +1093,7 @@ def incremental_near_dedup(
             .dropDuplicates(["id_new", "id_old"])
         )
         if verify == "exact":
-            sk = store.sketch_frame().select(
+            sk = store.sketch_frame(_gens=_gens).select(
                 F.col("doc_id").alias("id_old"), F.col("shingles").alias("sh_old")
             )
             ver = (
@@ -1028,7 +1110,7 @@ def incremental_near_dedup(
                 )
             )
         else:
-            sk = store.sketch_frame().select(
+            sk = store.sketch_frame(_gens=_gens).select(
                 F.col("doc_id").alias("id_old"), F.col("sig").alias("sig_old")
             )
             agree = F.expr(
@@ -1095,7 +1177,7 @@ def incremental_near_dedup(
                 F.broadcast(drop), F.col("doc_id") == F.col("__drop"), "left_anti"
             )
         )
-        gen = store.commit(surv_sketch)
+        gen = store.commit(surv_sketch, _gens=_gens)
     if stats is not None:
         stats["generation"] = gen
     sig.unpersist()
@@ -1151,13 +1233,24 @@ def winnow_candidate_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = flat.groupBy("f").agg(F.count(F.lit(1)).alias("__bw"))
     capped = flat.join(sizes.filter(F.col("__bw") <= max_bucket).drop("__bw"), "f")
-    a, b = capped.alias("a"), capped.alias("b")
+    # per-bucket pair generation via collect_list + narrow explode (r7 —
+    # the minhash_candidates shape): the capped join's output is already
+    # partitioned on f, so the groupBy shares its exchange; the old a⋈b
+    # self-join paid another exchange and materialized every
+    # within-bucket pair as a join row. Aggregate state is bounded by
+    # ``max_bucket`` (the width filter ran above). Identical
+    # (id_a, id_b, n_shared) output — pairs per shared fingerprint,
+    # counted across fingerprints.
+    buckets = capped.groupBy("f").agg(F.collect_list("id").alias("__ids"))
     return (
-        a.join(
-            b,
-            (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")),
+        buckets.select(F.explode("__ids").alias("id_a"), F.col("__ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.filter(F.col("__ids"), lambda x: x > F.col("id_a"))
+            ).alias("id_b"),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

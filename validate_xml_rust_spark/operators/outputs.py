@@ -219,6 +219,20 @@ def write_training_shards(
         id_col=id_col,
         tokens_col=tokens_col,
     )
+    # Precondition BEFORE the WAL reset (r6 ADVICE): mode='error' on an
+    # existing store fails without moving a byte — resetting the log
+    # first would destroy the healthy record and make verify_shards
+    # report the fully intact store as half-applied. Fail here instead,
+    # leaving the prior log recoverable.
+    import os as _os
+
+    if mode in ("error", "errorifexists") and _os.path.exists(
+        f"{out_dir}/shards"
+    ):
+        raise FileExistsError(
+            f"{out_dir}/shards exists and mode={mode!r}; commit log left "
+            "untouched"
+        )
     # WAL: a full (re)write RESETS the commit log — generation 1 begins
     # before the first shard byte moves ([] = the whole store)
     _log_commit(spark, out_dir, 1, "begin", [], mode="overwrite")
