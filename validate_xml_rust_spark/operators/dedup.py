@@ -397,7 +397,23 @@ def connected_components(
     boilerplate chain needs ~14 rounds, not 10^4. Each round is two
     shuffles over the labels table (#near-dup nodes — tiny next to the
     corpus). ``stats['iterations']`` reports the round count when a dict
-    is passed."""
+    is passed.
+
+    SMALL-SUBGRAPH fast path (r7): when the (doubled, distinct) edge
+    table is at most ``$VXRS_CC_DRIVER_MAX_EDGES`` rows (default 2^19 ≈
+    524k — a bounded, few-MB collect in the repo's existing
+    bounded-collect regime, same class as the drop-set broadcast), the
+    labeling is computed by a driver-side min-root union-find instead of
+    the iterative join rounds: each distributed round costs a checkpoint
+    job + an aggregate regardless of data size, which dominates wall
+    time for the typical post-verification pair subgraph (profiled
+    4.3s for 2 rounds over 12k pairs). Labels are IDENTICAL — the
+    min-root invariant yields component = min member, the converged
+    min-label fixpoint; Python string comparison (code points) matches
+    Spark's UTF-8 binary ordering, and numeric ids compare identically.
+    Crawl-scale pair tables exceed the gate and take the distributed
+    path unchanged; the returned frame is an eager localCheckpoint in
+    both paths (same lineage/reuse contract)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -415,6 +431,47 @@ def connected_components(
     # after round 1, silently forcing every later round's two edge scans to
     # recompute the pairs plan.
     edges = edges.persist()
+
+    import os
+
+    driver_max = int(os.environ.get("VXRS_CC_DRIVER_MAX_EDGES", str(1 << 19)))
+    n_edges = edges.count()  # materializes the persist either way
+    if n_edges <= driver_max:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.select("src", "dst").collect():
+            a, b = find(row[0]), find(row[1])
+            if a == b:
+                continue
+            if b < a:
+                a, b = b, a
+            parent[b] = a  # root stays the MIN member
+        # doubled edges ⇒ every member appears as src
+        nodes = [row[0] for row in edges.select("src").distinct().collect()]
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
+        )
+        labels, _ = eager_checkpoint(
+            spark.createDataFrame(
+                [(n, find(n)) for n in sorted(nodes)], schema
+            )
+        )
+        if stats is not None:
+            stats["iterations"] = 1
+        edges.unpersist()
+        return labels
     labels, ckpt_ids = eager_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
