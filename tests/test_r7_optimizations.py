@@ -205,3 +205,43 @@ def test_winnow_pairs_match_selfjoin_reference(spark):
     assert new.exceptAll(ref).count() == 0
     assert ref.exceptAll(new).count() == 0
     flat.unpersist()
+
+
+def test_bigram_strings_match_structs(spark):
+    """_bigram_strings + substring_index(bg, ' ', 1) must reproduce the
+    _bigram_structs (w1, bg) pairs row for row — the exactness claim
+    behind lm_perplexity's r7 string-only bigram emission. Tokens are
+    non-empty [a-z0-9]+ runs, so the first space in bg terminates w1;
+    covers <2-token docs (empty array) and 1-token count-down guard."""
+    from validate_xml_rust_spark.functions.texthash import tokens
+    from validate_xml_rust_spark.operators.textstats import (
+        _bigram_strings,
+        _bigram_structs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "word"),                      # 1 token → no bigrams
+            (3, ""),                          # empty
+            (4, None),                        # NULL text
+            (5, "a b"),                       # exactly one bigram
+            (6, "Hy-phen'd  MIXED   case\t1a2b3c  x"),  # splits + digits
+            (7, "dup dup dup dup"),           # repeated grams keep multiplicity
+        ],
+        "doc_id int, text string",
+    )
+    base = docs.select("doc_id", tokens(F.col("text")).alias("__w"))
+    old = base.select(
+        "doc_id", F.explode(_bigram_structs(F.col("__w"))).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    new = base.select(
+        "doc_id", F.explode(_bigram_strings(F.col("__w"))).alias("bg")
+    ).select(
+        "doc_id", F.substring_index(F.col("bg"), " ", 1).alias("w1"), "bg"
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    # 9-token doc → 8, 1-token/empty/NULL → 0, "a b" → 1,
+    # hy/phen/d/mixed/case/1a2b3c/x → 6, 4×dup → 3
+    assert old.count() == new.count() == 8 + 0 + 0 + 0 + 1 + 6 + 3
